@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.NamedQuery
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Dashboard-parity query pack — each chart/metric of the reference dashboard
+  * (`dashboard/streamlit_app.py`, SURVEY.md §2.6–2.7 A1–A5 / O1–O5) re-expressed
+  * as a Spark aggregate over the driver testdata tables. The reference computes
+  * these in pandas over the full accumulated output on every refresh; here they
+  * are single-pass hash aggregates / top-k plans that scale out.
+  */
+object Analytics {
+
+  /** A1+A2 metrics row: COUNT(*), AVG engagement (DSA:266–283). */
+  val a1Metrics = NamedQuery(
+    "a1_metrics",
+    (s, dir) => {
+      Tables.events(s, dir).agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+    },
+    Some("""SELECT count(*) AS total_events,
+      count(DISTINCT user_id) AS unique_users,
+      round(avg(value), 4) AS avg_value,
+      round(min(value), 2) AS min_value,
+      round(max(value), 2) AS max_value
+      FROM events"""),
+    doc = "dashboard metrics banner (DSA:266–283 A1/A2)")
+
+  /** A3 value_counts parity: distribution with count-desc order and explicit
+    * tie-break (pandas value_counts sorts desc; DSA:309/326). */
+  val a3Distribution = NamedQuery(
+    "a3_type_distribution",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n
+      FROM events GROUP BY event_type
+      ORDER BY n DESC, event_type"""),
+    doc = "value_counts() parity (DSA:309 pie / DSA:326 bar)")
+
+  /** A4 shape: flatten + group + top-10 (DSA:337–343 hashtags). Documents have
+    * no hashtags, so the flatten runs over whitespace tokens — same explode →
+    * hash-agg → TakeOrderedAndProject plan. */
+  val a4TokenTop10 = NamedQuery(
+    "a4_token_top10",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(10)
+    },
+    Some("""SELECT token, count(*) AS n
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM documents) t
+      WHERE token <> ''
+      GROUP BY token ORDER BY n DESC, token LIMIT 10"""),
+    doc = "explode + group + top-k (DSA:337–343 hashtag top-10 shape)")
+
+  /** A5 shape: plain group + top-10 (DSA:361 countries → documents.source). */
+  val a5SourceTop10 = NamedQuery(
+    "a5_source_top10",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("source"))
+        .limit(10)
+    },
+    Some("""SELECT source, count(*) AS n
+      FROM documents GROUP BY source
+      ORDER BY n DESC, source LIMIT 10"""),
+    doc = "group + top-10 (DSA:361 country top-10 shape)")
+
+  /** O2/O3 recency limit: latest-100 events, newest first (DSA:372, 389). */
+  val o2LatestN = NamedQuery(
+    "o2_latest_events",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(100)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    },
+    Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 100"""),
+    doc = "tail-N recency limit (DSA:372 scatter cap / DSA:389 recent posts)")
+
+  /** Approximate distinct (HLL) — the 100 TB-scale path for unique-user counts.
+    * HLL estimates are engine-specific, so no DuckDB oracle: the driver records
+    * a rows-only check; exactness is covered by q8_distinct_users. */
+  val aApproxDistinct = NamedQuery(
+    "a6_approx_distinct",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+    None,
+    doc = "approx_count_distinct (HLL); scale path for q8 — rows-only check")
+
+  def all: Seq[NamedQuery] = Seq(
+    a1Metrics, a3Distribution, a4TokenTop10, a5SourceTop10, o2LatestN,
+    aApproxDistinct)
+}

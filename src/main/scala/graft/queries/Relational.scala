@@ -1,0 +1,362 @@
+package graft.queries
+
+import graft.NamedQuery
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational query pack: the engine-side additions from SURVEY.md §2.8 —
+  * star joins, semi/anti joins, window functions, set ops, distinct counts,
+  * time-bucketed aggregation, having.  All declarative DataFrame programs:
+  * Catalyst handles pushdown/pruning, AQE picks broadcast vs shuffle joins at
+  * runtime (dims here are tiny → broadcast; at 100 TB the fact-fact joins
+  * shuffle on their keys with map-side partial aggregation).
+  *
+  * Float policy: every aggregated double is rounded (2dp for price sums, 4dp
+  * for averages/ratios) on BOTH the Spark and DuckDB side so hash comparison
+  * is stable across summation orders.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape (pricing summary). Reference parity: the dashboard's
+    * full-history grouped aggregates (SURVEY §2.6 A1–A3) generalized to the
+    * canonical scan→filter→hash-agg→sort pipeline. Partial aggregation is
+    * map-side; one shuffle on the 6 group keys. */
+  val q1PricingSummary = NamedQuery(
+    "q1_pricing_summary",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 4) AS avg_qty,
+      round(avg(l_extendedprice), 4) AS avg_price,
+      round(avg(l_discount), 4) AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    doc = "TPC-H Q1 pricing summary; SURVEY §2.6 hash-agg parity")
+
+  /** Pushdown probe: selective filter + narrow projection.  The point at scale:
+    * `.explain` must show PushedFilters on l_quantity/l_shipdate and a 4-column
+    * ReadSchema — reading 4 of 11 columns of a 100 TB fact table is the win. */
+  val q2FilterPushdown = NamedQuery(
+    "q2_filter_pushdown",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= lit(49.0) &&
+          col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_quantity >= 49.0 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      ORDER BY l_orderkey, l_linenumber"""),
+    doc = "selective scan; verifies parquet predicate pushdown + column pruning")
+
+  /** Star join: fact ⋈ 4 dims, revenue by nation.  Dims are broadcast
+    * (customer/nation/region are tiny relative to lineitem at any SF); the
+    * only shuffle is lineitem⋈orders on orderkey + the final group-by. */
+  val q3StarJoin = NamedQuery(
+    "q3_star_join_revenue",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name"""),
+    doc = "star-schema equi-join with broadcast dims; SURVEY §2.8 additions")
+
+  /** Top-k by aggregate with explicit tie-break — plans as
+    * TakeOrderedAndProject after the agg (no full sort at scale). */
+  val q4TopCustomers = NamedQuery(
+    "q4_top_customers",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    },
+    Some("""SELECT c_custkey, c_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 10"""),
+    doc = "top-k per aggregate (TakeOrderedAndProject); dashboard A4/A5 top-k shape")
+
+  /** Left-semi join = EXISTS: customers holding at least one open order. */
+  val q5SemiJoin = NamedQuery(
+    "q5_semi_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      ORDER BY c_custkey"""),
+    doc = "left-semi join (EXISTS); SURVEY §2.8")
+
+  /** Left-anti join = NOT EXISTS: customers with no urgent orders. */
+  val q6AntiJoin = NamedQuery(
+    "q6_anti_join",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""),
+    doc = "left-anti join (NOT EXISTS); SURVEY §2.8")
+
+  /** Window functions: top-3 orders per customer by value.  One shuffle on
+    * the partition key; rank + filter stays inside whole-stage codegen. */
+  val q7WindowTopPerGroup = NamedQuery(
+    "q7_window_top_orders",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""),
+    doc = "row_number window, top-N per group; SURVEY §2.8 window addition")
+
+  /** Lag/lead window over event time: per-user gap between consecutive events. */
+  val q7bWindowLag = NamedQuery(
+    "q7b_window_lag",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_sec",
+          round(col("ts").cast("double") - col("prev_ts").cast("double"), 2))
+        .filter(col("gap_sec").isNotNull && col("gap_sec") > 3600.0)
+        .select(col("user_id"), col("event_id"), col("gap_sec"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, gap_sec FROM (
+        SELECT user_id, event_id,
+               round(epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP), 1) OVER
+                     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)), 2) AS gap_sec
+        FROM events) t
+      WHERE gap_sec IS NOT NULL AND gap_sec > 3600.0
+      ORDER BY user_id, event_id"""),
+    doc = "lag window over event time (sessionization gap detection)")
+
+  /** Exact distinct aggregation. At 100 TB count(distinct) expands to a
+    * two-stage aggregate; approx_count_distinct (HLL) is the scale path and is
+    * covered by its own rows-only query in Analytics. */
+  val q8Distinct = NamedQuery(
+    "q8_distinct_users",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users,
+      round(sum(value), 2) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    doc = "exact distinct per group; SURVEY §2.8 distinct addition")
+
+  /** Set operations: INTERSECT / EXCEPT (distinct semantics in both engines),
+    * results unioned with a tag so one query covers all three ops. */
+  val q9SetOps = NamedQuery(
+    "q9_set_ops",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val open   = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val closed = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val both   = open.intersect(closed).withColumn("tag", lit("both"))
+      val onlyO  = open.except(closed).withColumn("tag", lit("only_open"))
+      both.unionByName(onlyO)
+        .select(col("tag"), col("o_custkey"))
+        .orderBy(col("tag"), col("o_custkey"))
+    },
+    Some("""WITH open_c AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+           closed_c AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM open_c INTERSECT SELECT o_custkey FROM closed_c)
+      UNION ALL
+      SELECT 'only_open' AS tag, o_custkey FROM (SELECT o_custkey FROM open_c EXCEPT SELECT o_custkey FROM closed_c)
+      ORDER BY tag, o_custkey"""),
+    doc = "intersect/except/union; SURVEY §2.8 set-op addition")
+
+  /** Time-bucketed aggregation over the events stream table — the idiomatic
+    * Spark form of the dashboard's sentiment timeline (SURVEY §2.7 O1, T6). */
+  val q10TimeBucket = NamedQuery(
+    "q10_time_bucket",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+      count(*) AS n, round(sum(value), 2) AS sum_value,
+      round(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
+    doc = "time-bucketed agg (timeline parity, batch form of streaming window)")
+
+  /** GROUP BY + HAVING over a join (grouped multi-agg with having, §2.8). */
+  val q11Having = NamedQuery(
+    "q11_having",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .filter(col("n_orders") > 20)
+        .orderBy(col("c_mktsegment"), col("o_orderpriority"))
+    },
+    Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+      round(avg(o_totalprice), 4) AS avg_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+      HAVING count(*) > 20
+      ORDER BY c_mktsegment, o_orderpriority"""),
+    doc = "grouped multi-agg with HAVING; SURVEY §2.8")
+
+  /** Sentiment-label thresholds (reference U2, CSJ:27–36) applied to a numeric
+    * score derived from events.value — the oracle-checkable form of the label
+    * UDF: score ≥ 0.05 → positive, ≤ −0.05 → negative, else neutral (null →
+    * neutral via the otherwise branch, matching CSJ:29–30). */
+  val q12CaseLabel = NamedQuery(
+    "q12_sentiment_label_thresholds",
+    (s, dir) => {
+      val scored = Tables.events(s, dir)
+        .withColumn("score", round((col("value") - lit(245.0)) / lit(245.0), 6))
+      scored
+        .withColumn("sentiment_label",
+          when(col("score") >= 0.05, "positive")
+            .when(col("score") <= -0.05, "negative")
+            .otherwise("neutral"))
+        .groupBy(col("sentiment_label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("score")), 4).as("avg_score"))
+        .orderBy(col("sentiment_label"))
+    },
+    Some("""SELECT CASE WHEN score >= 0.05 THEN 'positive'
+                        WHEN score <= -0.05 THEN 'negative'
+                        ELSE 'neutral' END AS sentiment_label,
+      count(*) AS n, round(avg(score), 4) AS avg_score
+      FROM (SELECT round((value - 245.0) / 245.0, 6) AS score FROM events) t
+      GROUP BY 1 ORDER BY sentiment_label"""),
+    doc = "U2 label-threshold parity (CSJ:27–36) over a DuckDB-computable score")
+
+  /** Second join path through supplier — revenue by supplying nation. */
+  val q13SupplierNation = NamedQuery(
+    "q13_supplier_nation",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n  = Tables.nation(s, dir)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""),
+    doc = "supplier-side star join (broadcast)")
+
+  /** Monthly order trend — coarse time series over the orders fact. */
+  val q14MonthlyTrend = NamedQuery(
+    "q14_monthly_orders",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("month"))
+    },
+    Some("""SELECT date_trunc('month', o_orderdate) AS month,
+      count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1 ORDER BY month"""),
+    doc = "monthly trend (timeline parity O1 over orders)")
+
+  def all: Seq[NamedQuery] = Seq(
+    q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
+    q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
+    q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
+    q13SupplierNation, q14MonthlyTrend)
+}
