@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Relational}
+import graft.queries.{Analytics, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ import graft.queries.{Analytics, Relational}
   */
 object SparkEntry {
 
-  private def packs: Seq[NamedQuery] = Relational.all ++ Analytics.all
+  private def packs: Seq[NamedQuery] =
+    Relational.all ++ Analytics.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → pushed filter → hash agg → sort. */

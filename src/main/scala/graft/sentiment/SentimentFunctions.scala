@@ -1,0 +1,31 @@
+package graft.sentiment
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level sentiment API (SURVEY.md §2.5).
+  *
+  * U1 (`sentiment_udf`, reference `consumer/spark_streaming_job.py:15–25, 39`)
+  * becomes a JVM-local Scala UDF over [[Vader.compound]] — codegen-opaque but
+  * with no serialization boundary (the reference pays a Python pickle
+  * round-trip per row).  Null/blank → 0.0f exactly as CSJ:19–20.
+  *
+  * U2 (`sentiment_label_udf`, CSJ:27–36) needs no UDF at all: it is a pure
+  * CASE WHEN that stays inside whole-stage codegen.  A null score falls
+  * through to the `otherwise` branch → "neutral", matching CSJ:29–30.
+  */
+object SentimentFunctions {
+
+  /** VADER compound score as FloatType (reference registers FloatType, CSJ:39). */
+  val sentimentScoreUdf = udf { text: String =>
+    if (text == null) 0.0f else Vader.compound(text).toFloat
+  }
+
+  def sentimentScore(text: Column): Column = sentimentScoreUdf(text)
+
+  /** Threshold labeling: ≥0.05 positive, ≤−0.05 negative, else neutral. */
+  def sentimentLabel(score: Column): Column =
+    when(score >= 0.05f, "positive")
+      .when(score <= -0.05f, "negative")
+      .otherwise("neutral")
+}

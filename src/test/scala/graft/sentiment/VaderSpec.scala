@@ -1,0 +1,110 @@
+package graft.sentiment
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden + property tests for the Scala VADER engine (SURVEY.md §5.2.1–2).
+  * The DuckDB oracle cannot express VADER, so these tests ARE the truth for
+  * U1; binding semantics from the reference are null/blank → 0.0
+  * (CSJ:19–20) and the ±0.05 label thresholds (CSJ:31–36).
+  * Property tests use seeded sampling (offline cache has no
+  * scalatest-scalacheck bridge). */
+class VaderSpec extends AnyFunSuite {
+
+  test("null/blank/whitespace → 0.0 (CSJ:19–20 parity)") {
+    assert(Vader.compound(null) == 0.0)
+    assert(Vader.compound("") == 0.0)
+    assert(Vader.compound("   ") == 0.0)
+  }
+
+  test("no lexicon hits → 0.0") {
+    assert(Vader.compound("the table row column batch") == 0.0)
+    assert(Vader.compound("12345 !!!") == 0.0) // punctuation alone never creates sentiment
+  }
+
+  test("sign correctness on clearly polar text") {
+    assert(Vader.compound("i love this new product") > 0.05)
+    assert(Vader.compound("this is amazing and wonderful") > 0.05)
+    assert(Vader.compound("i hate this, it is terrible") < -0.05)
+    assert(Vader.compound("worst experience ever, absolutely horrible") < -0.05)
+  }
+
+  test("booster amplifies, diminisher damps") {
+    val base = Vader.compound("this is good")
+    assert(Vader.compound("this is very good") > base)
+    assert(Vader.compound("this is slightly good") < base)
+    assert(Vader.compound("this is slightly good") > 0)
+  }
+
+  test("negation flips polarity (×−0.74)") {
+    assert(Vader.compound("this is not good") < 0)
+    assert(Vader.compound("this is not bad") > 0)
+    val plain = Vader.compound("this is good")
+    assert(math.abs(Vader.compound("this is not good")) < plain)
+  }
+
+  test("exclamation amplification (up to 4)") {
+    val base = Vader.compound("this is great")
+    val one  = Vader.compound("this is great!")
+    val four = Vader.compound("this is great!!!!")
+    val ten  = Vader.compound("this is great!!!!!!!!!!")
+    assert(one > base)
+    assert(four > one)
+    assert(ten == four) // capped at 4
+  }
+
+  test("'but' re-weights clauses toward the latter") {
+    val s = Vader.compound("the food is great but the service is terrible")
+    assert(s < 0) // latter (negative) clause dominates at 1.5×
+    val t = Vader.compound("the service is terrible but the food is great")
+    assert(t > 0)
+  }
+
+  test("ALL-CAPS emphasis fires only in mixed-case text") {
+    val mixed = Vader.compound("this is GREAT stuff")
+    val plain = Vader.compound("this is great stuff")
+    assert(mixed > plain)
+    // uniform case (as after lower()) — no caps boost anywhere
+    assert(Vader.compound("THIS IS GREAT STUFF") == Vader.compound("this is great stuff"))
+  }
+
+  test("golden values are stable (regression pins)") {
+    // Pins against accidental algorithm drift; update deliberately only.
+    assert(Vader.compound("i love this new product") == 0.6369)
+    assert(Vader.compound("i hate this, it is terrible") == -0.7783)
+    assert(Vader.compound("this is not good") == -0.3412)
+    assert(Vader.compound("this is very good!") == 0.54)
+  }
+
+  private def sampleTexts(n: Int): Seq[String] = {
+    val rng = new scala.util.Random(42)
+    val vocab: IndexedSeq[String] =
+      (Vader.lexicon.keys ++ Vader.boosters.keys ++ Vader.negations ++
+        Seq("but", "!", "?", "table", "row", "x1", "ZZZ", "")).toIndexedSeq
+    (0 until n).map { _ =>
+      val len = rng.nextInt(12)
+      (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+
+  test("property: compound always in [−1, 1] and deterministic (200 seeded samples)") {
+    sampleTexts(200).foreach { t =>
+      val c = Vader.compound(t)
+      assert(c >= -1.0 && c <= 1.0, s"out of range for: '$t'")
+      assert(c == Vader.compound(t), s"nondeterministic for: '$t'")
+    }
+  }
+
+  test("property: label partition is total with inclusive ±0.05 boundaries") {
+    def label(score: Double): String =
+      if (score >= 0.05) "positive" else if (score <= -0.05) "negative" else "neutral"
+    val rng = new scala.util.Random(7)
+    (0 until 1000).foreach { _ =>
+      val s = rng.nextDouble() * 2 - 1
+      assert(Set("positive", "negative", "neutral").contains(label(s)))
+    }
+    assert(label(0.05) == "positive")   // boundary inclusive (CSJ:31)
+    assert(label(-0.05) == "negative")  // boundary inclusive (CSJ:33)
+    assert(label(0.0499) == "neutral")
+    assert(label(-0.0499) == "neutral")
+  }
+}
