@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.NamedQuery
+import org.apache.spark.sql.functions._
+
+/** Fuzzy-dedup pack: MinHash+LSH and SimHash over `documents`.
+  *
+  * These are the 100 TB-scale near-dup paths: d2 (TextOps) computes exact
+  * shingle Jaccard via a shingle join — correct but O(pairs-sharing-a-
+  * shingle); MinHash banding bounds the candidate set (only docs colliding
+  * in ≥1 of 4 bands are compared), and SimHash reduces each doc to one
+  * 64-bit fingerprint compared by hamming distance.  Hash functions are
+  * Spark-native (xxhash64) or JVM-local (splitmix64), so neither query is
+  * DuckDB-expressible → rows-only gate; correctness is pinned by DedupSpec
+  * (the planted near-dup pair must surface) and cross-checked against the
+  * oracle-verified exact-Jaccard query d2.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash signatures: per doc, 16 independent min-hashes of its distinct
+    * word-trigram shingles (seeded xxhash64 per hash function). */
+  private def signatures(sh: org.apache.spark.sql.DataFrame) = {
+    val aggs = count(lit(1)).as("n_sh") +:
+      (0 until NumHashes).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------------- d3
+  val d3MinHashLsh = NamedQuery(
+    "d3_minhash_lsh",
+    (s, dir) => {
+      val sh = TextOps.shingles(s, dir)
+        .select(col("doc_id"), col("shingle")).cache()
+      val sig = signatures(sh)
+      // banding: 4 bands of 4 rows; docs colliding in any band are candidates
+      val bands = (0 until Bands).map { b =>
+        val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+        sig.select(col("doc_id"), col("n_sh"),
+          lit(b).as("band"), xxhash64(lit(1000 + b) +: cols: _*).as("bv"))
+      }.reduce(_ unionByName _)
+      val left  = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
+      val right = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("n_sh").as("sb"))
+      val cand = left.join(right, Seq("band", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .distinct()
+      // verify candidates with exact shingle Jaccard (candidate-scoped join)
+      val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None,
+    doc = "MinHash(16) + LSH(4 bands) candidate generation, exact-Jaccard verify ≥0.5; rows-only")
+
+  // ---------------------------------------------------------------- d4
+  /** 64-bit SimHash per doc (JVM kernel over the token array — one pass, no
+    * shuffle), then same-source hamming≤16 pairs. */
+  val simhashUdf = udf { tokens: Seq[String] =>
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      var h = t.hashCode.toLong * 0x9E3779B97F4A7C15L // splitmix64-style scramble
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+      h ^= h >>> 27; h *= 0x94D049BB133111EBL
+      h ^= h >>> 31
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  val d4SimHash = NamedQuery(
+    "d4_simhash",
+    (s, dir) => {
+      val docs = graft.tables.Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("fp", simhashUdf(split(trim(col("text")), "\\s+")))
+      val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+      a.join(b, "source")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("hamming") <= 16)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(100)
+    },
+    None,
+    doc = "SimHash-64 fingerprints, same-source hamming≤16 near-dup pairs; rows-only")
+
+  def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash)
+}

