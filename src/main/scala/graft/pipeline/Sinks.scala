@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming sinks (SURVEY.md §2.2 K1–K2, §2.9 T1–T6).
+  *
+  * The reference runs two append-mode queries off one enriched lineage:
+  * a console debug sink on a 15 s trigger and a JSON-lines file sink on a
+  * 30 s trigger with a checkpoint it wipes at every startup (CSJ:139–161,
+  * 42–55).  This engine keeps checkpoints by default — exactly-once across
+  * restarts — and makes the reference's fresh-start behavior an explicit
+  * flag in JobRunner.  It also restores the windowed aggregation the
+  * reference removed (T6 — vestigial `aggregated` dirs, CSJ:59–63).
+  */
+object Sinks {
+
+  /** K1: console debug sink — append, 5 rows, no truncation, 15 s. */
+  def console(enriched: DataFrame,
+      trigger: Trigger = Trigger.ProcessingTime("15 seconds")): DataStreamWriter[Row] =
+    enriched.writeStream
+      .outputMode(OutputMode.Append)
+      .format("console")
+      .option("truncate", "false")
+      .option("numRows", 5)
+      .trigger(trigger)
+      .queryName("console_debug")
+
+  /** K2: JSON-lines file sink — append, checkpointed, 30 s.  (The reference
+    * also sets maxFilesPerTrigger here, a source option that is a silent
+    * no-op on a sink, CSJ:158 — dropped.) */
+  def jsonFiles(enriched: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      queryName: String = "file_output"): DataStreamWriter[Row] =
+    enriched.writeStream
+      .outputMode(OutputMode.Append)
+      .format("json")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .queryName(queryName)
+
+  /** T6: the windowed aggregation the reference deleted, restored properly:
+    * tumbling 1-minute sentiment counts on event time with a 2-minute
+    * watermark (append mode emits each window once it is final). */
+  def windowedSentimentCounts(enriched: DataFrame): DataFrame =
+    Enrich.withEventTime(enriched)
+      .withWatermark("event_ts", "2 minutes")
+      .groupBy(window(col("event_ts"), "1 minute"), col("sentiment_label"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("sentiment_label"), col("n"))
+}

@@ -1,0 +1,133 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.pipeline.{Enrich, FileJsonSource, Sinks}
+import graft.schema.{Location, Post, Schemas}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.nio.file.Files
+
+/** Streaming runtime tests (SURVEY.md §5.2.4): file-source micro-batches,
+  * incremental processing, checkpoint recovery (the capability the
+  * reference deletes by wiping checkpoints, CSJ:42–55), and the restored
+  * watermarked windowed aggregation (T6). */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private def writePosts(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(new java.io.File(dir, name).toPath, lines.mkString("\n").getBytes)
+
+  private val batch1 = Seq(
+    """{"text": "I love this! #happy", "user": "u1", "platform": "twitter", "timestamp": "2024-01-01 12:00:10"}""",
+    """{"text": "this is terrible", "user": "u2", "platform": "facebook", "timestamp": "2024-01-01 12:00:20"}""",
+    """{"text": null, "user": "u3", "platform": "twitter", "timestamp": "2024-01-01 12:00:30"}""")
+  private val batch2 = Seq(
+    """{"text": "absolutely wonderful product", "user": "u4", "platform": "x", "timestamp": "2024-01-01 12:01:10"}""")
+
+  private def fastCfg(out: String, cp: String) = JobRunner.Config(
+    outputPath = out, checkpointPath = cp,
+    consoleTrigger = Trigger.ProcessingTime(0L),
+    fileTrigger = Trigger.ProcessingTime(0L),
+    withConsole = false)
+
+  private def readOut(out: String) =
+    spark.read.schema(Schemas.enrichedSchema).json(out)
+
+  test("file source → enrich → json sink, incremental micro-batches, checkpoint recovery") {
+    val in = tmp("graft-in"); val out = tmp("graft-out"); val cp = tmp("graft-cp")
+
+    // batch 1: null-text row filtered, two enriched rows emitted
+    writePosts(in, "b1.json", batch1)
+    val r1 = JobRunner.run(spark, FileJsonSource(in), fastCfg(out, cp))
+    r1.processAllAvailable(); r1.stopAll()
+    val out1 = readOut(out).cache()
+    assert(out1.count() == 2)
+    val labels = out1.select("user", "sentiment_label").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels("u1") == "positive" && labels("u2") == "negative")
+
+    // restart on the SAME checkpoint with one new file: exactly-once resume —
+    // only the new file is processed, no duplicates of batch 1
+    writePosts(in, "b2.json", batch2)
+    val r2 = JobRunner.run(spark, FileJsonSource(in), fastCfg(out, cp))
+    r2.processAllAvailable(); r2.stopAll()
+    val out2 = readOut(out).cache()
+    assert(out2.count() == 3)
+    assert(out2.filter(col("user") === "u1").count() == 1) // no reprocessing
+    assert(out2.filter(col("user") === "u4").count() == 1)
+  }
+
+  test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
+    val in = tmp("graft-in2"); val out = tmp("graft-out2"); val cp = tmp("graft-cp2")
+    writePosts(in, "b1.json", batch1)
+    val r1 = JobRunner.run(spark, FileJsonSource(in), fastCfg(out, cp))
+    r1.processAllAvailable(); r1.stopAll()
+    assert(readOut(out).count() == 2)
+
+    val firstRunFiles = new java.io.File(out).listFiles().map(_.getName).toSet
+
+    val r2 = JobRunner.run(spark, FileJsonSource(in),
+      fastCfg(out, cp).copy(freshStart = true))
+    r2.processAllAvailable(); r2.stopAll()
+    // checkpoint + output wiped → same rows, but re-emitted from scratch
+    // into brand-new part files (the reference's restart-from-zero behavior)
+    assert(readOut(out).count() == 2)
+    val secondRunFiles = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(firstRunFiles.intersect(secondRunFiles).forall(_.startsWith("_")),
+      "expected fresh part files after freshStart")
+  }
+
+  test("watermarked 1-minute windowed sentiment counts emit finalized windows (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Post]
+    val windowed = Sinks.windowedSentimentCounts(Enrich.enrich(input.toDF()))
+    val q = windowed.writeStream
+      .format("memory").queryName("wnd").outputMode(OutputMode.Append).start()
+
+    def post(text: String, ts: String) =
+      Post(Some(text), Some("u"), Some("twitter"), None, None, None,
+        Some(Location(None, None)), Some(ts))
+
+    input.addData(
+      post("i love this", "2024-01-01 12:00:10"),
+      post("i hate this", "2024-01-01 12:00:40"),
+      post("neutral words here", "2024-01-01 12:01:10"))
+    q.processAllAvailable()
+    // nothing final yet: watermark is still at 12:01:10 − 2 min
+    assert(spark.table("wnd").count() == 0)
+
+    input.addData(post("later event", "2024-01-01 12:10:00"))
+    q.processAllAvailable()
+    q.stop()
+    // watermark advanced to 12:08 → the 12:00 and 12:01 windows are final
+    val rows = spark.table("wnd")
+      .select("window_start", "sentiment_label", "n").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01T12:00:00Z", "positive", 1L),
+      ("2024-01-01T12:00:00Z", "negative", 1L),
+      ("2024-01-01T12:01:00Z", "neutral", 1L)))
+  }
+
+  test("rate-source generator produces schema-conformant enriched posts") {
+    val src = graft.pipeline.RatePostSource(rowsPerSecond = 100)
+    val enriched = Enrich.enrich(src.load(spark))
+    val q = enriched.writeStream
+      .format("memory").queryName("rategen").outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    // wait until at least one non-empty batch lands, then STOP before
+    // asserting (the table keeps growing under a live query)
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.table("rategen").isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    q.stop()
+    val rows = spark.table("rategen").cache()
+    assert(!rows.isEmpty, "rate source produced no rows in 30s")
+    assert(rows.columns.toSet == Schemas.enrichedSchema.fieldNames.toSet)
+    assert(rows.filter(col("sentiment_label").isin("positive", "negative", "neutral")).count() == rows.count())
+  }
+}
