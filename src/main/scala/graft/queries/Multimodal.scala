@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.NamedQuery
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pack: image/audio/video handled as opaque `binary`
+  * columns with typed metadata — the large-scale-training-pipeline pattern
+  * where media bytes travel through Spark untouched and only
+  * decode/feature-extract kernels interpret them.
+  *
+  * This container ships no image/audio codecs, so the DECODE KERNELS ARE
+  * DETERMINISTIC STUBS (clearly marked below): they synthesize metadata and
+  * features from the bytes alone. Everything around them — the binary
+  * column plumbing, the blob schema, batch-shaped kernel application via
+  * `mapPartitions` on a typed Dataset, partition sizing, and the
+  * downstream relational ops — is real Spark and is what these queries
+  * exercise. Swapping a stub for a real JNI/codec call changes only the
+  * kernel body.
+  *
+  * Since no testdata table carries media, blobs are synthesized from
+  * `documents.text` bytes (UTF-8) — stable, reproducible, and
+  * SQL-reachable, which lets the metadata path be oracle-checked.
+  */
+object Multimodal {
+
+  /** Typed blob row: the schema a media lake table would have. */
+  final case class Blob(doc_id: Long, media_type: String, bytes: Array[Byte])
+  final case class Decoded(doc_id: Long, media_type: String, n_bytes: Int,
+      width: Int, height: Int, features: Array[Double])
+
+  /** documents → opaque binary blobs with a media_type tag. */
+  def blobs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"),
+        // deterministic media-type assignment (plumbing only)
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("bytes"))
+
+  /** ======== STUB KERNEL ========
+    * Stands in for a real image/audio decoder. Deterministic: derives
+    * "dimensions" and an 8-dim "feature vector" purely from byte content.
+    * Runs per-partition over the typed Dataset — the exact call shape a
+    * real vectorized decode (JNI ffmpeg/turbojpeg, or Arrow-batched
+    * python) would use: one kernel instance per partition, streaming
+    * iterator in/out, no per-row setup cost. */
+  def decodePartition(rows: Iterator[Blob]): Iterator[Decoded] = {
+    // per-partition "codec init" happens here (once, not per row)
+    rows.map { b =>
+      val n = b.bytes.length
+      var h = 1125899906842597L
+      var i = 0
+      while (i < n) { h = 31 * h + b.bytes(i); i += 1 }
+      val feats = Array.tabulate(8) { d =>
+        var x = h ^ (0x9E3779B97F4A7C15L * (d + 1))
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27
+        (x.toDouble / Long.MaxValue.toDouble)
+      }
+      Decoded(b.doc_id, b.media_type, n, n % 640, n % 480, feats)
+    }
+  }
+
+  // ---------------------------------------------------------------- m1
+  /** Metadata path (oracle-checked): the blob plumbing + the parts of
+    * "decode" that are pure byte arithmetic, aggregated per media type. */
+  val m1BlobMetadata = NamedQuery(
+    "m1_blob_metadata",
+    (s, dir) => {
+      blobs(s, dir)
+        .withColumn("n_bytes", length(col("bytes")))
+        .withColumn("width", col("n_bytes") % 640)
+        .withColumn("height", col("n_bytes") % 480)
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("width")), 4).as("avg_width"),
+          round(avg(col("height")), 4).as("avg_height"))
+        .orderBy(col("media_type"))
+    },
+    Some("""SELECT media_type, count(*) AS n_blobs,
+        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        round(avg(n_bytes % 640), 4) AS avg_width,
+        round(avg(n_bytes % 480), 4) AS avg_height
+      FROM (SELECT
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        octet_length(CAST(text AS BLOB)) AS n_bytes
+        FROM documents WHERE text IS NOT NULL AND text <> '') t
+      GROUP BY media_type ORDER BY media_type"""),
+    doc = "binary-column plumbing + byte-level metadata, oracle-checked")
+
+  // ---------------------------------------------------------------- m2
+  /** Full stubbed decode via mapPartitions (typed kernel application),
+    * then a relational summary of the synthesized features. Rows-only:
+    * the kernel is JVM-local. */
+  val m2DecodeFeatures = NamedQuery(
+    "m2_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      val decoded = blobs(s, dir).as[Blob].mapPartitions(decodePartition)
+      decoded.toDF()
+        .withColumn("f0", element_at(col("features"), 1))
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("f0")), 4).as("avg_f0"),
+          round(min(col("f0")), 4).as("min_f0"),
+          round(max(col("f0")), 4).as("max_f0"))
+        .orderBy(col("media_type"))
+    },
+    None,
+    doc = "stubbed decode kernel via mapPartitions over typed Dataset; rows-only")
+
+  // ---------------------------------------------------------------- m3
+  /** Frame sampling for "video" blobs: fixed-size frame slicing of the byte
+    * stream + every-Nth-frame selection — pure array ops, oracle-checked.
+    * (Real pipeline: keyframe extraction; here: 64-byte frames, every 4th.) */
+  val m3FrameSample = NamedQuery(
+    "m3_frame_sample",
+    (s, dir) => {
+      blobs(s, dir)
+        .filter(col("media_type") === "video")
+        .withColumn("n_bytes", length(col("bytes")))
+        .withColumn("n_frames", ceil(col("n_bytes") / 64.0).cast("long"))
+        .withColumn("sampled_frames",
+          size(filter(sequence(lit(0), col("n_frames") - 1),
+            i => i % 4 === 0)))
+        .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("sampled_frames"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+        CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_frames,
+        CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 64.0) / 4.0) AS INT) AS sampled_frames
+      FROM documents
+      WHERE text IS NOT NULL AND text <> '' AND CAST(doc_id % 3 AS INT) = 2
+      ORDER BY doc_id"""),
+    doc = "video frame slicing + every-Nth sampling (array ops), oracle-checked")
+
+  def all: Seq[NamedQuery] = Seq(m1BlobMetadata, m2DecodeFeatures, m3FrameSample)
+}
