@@ -198,10 +198,20 @@ object TextOps {
     * so it scales with shingle frequency, not with n². */
   val d2NgramJaccard = NamedQuery(
     "d2_ngram_jaccard",
-    (s, dir) => shingleJaccardPairs(s, dir)
-      .filter(col("jaccard") >= 0.2)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b")),
+    (s, dir) => {
+      // Scale-adaptive plan choice (both paths produce identical results —
+      // proven by QueryPacksSpec): below ~500 k docs the group sizes are
+      // small enough that the naive shingle join beats the prefix filter's
+      // extra shuffles; above it, quadratic blowup on frequent shingles
+      // dominates and the prefix-filtered join is the only viable plan.
+      val nDocs = Tables.documents(s, dir).count() // parquet metadata count
+      val pairs =
+        if (nDocs > 500000L) jaccardPairsPrefixFiltered(s, dir, 0.2)
+        else shingleJaccardPairs(s, dir).filter(col("jaccard") >= 0.2)
+      pairs
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     Some("""WITH tok AS (
         SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''),
@@ -238,7 +248,50 @@ object TextOps {
           element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
   }
 
-  /** All same-source pairs with their exact shingle Jaccard (unfiltered). */
+  /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin prefix filter,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public literature):
+    * identical output to the naive shingle join at threshold `t`, but the
+    * candidate join runs only over each document's PREFIX — its
+    * (n − ⌈t·n⌉ + 1) globally-rarest shingles.  If J(A,B) ≥ t the prefixes
+    * must share a shingle, so no pair is lost; the quadratic blowup on
+    * frequent shingles (the scale killer: a shingle shared by k docs costs
+    * k² join rows) is cut to the rare tail.  This is the difference between
+    * a set-similarity join that survives 100 TB and one that doesn't.
+    */
+  def jaccardPairsPrefixFiltered(s: SparkSession, dir: String, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(s, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // global rarity order within the join scope (source)
+    val freq = sh.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, Seq("source", "shingle"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .join(sizes, "doc_id")
+      .withColumn("prefix_len", col("n_sh") - ceil(col("n_sh") * t) + 1)
+    val prefix = ranked.filter(col("rn") <= col("prefix_len"))
+      .select(col("source"), col("shingle"), col("doc_id"), col("n_sh"))
+    val cand = prefix.select(col("source"), col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
+      .join(prefix.select(col("source"), col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("sb")),
+        Seq("source", "shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+    // exact verification on the candidate set only
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= t)
+  }
+
+  /** All same-source pairs with their exact shingle Jaccard (unfiltered).
+    * Naive quadratic form — kept as the reference implementation for tests;
+    * production path is [[jaccardPairsPrefixFiltered]]. */
   def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

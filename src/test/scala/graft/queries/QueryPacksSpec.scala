@@ -28,6 +28,19 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard join ≡ naive all-pairs join (exactness of the pruning)") {
+    for (t <- Seq(0.2, 0.5)) {
+      val naive = TextOps.shingleJaccardPairs(spark, sf())
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pruned = TextOps.jaccardPairsPrefixFiltered(spark, sf(), t)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pruned == naive, s"prefix filter changed results at t=$t")
+    }
+  }
+
   test("minhash LSH surfaces the planted near-dup pairs found by exact jaccard") {
     // d2 (exact, oracle-checked) within-source pairs at jaccard>=0.5 must all
     // be recalled by the d3 MinHash+LSH candidate path (same threshold).
