@@ -95,6 +95,51 @@ object Analytics {
       FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 100"""),
     doc = "tail-N recency limit (DSA:372 scatter cap / DSA:389 recent posts)")
 
+  /** O3+F5+F6 display pipeline: 10 most recent events, newest first, with
+    * formatted time-of-day and truncated payload preview (DSA:386–395). */
+  val o3RecentDisplay = NamedQuery(
+    "o3_recent_display",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .orderBy(col("ts").desc, col("event_id"))
+        .limit(10)
+        .select(col("event_id"),
+          date_format(col("ts"), "HH:mm:ss").as("time_str"),
+          col("event_type"),
+          concat(substring(col("props"), 1, 8), lit("...")).as("preview"))
+    },
+    Some("""SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS time_str,
+        event_type, substr(props, 1, 8) || '...' AS preview
+      FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 10"""),
+    doc = "recent-posts display table: tail-N + strftime + truncate (O3/F5/F6)")
+
+  /** P9/P10 parity under nulls: synthesize nulls deterministically, then
+    * repair with the dashboard's defaults (coalesce-to-default semantics,
+    * DSA:202–246) — oracle-checked. */
+  val a7NullRepair = NamedQuery(
+    "a7_null_repair",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("v_nullable", when(col("value") < 50.0, lit(null).cast("double")).otherwise(col("value")))
+        .withColumn("t_nullable", when(col("user_id") % 7 === 0, lit(null).cast("string")).otherwise(col("event_type")))
+        .withColumn("v_repaired", coalesce(col("v_nullable"), lit(0.0)))
+        .withColumn("t_repaired", coalesce(col("t_nullable"), lit("unknown")))
+        .groupBy(col("t_repaired"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v_repaired")), 2).as("sum_v"),
+          count(col("v_nullable")).as("n_nonnull"))
+        .orderBy(col("t_repaired"))
+    },
+    Some("""SELECT t_repaired, count(*) AS n, round(sum(v_repaired), 2) AS sum_v,
+        count(v_nullable) AS n_nonnull
+      FROM (SELECT
+        CASE WHEN value < 50.0 THEN NULL ELSE value END AS v_nullable,
+        coalesce(CASE WHEN value < 50.0 THEN NULL ELSE value END, 0.0) AS v_repaired,
+        coalesce(CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END, 'unknown') AS t_repaired
+        FROM events) t
+      GROUP BY t_repaired ORDER BY t_repaired"""),
+    doc = "null repair: fillna defaults + numeric coercion (P9/P10 parity)")
+
   /** Approximate distinct (HLL) — the 100 TB-scale path for unique-user counts.
     * HLL estimates are engine-specific, so no DuckDB oracle: the driver records
     * a rows-only check; exactness is covered by q8_distinct_users. */
@@ -111,5 +156,5 @@ object Analytics {
 
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a3Distribution, a4TokenTop10, a5SourceTop10, o2LatestN,
-    aApproxDistinct)
+    o3RecentDisplay, a7NullRepair, aApproxDistinct)
 }
