@@ -42,6 +42,24 @@ object Sinks {
       .trigger(trigger)
       .queryName(queryName)
 
+  /** K3: Kafka producer sink — the enriched stream serialized back to JSON
+    * (the reference's producer semantics, `kafka_producer.py:14–35`, with
+    * at-least-once delivery via the checkpoint instead of per-message sync
+    * acks).  Options-only construction: `format("kafka")` resolves at
+    * runtime on clusters shipping the connector jar (absent locally —
+    * SURVEY §7.0 — so this builder is compile-covered, not test-covered). */
+  def kafka(enriched: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    enriched
+      .select(to_json(struct(enriched.columns.map(col): _*)).as("value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .queryName("kafka_output")
+
   /** T6: the windowed aggregation the reference deleted, restored properly:
     * tumbling 1-minute sentiment counts on event time with a 2-minute
     * watermark (append mode emits each window once it is final). */

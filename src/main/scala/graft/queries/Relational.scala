@@ -354,7 +354,54 @@ object Relational {
       FROM orders GROUP BY 1 ORDER BY month"""),
     doc = "monthly trend (timeline parity O1 over orders)")
 
+  /** Batch sessionization: 30-minute-gap sessions via a cumulative window
+    * sum over per-user event time — the batch analog of the streaming
+    * flatMapGroupsWithState sessionizer (graft.stream.Sessionize), and the
+    * standard one-shuffle formulation at any scale. */
+  val q15Sessionization = NamedQuery(
+    "q15_sessionization",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .withColumn("gap_sec", col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+        .withColumn("is_new", when(col("gap_sec").isNull || col("gap_sec") > 1800.0, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(col("ts").cast("double")) - min(col("ts").cast("double")), 2).as("duration_sec"))
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg(col("n_events")), 4).as("avg_events"),
+          round(avg(col("duration_sec")), 4).as("avg_duration_sec"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH flagged AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          CASE WHEN epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP), 1) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) > 1800.0
+               OR lag(CAST(ts AS TIMESTAMP), 1) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+               THEN 1 ELSE 0 END AS is_new
+        FROM events),
+      numbered AS (
+        SELECT user_id,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY tsx, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_seq, tsx
+        FROM flagged),
+      sess AS (
+        SELECT user_id, session_seq, count(*) AS n_events,
+          round(epoch(max(tsx)) - epoch(min(tsx)), 2) AS duration_sec
+        FROM numbered GROUP BY user_id, session_seq)
+      SELECT user_id, count(*) AS n_sessions,
+        round(avg(n_events), 4) AS avg_events,
+        round(avg(duration_sec), 4) AS avg_duration_sec
+      FROM sess GROUP BY user_id ORDER BY user_id"""),
+    doc = "30-min-gap sessionization via cumulative window sum; batch analog of streaming state")
+
   def all: Seq[NamedQuery] = Seq(
+    q15Sessionization,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

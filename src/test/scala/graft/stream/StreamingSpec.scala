@@ -113,6 +113,39 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01T12:01:00Z", "neutral", 1L)))
   }
 
+  test("stateful sessionization closes sessions on in-batch gaps and event-time timeout") {
+    import spark.implicits._
+    implicit val sparkImplicit: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val input = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions").outputMode(OutputMode.Append).start()
+
+    // user 1: two events 10 min apart (one session), then a 80-min gap
+    input.addData(
+      Sessionize.Ev(1L, ts("2024-01-01T12:00:00Z")),
+      Sessionize.Ev(1L, ts("2024-01-01T12:10:00Z")),
+      Sessionize.Ev(1L, ts("2024-01-01T13:30:00Z")))
+    q.processAllAvailable()
+    val inBatch = spark.table("sessions").as[Sessionize.Session].collect()
+    assert(inBatch.toSeq == Seq(Sessionize.Session(1L,
+      ts("2024-01-01T12:00:00Z"), ts("2024-01-01T12:10:00Z"), 2)),
+      s"got ${inBatch.toSeq}")
+
+    // a much later event from another user advances the watermark past
+    // 13:30 + 30 min → user 1's open session times out and is emitted
+    input.addData(Sessionize.Ev(2L, ts("2024-01-01T18:00:00Z")))
+    q.processAllAvailable()
+    input.addData(Sessionize.Ev(2L, ts("2024-01-01T23:00:00Z")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sessions").as[Sessionize.Session].collect().toSet
+    assert(all.contains(Sessionize.Session(1L,
+      ts("2024-01-01T13:30:00Z"), ts("2024-01-01T13:30:00Z"), 1)),
+      s"timeout session missing from ${all}")
+  }
+
   test("rate-source generator produces schema-conformant enriched posts") {
     val src = graft.pipeline.RatePostSource(rowsPerSecond = 100)
     val enriched = Enrich.enrich(src.load(spark))
