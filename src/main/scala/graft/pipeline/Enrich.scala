@@ -26,7 +26,8 @@ object Enrich {
       .select("data.*")
 
   /** P4–P7, F1–F2, U1–U2: the enrichment chain over a posts DataFrame. */
-  def enrich(posts: DataFrame): DataFrame =
+  def enrich(posts: DataFrame): DataFrame = {
+    graft.sentiment.GraftFunctions.register(posts.sparkSession)
     posts
       .withColumn("processing_timestamp", current_timestamp())
       .filter(col("text").isNotNull && col("text") =!= "")
@@ -37,6 +38,7 @@ object Enrich {
       .withColumn("sentiment_score", SentimentFunctions.sentimentScore(col("cleaned_text")))
       .withColumn("sentiment_label", SentimentFunctions.sentimentLabel(col("sentiment_score")))
       .withColumn("hashtags", hashtags(col("cleaned_text")))
+  }
 
   /** F2: `#(\w+)` capture-group extraction (CSJ:136) — native
     * RegExpExtractAll, no UDF. */

@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object SentimentFunctions {
 
-  /** VADER compound score as FloatType (reference registers FloatType, CSJ:39). */
+  /** Tier-1: VADER compound score as a Scala UDF (FloatType, like the
+    * reference's registration, CSJ:39). JVM-local — already deletes the
+    * reference's Python boundary — but codegen-opaque. */
   val sentimentScoreUdf = udf { text: String =>
     if (text == null) 0.0f else Vader.compound(text).toFloat
   }
 
-  def sentimentScore(text: Column): Column = sentimentScoreUdf(text)
+  /** Tier-2 (default): the native [[VaderCompound]] expression via the
+    * registered SQL function — a direct static call inside whole-stage
+    * codegen, no encoder boundary. Requires [[GraftFunctions.register]],
+    * which [[graft.pipeline.Enrich.enrich]] performs per session. */
+  def sentimentScoreNative(text: Column): Column =
+    call_function("vader_compound", text)
+
+  def sentimentScore(text: Column): Column = sentimentScoreNative(text)
 
   /** Threshold labeling: ≥0.05 positive, ≤−0.05 negative, else neutral. */
   def sentimentLabel(score: Column): Column =

@@ -74,6 +74,21 @@ class EnrichSpec extends SparkSpec {
     assert(out.filter(col("user") === "user123").select("likes").head().getInt(0) == 25)
   }
 
+  test("native vader_compound expression ≡ tier-1 UDF on all fixture texts") {
+    import graft.sentiment.{GraftFunctions, SentimentFunctions}
+    GraftFunctions.register(spark)
+    val both = enriched.select(
+      col("user"),
+      SentimentFunctions.sentimentScoreNative(col("cleaned_text")).as("native"),
+      SentimentFunctions.sentimentScoreUdf(col("cleaned_text")).as("viaUdf"))
+    both.collect().foreach { r =>
+      assert(r.getFloat(1) == r.getFloat(2), s"divergence for user ${r.getString(0)}")
+    }
+    // null input: expression returns 0.0f (reference CSJ:19–20 semantics)
+    val nullScore = spark.sql("SELECT vader_compound(CAST(NULL AS STRING))").head().getFloat(0)
+    assert(nullScore == 0.0f)
+  }
+
   test("event-time derivation falls back to processing time (F4)") {
     val ts = Enrich.withEventTime(enriched)
       .filter(col("user") === "user123").select("event_ts").head().getTimestamp(0)
