@@ -37,12 +37,15 @@ object Dedup {
       val sh = TextOps.shingles(s, dir)
         .select(col("doc_id"), col("shingle")).cache()
       val sig = signatures(sh)
-      // banding: 4 bands of 4 rows; docs colliding in any band are candidates
-      val bands = (0 until Bands).map { b =>
+      // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
+      // One posexplode over the band-hash array — NOT a 4-way union, which
+      // would recompute the signature aggregation once per band.
+      val bandArr = array((0 until Bands).map { b =>
         val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-        sig.select(col("doc_id"), col("n_sh"),
-          lit(b).as("band"), xxhash64(lit(1000 + b) +: cols: _*).as("bv"))
-      }.reduce(_ unionByName _)
+        xxhash64(lit(1000 + b) +: cols: _*)
+      }: _*)
+      val bands = sig
+        .select(col("doc_id"), col("n_sh"), posexplode(bandArr).as(Seq("band", "bv")))
       val left  = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
       val right = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("n_sh").as("sb"))
       val cand = left.join(right, Seq("band", "bv"))

@@ -354,6 +354,53 @@ object Relational {
       FROM orders GROUP BY 1 ORDER BY month"""),
     doc = "monthly trend (timeline parity O1 over orders)")
 
+  /** Exact percentiles (median / p90) per group — continuous interpolation,
+    * same definition as DuckDB's quantile_cont.  (percentile_approx is the
+    * sketch-based scale path; exact keeps the oracle meaningful.) */
+  val q16Percentiles = NamedQuery(
+    "q16_percentiles",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "exact continuous percentiles per group (p50/p90)")
+
+  /** ROLLUP: hierarchical subtotals region → nation → grand total.  NULL
+    * subtotal markers sort NULLS FIRST explicitly on both sides. */
+  val q17Rollup = NamedQuery(
+    "q17_rollup",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_items,
+      round(sum(l_extendedprice), 2) AS total_price
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
+    doc = "ROLLUP subtotal hierarchy with explicit NULLS FIRST ordering")
+
   /** Batch sessionization: 30-minute-gap sessions via a cumulative window
     * sum over per-user event time — the batch analog of the streaming
     * flatMapGroupsWithState sessionizer (graft.stream.Sessionize), and the
@@ -401,7 +448,7 @@ object Relational {
     doc = "30-min-gap sessionization via cumulative window sum; batch analog of streaming state")
 
   def all: Seq[NamedQuery] = Seq(
-    q15Sessionization,
+    q15Sessionization, q16Percentiles, q17Rollup,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
