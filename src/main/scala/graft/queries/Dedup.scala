@@ -89,24 +89,44 @@ object Dedup {
     fp
   }
 
+  /** Banded candidate generation à la Manku et al., "Detecting
+    * Near-Duplicates for Web Crawling" (WWW 2007, public literature): split
+    * the 64-bit fingerprint into `HamBands` bands; by pigeonhole, any pair
+    * with hamming ≤ HamBands−1 matches exactly on ≥1 band, so an equi-join
+    * on (band_idx, band_value) finds every such pair without the quadratic
+    * all-pairs join — global scope, scales with band-bucket occupancy. */
+  private val HamBands = 5          // guarantees recall for hamming ≤ 4
+  private val MaxHamming = HamBands - 1
+
   val d4SimHash = NamedQuery(
     "d4_simhash",
     (s, dir) => {
       val docs = graft.tables.Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("text") =!= "")
         .withColumn("fp", simhashUdf(split(trim(col("text")), "\\s+")))
-      val a = docs.select(col("source"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-      val b = docs.select(col("source"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-      a.join(b, "source")
+        .select(col("doc_id"), col("fp"))
+      val width = 64 / HamBands + 1 // 13 bits; last band takes the remainder
+      val bandVals = array((0 until HamBands).map { b =>
+        val off = b * width
+        val w = math.min(width, 64 - off)
+        shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1))
+      }: _*)
+      val banded = docs.select(col("doc_id"), col("fp"),
+        posexplode(bandVals).as(Seq("band", "bv")))
+      val cand = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+        .join(banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+          Seq("band", "bv"))
         .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+        .distinct()
+      cand
         .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-        .filter(col("hamming") <= 16)
+        .filter(col("hamming") <= MaxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-        .limit(100)
     },
     None,
-    doc = "SimHash-64 fingerprints, same-source hamming≤16 near-dup pairs; rows-only")
+    doc = "SimHash-64 + banded candidates (recall-guaranteed for hamming ≤ 4); rows-only")
 
   def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash)
 }

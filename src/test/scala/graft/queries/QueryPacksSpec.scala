@@ -54,9 +54,14 @@ class QueryPacksSpec extends SparkSpec {
     assert(lsh.nonEmpty, "no near-dup pairs found at sf0.001")
   }
 
-  test("simhash ranks identical-ish docs closest") {
+  test("banded simhash finds the planted near-dup pairs (recall guarantee)") {
+    val exact = TextOps.shingleJaccardPairs(spark, sf())
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pairs = Dedup.d4SimHash.fn(spark, sf()).collect()
     assert(pairs.nonEmpty)
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(got), s"banded simhash missed ${exact.diff(got)}")
     // hamming must be non-decreasing in the ordered output
     val hs = pairs.map(_.getInt(2))
     assert(hs.sameElements(hs.sorted))
