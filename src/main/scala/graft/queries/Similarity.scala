@@ -106,6 +106,35 @@ object Similarity {
     None,
     doc = "hyperplane-LSH bucketed ANN (8-bit signatures), top-5 within bucket; rows-only")
 
+  // ---------------------------------------------------------------- d5
+  /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold —
+    * the fifth dedup tier (after exact / Jaccard / MinHash / SimHash).
+    * Brute-force all-pairs here (corpus is small at bench SFs and the
+    * oracle must replay it); at scale the candidate set comes from the s2
+    * hyperplane-LSH buckets with this same exact verify on top. */
+  val d5EmbeddingNearDup = NamedQuery(
+    "d5_embedding_neardup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+        .filter(col("cosine") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4
+      ORDER BY vec_a, vec_b"""),
+    doc = "embedding-cosine near-dup pairs (threshold 0.4), oracle-checked")
+
   // ---------------------------------------------------------------- s3
   val s3LabelCentroids = NamedQuery(
     "s3_label_centroids",
@@ -124,5 +153,6 @@ object Similarity {
       GROUP BY label, dim ORDER BY label, dim"""),
     doc = "per-label centroids via posexplode (first 8 dims)")
 
-  def all: Seq[NamedQuery] = Seq(s1AnnBruteForce, s2AnnLsh, s3LabelCentroids)
+  def all: Seq[NamedQuery] =
+    Seq(s1AnnBruteForce, s2AnnLsh, d5EmbeddingNearDup, s3LabelCentroids)
 }
