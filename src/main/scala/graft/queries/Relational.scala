@@ -354,6 +354,55 @@ object Relational {
       FROM orders GROUP BY 1 ORDER BY month"""),
     doc = "monthly trend (timeline parity O1 over orders)")
 
+  /** Semi-structured JSON extraction (the batch form of the pipeline's P2
+    * from_json decode): pull a typed field out of the events.props JSON
+    * string and aggregate it. */
+  val q18JsonExtract = NamedQuery(
+    "q18_json_extract",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(k) AS n_with_k,
+      CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k), 4) AS avg_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events) t
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "JSON field extraction from props (P2 parity, batch form)")
+
+  /** GROUPING SETS with grouping_id disambiguation — the generalized form
+    * of rollup/cube, with the marker column making NULL-vs-subtotal rows
+    * unambiguous. */
+  val q19GroupingSets = NamedQuery(
+    "q19_grouping_sets",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment"), col("o_orderstatus")),
+            Seq(col("c_mktsegment")), Seq()),
+          col("c_mktsegment"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    },
+    Some("""SELECT c_mktsegment, o_orderstatus,
+      grouping(c_mktsegment) * 2 + grouping(o_orderstatus) AS gid,
+      count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus), (c_mktsegment), ())
+      ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST"""),
+    doc = "GROUPING SETS + grouping_id (subtotal disambiguation)")
+
   /** Exact percentiles (median / p90) per group — continuous interpolation,
     * same definition as DuckDB's quantile_cont.  (percentile_approx is the
     * sketch-based scale path; exact keeps the oracle meaningful.) */
@@ -448,7 +497,8 @@ object Relational {
     doc = "30-min-gap sessionization via cumulative window sum; batch analog of streaming state")
 
   def all: Seq[NamedQuery] = Seq(
-    q15Sessionization, q16Percentiles, q17Rollup,
+    q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
+    q19GroupingSets,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

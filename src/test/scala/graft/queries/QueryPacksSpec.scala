@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
   * semantics the oracle can't see and smoke-run every declared query. */
 class QueryPacksSpec extends SparkSpec {
 
+  test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every declared query runs at sf0.001 (no runtime errors)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf()).count()
