@@ -150,6 +150,76 @@ object TextOps {
       GROUP BY source ORDER BY source"""),
     doc = "md5 fingerprint (normalized text) + per-source dedup rate")
 
+  // ---------------------------------------------------------------- t6
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex (word pieces,
+    * punctuation runs, contractions) plus the chars/4 rule-of-thumb — the
+    * two standard cheap token estimators for training-data budgeting. */
+  val t6BpeTokens = NamedQuery(
+    "t6_bpe_tokens",
+    (s, dir) => {
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\w+| ?[^\\w\\s]+"
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("n_pieces", size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+        .withColumn("n_chars_est", ceil(length(col("text")) / 4.0).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces")).as("total_pieces"),
+          sum(col("n_chars_est")).as("total_est"),
+          round(avg(col("n_pieces")), 4).as("avg_pieces"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+      CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+      CAST(sum(n_chars_est) AS BIGINT) AS total_est,
+      round(avg(n_pieces), 4) AS avg_pieces
+      FROM (SELECT lang,
+        len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\w\s]+', 0)) AS n_pieces,
+        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_est
+        FROM documents WHERE text IS NOT NULL AND text <> '') t
+      GROUP BY lang ORDER BY lang"""),
+    doc = "BPE-ish pre-tokenizer piece counting + chars/4 estimate per lang")
+
+  // ---------------------------------------------------------------- t7
+  /** Rolling (polynomial / Rabin-Karp-style) fingerprint over the token
+    * stream: fold acc = (acc·31 + tokenval) mod 1e9+7 — order-sensitive,
+    * unlike md5-of-normalized-text, so reorderings fingerprint differently.
+    * tokenval uses only SQL-computable features (length + first/last char
+    * codes) so the oracle replays it exactly. */
+  val t7RollingFingerprint = NamedQuery(
+    "t7_rolling_fingerprint",
+    (s, dir) => {
+      val M = 1000000007L
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val vals = transform(toks, t =>
+        length(t).cast("long") * 131L
+          + ascii(substring(t, 1, 1)).cast("long") * 7L
+          + ascii(substring(t, -1, 1)).cast("long"))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("fp", aggregate(vals, lit(0L), (acc, x) => pmod(acc * 31L + x, lit(M))))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") >= 1)
+        .groupBy(col("n_docs"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("n_docs"))
+    },
+    Some("""SELECT n_docs, count(*) AS n_groups FROM (
+        SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper FROM (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT), list_transform(
+                regexp_split_to_array(trim(lower(text)), '\s+'),
+                t -> CAST(length(t) AS BIGINT) * 131
+                     + CAST(ascii(substr(t, 1, 1)) AS BIGINT) * 7
+                     + CAST(ascii(substr(t, -1, 1)) AS BIGINT))),
+              (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+          FROM documents WHERE text IS NOT NULL AND text <> '') a
+        GROUP BY fp) b
+      GROUP BY n_docs ORDER BY n_docs"""),
+    doc = "order-sensitive rolling-hash fingerprint; copy-count histogram")
+
   // ---------------------------------------------------------------- t5
   /** F6 parity: truncate + concat preview of the newest documents
     * (dashboard recent-posts table, DSA:386–395). */
@@ -310,5 +380,5 @@ object TextOps {
 
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
-    d1DedupExact, d2NgramJaccard)
+    t6BpeTokens, t7RollingFingerprint, d1DedupExact, d2NgramJaccard)
 }

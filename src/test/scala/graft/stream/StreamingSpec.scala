@@ -146,6 +146,35 @@ class StreamingSpec extends SparkSpec {
       s"timeout session missing from ${all}")
   }
 
+  test("streaming replay of the events table reproduces the batch time-bucket aggregation") {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet") // stream source needs a dir
+      .parquet(sf())
+      .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("tsx"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("day"), col("event_type"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("replay")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("replay").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.tables.Tables.events(spark, sf())
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streaming replay diverged: ${streamed.toSet.diff(batch.toSet)} vs ${batch.toSet.diff(streamed.toSet)}")
+    assert(batch.nonEmpty)
+  }
+
   test("rate-source generator produces schema-conformant enriched posts") {
     val src = graft.pipeline.RatePostSource(rowsPerSecond = 100)
     val enriched = Enrich.enrich(src.load(spark))
