@@ -106,6 +106,72 @@ object Similarity {
     None,
     doc = "hyperplane-LSH bucketed ANN (8-bit signatures), top-5 within bucket; rows-only")
 
+  // ---------------------------------------------------------------- s4
+  /** IVF-style ANN with a real coarse quantizer: one deterministic k-means
+    * iteration (seeds = the first `IvfLists` vectors) builds inverted lists;
+    * a query ranks centroids, probes the nearest `IvfProbe` lists, and scans
+    * only those — at scale the list id is a partition key and each query
+    * touches ~nprobe/k of the corpus.  Rows-only (float centroid pipeline);
+    * recall vs the s1 brute-force truth is asserted in QueryPacksSpec. */
+  private val IvfLists = 10
+  private val IvfProbe = 3
+
+  val s4AnnIvf = NamedQuery(
+    "s4_ann_ivf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+
+      def nearest(points: DataFrame, cents: DataFrame, label: String): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_sim").desc, col("list_id"))
+        points.crossJoin(broadcast(cents))
+          .withColumn("c_sim", dot(col("emb"), col("centroid")) / (col("nrm") * col("c_nrm")))
+          .withColumn("c_rank", row_number().over(w))
+          .filter(col("c_rank") === 1)
+          .select(col("vec_id"), col("emb"), col("nrm"), col("list_id").as(label))
+      }
+      // seeds → assign → recompute centroids (one k-means step, deterministic)
+      val seeds = e.filter(col("vec_id") < IvfLists)
+        .select(col("vec_id").cast("int").as("list_id"),
+          col("emb").as("centroid"), col("nrm").as("c_nrm"))
+      val assigned0 = nearest(e, seeds, "list_id")
+      val centroids = assigned0
+        .select(col("list_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v")).as("c"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("list_id"),
+          transform(col("pc"), x => x.getField("c")).as("centroid"))
+        .withColumn("c_nrm", norm(col("centroid")))
+      val lists = nearest(e, centroids, "list_id")
+
+      // query side: probe the IvfProbe nearest lists
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("c_sim").desc, col("list_id"))
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("c_sim", dot(col("qe"), col("centroid")) / (col("qn") * col("c_nrm")))
+        .withColumn("c_rank", row_number().over(wq))
+        .filter(col("c_rank") <= IvfProbe)
+        .select(col("q_id"), col("qe"), col("qn"), col("list_id"))
+
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      lists.join(broadcast(probed), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    None,
+    doc = "IVF ANN: k-means(1-step) coarse quantizer, nprobe=3, top-5; rows-only")
+
   // ---------------------------------------------------------------- d5
   /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold —
     * the fifth dedup tier (after exact / Jaccard / MinHash / SimHash).
@@ -154,5 +220,5 @@ object Similarity {
     doc = "per-label centroids via posexplode (first 8 dims)")
 
   def all: Seq[NamedQuery] =
-    Seq(s1AnnBruteForce, s2AnnLsh, d5EmbeddingNearDup, s3LabelCentroids)
+    Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, d5EmbeddingNearDup, s3LabelCentroids)
 }

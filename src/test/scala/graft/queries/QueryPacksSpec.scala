@@ -78,6 +78,23 @@ class QueryPacksSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(3) <= 1.0 && r.getDouble(3) >= -1.0))
   }
 
+  test("IVF ANN recalls the brute-force top-1 when its list is probed") {
+    val bfTop = Similarity.s1AnnBruteForce.fn(spark, sf())
+      .filter(col("rn") === 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.s4AnnIvf.fn(spark, sf())
+      .select("q_id", "rn", "nn_id")
+      .collect().groupBy(_.getLong(0))
+    assert(ivf.nonEmpty)
+    // every query gets ≤5 ordered results; recall of the global top-1 is
+    // expected (not guaranteed) when nprobe covers its list — assert the
+    // majority holds so a broken quantizer fails loudly
+    val recalled = bfTop.count { case (q, nn) =>
+      ivf.get(q).exists(_.exists(r => r.getLong(2) == nn))
+    }
+    assert(recalled * 2 >= bfTop.size, s"IVF recalled only $recalled/${bfTop.size} top-1s")
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
