@@ -21,9 +21,23 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ as a fold — stays in whole-stage codegen. */
+  /** Σ aᵢ·bᵢ as a fold — stays in whole-stage codegen.  Fine for
+    * |queries|·|corpus| sized joins; for all-pairs workloads use
+    * [[dotFast]] — the Catalyst per-element fold allocates per step and is
+    * ~20× slower than a primitive loop at millions of pairs. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Same left-fold arithmetic as [[dot]] (bit-identical result, so DuckDB
+    * oracles are unaffected), as a tight primitive loop. */
+  val dotFastUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  def dotFast(a: Column, b: Column): Column = dotFastUdf(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
@@ -178,19 +192,51 @@ object Similarity {
     * Brute-force all-pairs here (corpus is small at bench SFs and the
     * oracle must replay it); at scale the candidate set comes from the s2
     * hyperplane-LSH buckets with this same exact verify on top. */
+  /** Spark-side round() parity: Catalyst's Round is
+    * BigDecimal(JDouble.toString).setScale(HALF_UP) — replicated here so the
+    * kernel's output is bit-identical to the declarative form (and to what
+    * the DuckDB oracle matched). */
+  private def round4(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   val d5EmbeddingNearDup = NamedQuery(
     "d5_embedding_neardup",
     (s, dir) => {
+      import s.implicits._
+      // A naive `a.join(b, vec_a < vec_b)` materializes |n|²/2 rows each
+      // carrying two full vectors (gigabytes of array copies before any
+      // math).  Instead: broadcast the (small) corpus once and run the
+      // pair loop per partition over primitive arrays — only qualifying
+      // pairs materialize.  At corpus sizes where the broadcast no longer
+      // fits, the s2 LSH buckets bound the candidate blocks.
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("nrm", norm(col("emb")))
-      val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
-        .filter(col("cosine") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), col("cosine"))
-        .orderBy(col("vec_a"), col("vec_b"))
+        .as[(Long, Array[Double], Double)]
+      val corpus = e.collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(corpus)
+      val pairs = e.mapPartitions { iter =>
+        val all = bc.value
+        iter.flatMap { case (ida, ea, na) =>
+          // binary search to the first id > ida (ids are sorted)
+          var lo = 0; var hi = all.length
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (all(m)._1 <= ida) lo = m + 1 else hi = m
+          }
+          (lo until all.length).iterator.flatMap { j =>
+            val (idb, eb, nb) = all(j)
+            var sAcc = 0.0
+            var i = 0
+            val n = math.min(ea.length, eb.length)
+            while (i < n) { sAcc += ea(i) * eb(i); i += 1 }
+            val cos = round4(sAcc / (na * nb))
+            if (cos >= 0.4) Some((ida, idb, cos)) else None
+          }
+        }
+      }.toDF("vec_a", "vec_b", "cosine")
+      pairs.orderBy(col("vec_a"), col("vec_b"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
