@@ -60,6 +60,38 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .queryName("kafka_output")
 
+  /** foreachBatch escape hatch: per-micro-batch exact dedup before the
+    * write — the streaming form of the d1 fingerprint dedup, for sinks
+    * that must not receive duplicate documents.  `foreachBatch` gives the
+    * batch DataFrame API (joins, dedup, upserts) inside a streaming query;
+    * dedup here is within-batch plus against the already-written output via
+    * an anti-join on fingerprints. */
+  def dedupedJsonFiles(enriched: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.SaveMode
+    enriched.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .queryName("deduped_output")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val withFp = batch.withColumn("__fp",
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .dropDuplicates("__fp")
+        val dir = new java.io.File(path)
+        val fresh =
+          if (dir.exists() && dir.listFiles().exists(f => f.getName.endsWith(".json"))) {
+            val seen = spark.read.schema(batch.schema).json(path)
+              .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("__fp"))
+              .distinct()
+            withFp.join(seen, Seq("__fp"), "left_anti")
+          } else withFp
+        fresh.drop("__fp").write.mode(SaveMode.Append).json(path)
+        ()
+      }
+  }
+
   /** T6: the windowed aggregation the reference deleted, restored properly:
     * tumbling 1-minute sentiment counts on event time with a 2-minute
     * watermark (append mode emits each window once it is final). */

@@ -175,6 +175,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static join enriches the stream with a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val platformDim = Seq(("twitter", "microblog"), ("facebook", "social"),
+      ("x", "microblog")).toDF("platform", "category")
+    val input = MemoryStream[graft.schema.Post]
+    val joined = Enrich.enrich(input.toDF())
+      .join(broadcast(platformDim), Seq("platform"), "left")
+    val q = joined.writeStream.format("memory").queryName("dimjoin")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      graft.schema.Post(Some("i love this"), Some("u1"), Some("twitter"),
+        None, None, None, None, Some("2024-01-01 12:00:00")),
+      graft.schema.Post(Some("meh"), Some("u2"), Some("unknownplat"),
+        None, None, None, None, Some("2024-01-01 12:00:01")))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dimjoin").select("user", "category").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows("u1").contains("microblog"))
+    assert(rows("u2").isEmpty) // left join keeps unmatched platforms
+  }
+
+  test("foreachBatch deduped sink drops within-batch and cross-batch duplicates") {
+    val in = tmp("graft-din"); val out = tmp("graft-dout"); val cp = tmp("graft-dcp")
+    val dup = """{"text": "I love this! #happy", "user": "uA", "platform": "twitter", "timestamp": "2024-01-01 12:00:00"}"""
+    writePosts(in, "b1.json", Seq(dup, dup,
+      """{"text": "something else entirely", "user": "uB", "platform": "x", "timestamp": "2024-01-01 12:00:01"}"""))
+    val enriched1 = Enrich.enrich(FileJsonSource(in).load(spark))
+    val q1 = Sinks.dedupedJsonFiles(enriched1, out, cp, Trigger.ProcessingTime(0L)).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(readOut(out).count() == 2) // within-batch dup dropped
+
+    // same text arrives again in a later batch → cross-batch dedup
+    writePosts(in, "b2.json", Seq(dup,
+      """{"text": "yet another fresh doc", "user": "uC", "platform": "x", "timestamp": "2024-01-01 12:00:05"}"""))
+    val q2 = Sinks.dedupedJsonFiles(Enrich.enrich(FileJsonSource(in).load(spark)),
+      out, cp, Trigger.ProcessingTime(0L)).start()
+    q2.processAllAvailable(); q2.stop()
+    val fin = readOut(out)
+    assert(fin.count() == 3, s"got ${fin.count()}")
+    assert(fin.filter(col("user") === "uA").count() == 1)
+  }
+
   test("rate-source generator produces schema-conformant enriched posts") {
     val src = graft.pipeline.RatePostSource(rowsPerSecond = 100)
     val enriched = Enrich.enrich(src.load(spark))
