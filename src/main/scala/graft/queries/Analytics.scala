@@ -19,13 +19,13 @@ object Analytics {
       Tables.events(s, dir).agg(
         count(lit(1)).as("total_events"),
         countDistinct(col("user_id")).as("unique_users"),
-        round(avg(col("value")), 4).as("avg_value"),
+        Exact.avg4(col("value"), 2).as("avg_value"),
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"))
     },
     Some("""SELECT count(*) AS total_events,
       count(DISTINCT user_id) AS unique_users,
-      round(avg(value), 4) AS avg_value,
+      floor(round(sum(value) * 100) / 100.0 / count(*) * 10000) / 10000.0 AS avg_value,
       round(min(value), 2) AS min_value,
       round(max(value), 2) AS max_value
       FROM events"""),

@@ -76,14 +76,14 @@ object Multimodal {
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n_blobs"),
           sum(col("n_bytes")).as("total_bytes"),
-          round(avg(col("width")), 4).as("avg_width"),
-          round(avg(col("height")), 4).as("avg_height"))
+          graft.queries.Exact.avg4(col("width"), 0).as("avg_width"),
+          graft.queries.Exact.avg4(col("height"), 0).as("avg_height"))
         .orderBy(col("media_type"))
     },
     Some("""SELECT media_type, count(*) AS n_blobs,
         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        round(avg(n_bytes % 640), 4) AS avg_width,
-        round(avg(n_bytes % 480), 4) AS avg_height
+        floor(round(sum(n_bytes % 640)) / count(*) * 10000) / 10000.0 AS avg_width,
+        floor(round(sum(n_bytes % 480)) / count(*) * 10000) / 10000.0 AS avg_height
       FROM (SELECT
         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         octet_length(CAST(text AS BLOB)) AS n_bytes

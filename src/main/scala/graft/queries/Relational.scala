@@ -32,9 +32,9 @@ object Relational {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          Exact.avg4(col("l_quantity"), 0).as("avg_qty"),
+          Exact.avg4(col("l_extendedprice"), 2).as("avg_price"),
+          Exact.avg4(col("l_discount"), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -42,9 +42,9 @@ object Relational {
       round(sum(l_quantity), 2) AS sum_qty,
       round(sum(l_extendedprice), 2) AS sum_base_price,
       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      round(avg(l_quantity), 4) AS avg_qty,
-      round(avg(l_extendedprice), 4) AS avg_price,
-      round(avg(l_discount), 4) AS avg_disc,
+      floor(round(sum(l_quantity)) / count(*) * 10000) / 10000.0 AS avg_qty,
+      floor(round(sum(l_extendedprice) * 100) / 100.0 / count(*) * 10000) / 10000.0 AS avg_price,
+      floor(round(sum(l_discount) * 100) / 100.0 / count(*) * 10000) / 10000.0 AS avg_disc,
       count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -190,21 +190,24 @@ object Relational {
     "q7b_window_lag",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // gaps in exact integer microseconds (epoch-seconds doubles lose µs
+      // precision at 1.7e9 s and round() tie-breaks differ across engines);
+      // integer DIV + /100.0 is bit-deterministic everywhere
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       Tables.events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("gap_sec",
-          round(col("ts").cast("double") - col("prev_ts").cast("double"), 2))
-        .filter(col("gap_sec").isNotNull && col("gap_sec") > 3600.0)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap_us").isNotNull && col("gap_us") > 3600L * 1000000L)
+        .withColumn("gap_sec", expr("gap_us DIV 10000") / 100.0)
         .select(col("user_id"), col("event_id"), col("gap_sec"))
         .orderBy(col("user_id"), col("event_id"))
     },
-    Some("""SELECT user_id, event_id, gap_sec FROM (
+    Some("""SELECT user_id, event_id, (gap_us // 10000) / 100.0 AS gap_sec FROM (
         SELECT user_id, event_id,
-               round(epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP), 1) OVER
-                     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)), 2) AS gap_sec
+               epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                     (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS gap_us
         FROM events) t
-      WHERE gap_sec IS NOT NULL AND gap_sec > 3600.0
+      WHERE gap_us IS NOT NULL AND gap_us > 3600000000
       ORDER BY user_id, event_id"""),
     doc = "lag window over event time (sessionization gap detection)")
 
@@ -255,17 +258,24 @@ object Relational {
   val q10TimeBucket = NamedQuery(
     "q10_time_bucket",
     (s, dir) => {
+      // avg via exact integer cents + floor quantization: value has a 2dp
+      // grain, so round(sum*100) is the same integer in any engine; the
+      // division then feeds floor() the same double on both sides. Plain
+      // round(avg(value), 4) diverges when the true average lands on a
+      // decimal tie (Spark rounds the double's shortest decimal repr
+      // HALF_UP, DuckDB rounds numerically — found at sf0.001).
       Tables.events(s, dir)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
           round(sum(col("value")), 2).as("sum_value"),
-          round(avg(col("value")), 4).as("avg_value"))
+          (floor(round(sum(col("value")) * 100) / 100.0 / count(lit(1)) * 10000) / 10000.0)
+            .as("avg_value"))
         .orderBy(col("day"), col("event_type"))
     },
     Some("""SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
       count(*) AS n, round(sum(value), 2) AS sum_value,
-      round(avg(value), 4) AS avg_value
+      floor(round(sum(value) * 100) / 100.0 / count(*) * 10000) / 10000.0 AS avg_value
       FROM events GROUP BY 1, 2 ORDER BY day, event_type"""),
     doc = "time-bucketed agg (timeline parity, batch form of streaming window)")
 
@@ -278,12 +288,12 @@ object Relational {
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
-          round(avg(col("o_totalprice")), 4).as("avg_price"))
+          Exact.avg4(col("o_totalprice"), 2).as("avg_price"))
         .filter(col("n_orders") > 20)
         .orderBy(col("c_mktsegment"), col("o_orderpriority"))
     },
     Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
-      round(avg(o_totalprice), 4) AS avg_price
+      floor(round(sum(o_totalprice) * 100) / 100.0 / count(*) * 10000) / 10000.0 AS avg_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment, o_orderpriority
       HAVING count(*) > 20
@@ -305,13 +315,14 @@ object Relational {
             .when(col("score") <= -0.05, "negative")
             .otherwise("neutral"))
         .groupBy(col("sentiment_label"))
-        .agg(count(lit(1)).as("n"), round(avg(col("score")), 4).as("avg_score"))
+        .agg(count(lit(1)).as("n"), Exact.avg4(col("score"), 6).as("avg_score"))
         .orderBy(col("sentiment_label"))
     },
     Some("""SELECT CASE WHEN score >= 0.05 THEN 'positive'
                         WHEN score <= -0.05 THEN 'negative'
                         ELSE 'neutral' END AS sentiment_label,
-      count(*) AS n, round(avg(score), 4) AS avg_score
+      count(*) AS n,
+      floor(round(sum(score) * 1000000) / 1000000.0 / count(*) * 10000) / 10000.0 AS avg_score
       FROM (SELECT round((value - 245.0) / 245.0, 6) AS score FROM events) t
       GROUP BY 1 ORDER BY sentiment_label"""),
     doc = "U2 label-threshold parity (CSJ:27–36) over a DuckDB-computable score")
@@ -458,41 +469,47 @@ object Relational {
     "q15_sessionization",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // all time math in exact integer microseconds (see q7b/Exact): gap
+      // comparison, per-session duration, and the final averages are then
+      // identical in every engine
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val sess = Tables.events(s, dir)
-        .withColumn("gap_sec", col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
-        .withColumn("is_new", when(col("gap_sec").isNull || col("gap_sec") > 1800.0, 1L).otherwise(0L))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
         .withColumn("session_seq", sum(col("is_new")).over(run))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
-          round(max(col("ts").cast("double")) - min(col("ts").cast("double")), 2).as("duration_sec"))
+          (max(col("us")) - min(col("us"))).as("dur_us"))
       sess.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"),
-          round(avg(col("n_events")), 4).as("avg_events"),
-          round(avg(col("duration_sec")), 4).as("avg_duration_sec"))
+          Exact.floorQ(sum(col("n_events")).cast("double") / count(lit(1)), 4).as("avg_events"),
+          Exact.floorQ(sum(col("dur_us")).cast("double") / 1000000.0 / count(lit(1)), 4)
+            .as("avg_duration_sec"))
         .orderBy(col("user_id"))
     },
     Some("""WITH flagged AS (
-        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
-          CASE WHEN epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP), 1) OVER
-                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) > 1800.0
-               OR lag(CAST(ts AS TIMESTAMP), 1) OVER
-                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) > 1800000000
+               OR lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) IS NULL
                THEN 1 ELSE 0 END AS is_new
         FROM events),
       numbered AS (
         SELECT user_id,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY tsx, event_id
-                            ROWS UNBOUNDED PRECEDING) AS session_seq, tsx
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_seq, us
         FROM flagged),
       sess AS (
         SELECT user_id, session_seq, count(*) AS n_events,
-          round(epoch(max(tsx)) - epoch(min(tsx)), 2) AS duration_sec
+          max(us) - min(us) AS dur_us
         FROM numbered GROUP BY user_id, session_seq)
       SELECT user_id, count(*) AS n_sessions,
-        round(avg(n_events), 4) AS avg_events,
-        round(avg(duration_sec), 4) AS avg_duration_sec
+        floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 10000) / 10000.0 AS avg_events,
+        floor(CAST(sum(dur_us) AS DOUBLE) / 1000000.0 / count(*) * 10000) / 10000.0 AS avg_duration_sec
       FROM sess GROUP BY user_id ORDER BY user_id"""),
     doc = "30-min-gap sessionization via cumulative window sum; batch analog of streaming state")
 

@@ -34,15 +34,15 @@ object TextOps {
         .groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg(col("n_tokens")), 4).as("avg_tokens"),
-          round(avg(length(col("text"))), 4).as("avg_chars"),
+          Exact.avg4(col("n_tokens"), 0).as("avg_tokens"),
+          Exact.avg4(length(col("text")), 0).as("avg_chars"),
           max(col("n_tokens")).as("max_tokens"),
           min(col("n_tokens")).as("min_tokens"))
         .orderBy(col("lang"))
     },
     Some("""SELECT lang, count(*) AS n_docs,
-      round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
-      round(avg(length(text)), 4) AS avg_chars,
+      floor(round(sum(len(regexp_split_to_array(trim(text), '\s+')))) / count(*) * 10000) / 10000.0 AS avg_tokens,
+      floor(round(sum(length(text))) / count(*) * 10000) / 10000.0 AS avg_chars,
       max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens,
       min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens
       FROM documents WHERE text IS NOT NULL AND text <> ''
@@ -166,13 +166,13 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_pieces")).as("total_pieces"),
           sum(col("n_chars_est")).as("total_est"),
-          round(avg(col("n_pieces")), 4).as("avg_pieces"))
+          Exact.avg4(col("n_pieces"), 0).as("avg_pieces"))
         .orderBy(col("lang"))
     },
     Some("""SELECT lang, count(*) AS n_docs,
       CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
       CAST(sum(n_chars_est) AS BIGINT) AS total_est,
-      round(avg(n_pieces), 4) AS avg_pieces
+      floor(round(sum(n_pieces)) / count(*) * 10000) / 10000.0 AS avg_pieces
       FROM (SELECT lang,
         len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\w\s]+', 0)) AS n_pieces,
         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_chars_est
