@@ -461,6 +461,74 @@ object Relational {
       ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""),
     doc = "ROLLUP subtotal hierarchy with explicit NULLS FIRST ordering")
 
+  /** Correlated-subquery shape: orders priced above their customer's own
+    * average.  Declaratively: a windowed average over the customer
+    * partition (one shuffle), which is how the correlated form should
+    * execute at scale anyway; the oracle states it as the correlated
+    * subquery and DuckDB decorrelates it itself. */
+  val q20CorrelatedAboveAvg = NamedQuery(
+    "q20_above_customer_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("sum_e2", round(sum(col("o_totalprice")).over(w) * 100))
+        .filter(col("cnt") > 1 &&
+          col("o_totalprice") > col("sum_e2") / 100.0 / col("cnt") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) > 1
+        AND o_totalprice > (SELECT round(sum(i.o_totalprice) * 100) / 100.0 / count(*)
+                            FROM orders i WHERE i.o_custkey = o.o_custkey) * 1.5
+      ORDER BY o_orderkey"""),
+    doc = "correlated subquery (orders 1.5x above own customer's average), window-decorrelated")
+
+  /** Pivot shape: one row per market segment, one column per order status
+    * (conditional aggregation — the portable form of PIVOT). */
+  val q22PivotStatus = NamedQuery(
+    "q22_pivot_status",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment,
+      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+    doc = "pivot via conditional aggregation (status columns per segment)")
+
+  /** Ordered collect: per-region sorted nation roster as one string (the
+    * portable, hash-stable form of array_agg/collect_list). */
+  val q23StringAgg = NamedQuery(
+    "q23_string_agg",
+    (s, dir) => {
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+    doc = "ordered collect_list rendered as string (portable array_agg)")
+
   /** Batch sessionization: 30-minute-gap sessions via a cumulative window
     * sum over per-user event time — the batch analog of the streaming
     * flatMapGroupsWithState sessionizer (graft.stream.Sessionize), and the
@@ -515,7 +583,7 @@ object Relational {
 
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
-    q19GroupingSets,
+    q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
