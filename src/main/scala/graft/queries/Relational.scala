@@ -529,6 +529,38 @@ object Relational {
       GROUP BY r_name ORDER BY r_name"""),
     doc = "ordered collect_list rendered as string (portable array_agg)")
 
+  /** As-of join — an operator Spark lacks natively, composed from existing
+    * ops per the custom-operator preference order (compose > custom plan):
+    * for every error event, the most recent preceding click by the same
+    * user.  One shuffle on the user key; `last(..., ignoreNulls)` over the
+    * interleaved stream replaces the point-in-time lookup.  The oracle
+    * states it as DuckDB's native ASOF JOIN. */
+  val q24AsOfJoin = NamedQuery(
+    "q24_asof_join",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "error"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("click_us",
+          last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error" && col("click_us").isNotNull)
+        .withColumn("gap_sec", expr("(us - click_us) DIV 10000") / 100.0)
+        .select(col("event_id"), col("user_id"), col("gap_sec"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+        ((e.us - c.us) // 10000) / 100.0 AS gap_sec
+      FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events WHERE event_type = 'error') e
+      ASOF JOIN (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                 FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.us >= c.us
+      ORDER BY e.event_id"""),
+    doc = "as-of join composed from window ops; oracle uses native ASOF JOIN")
+
   /** Batch sessionization: 30-minute-gap sessions via a cumulative window
     * sum over per-user event time — the batch analog of the streaming
     * flatMapGroupsWithState sessionizer (graft.stream.Sessionize), and the
@@ -584,6 +616,7 @@ object Relational {
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
+    q24AsOfJoin,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

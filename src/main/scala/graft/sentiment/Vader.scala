@@ -144,17 +144,32 @@ object Vader {
     "tragedy" -> -2.9, "tragic" -> -2.5, "trash" -> -1.9, "trouble" -> -1.9,
     "ugly" -> -2.2, "unfair" -> -2.1, "unhappy" -> -2.2, "upset" -> -1.9,
     "useless" -> -1.9, "victim" -> -1.9, "violence" -> -2.9, "waste" -> -1.8,
-    "weak" -> -1.8, "wrong" -> -1.9, "worried" -> -1.9, "worry" -> -1.9)
+    "weak" -> -1.8, "wrong" -> -1.9, "worried" -> -1.9, "worry" -> -1.9,
+    // emoticons (the published lexicon carries these; the tokenizer keeps
+    // punctuation-only tokens of length ≤ 2 and strips only the edges of
+    // longer ones, so these survive tokenization)
+    ":)" -> 2.0, ":-)" -> 2.2, ":d" -> 2.3, ":-d" -> 2.3, ";)" -> 1.6,
+    ";-)" -> 1.6, ":(" -> -1.9, ":-(" -> -2.2, ":/" -> -1.4, ":-/" -> -1.4,
+    ":p" -> 1.2, "<3" -> 2.8, ":o" -> 0.9, "=(" -> -1.9, "=)" -> 2.0)
 
   private val punctStrip = "^[\\p{Punct}]+|[\\p{Punct}]+$"
 
   /** Tokenize like VADER: whitespace split, strip leading/trailing
-    * punctuation from words longer than 2 chars (preserves emoticon-ish
-    * short tokens). Returns (original, lowercase-stripped) pairs. */
+    * punctuation from words longer than 2 chars — but a token whose raw
+    * lowercase form is itself in the lexicon (emoticons like ":-)") is kept
+    * verbatim, as the published implementation does. Returns
+    * (original, lookup-form) pairs. */
   private[sentiment] def tokenize(text: String): Array[(String, String)] =
     text.split("\\s+").filter(_.nonEmpty).map { w =>
-      val stripped = if (w.length > 2) w.replaceAll(punctStrip, "") else w
-      (w, stripped.toLowerCase)
+      val rawLower = w.toLowerCase
+      val lookup =
+        if (lexicon.contains(rawLower)) rawLower
+        else {
+          val stripped =
+            (if (w.length > 2) w.replaceAll(punctStrip, "") else w).toLowerCase
+          if (stripped.isEmpty) rawLower else stripped
+        }
+      (w, lookup)
     }
 
   private def isUpper(w: String): Boolean =

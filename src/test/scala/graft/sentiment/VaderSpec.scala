@@ -67,6 +67,13 @@ class VaderSpec extends AnyFunSuite {
     assert(Vader.compound("THIS IS GREAT STUFF") == Vader.compound("this is great stuff"))
   }
 
+  test("emoticons carry sentiment and survive tokenization") {
+    assert(Vader.compound("that was fun :)") > Vader.compound("that was fun"))
+    assert(Vader.compound("oh no :-(") < -0.05)
+    assert(Vader.compound(":)") > 0.05)
+    assert(Vader.compound("the table :-)") > 0.05) // 3-char emoticon not stripped away
+  }
+
   test("golden values are stable (regression pins)") {
     // Pins against accidental algorithm drift; update deliberately only.
     assert(Vader.compound("i love this new product") == 0.6369)
