@@ -561,6 +561,53 @@ object Relational {
       ORDER BY e.event_id"""),
     doc = "as-of join composed from window ops; oracle uses native ASOF JOIN")
 
+  /** Range (band) join — non-equi predicate against a tiny in-line bands
+    * table: with the bands side broadcast this is a single corpus scan
+    * (BroadcastNestedLoopJoin), the right plan whenever one side is small;
+    * DuckDB plans the same SQL through its IEJoin. */
+  val q25RangeJoin = NamedQuery(
+    "q25_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("negative", -10000.0, 0.0), ("low", 0.0, 2500.0),
+        ("mid", 2500.0, 7500.0), ("high", 7500.0, 100000.0))
+        .toDF("band", "lo", "hi")
+      Tables.customer(s, dir)
+        .join(broadcast(bands),
+          col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("band"))
+    },
+    Some("""SELECT band, count(*) AS n_customers,
+        round(sum(c_acctbal), 2) AS total_bal
+      FROM customer
+      JOIN (VALUES ('negative', -10000.0, 0.0), ('low', 0.0, 2500.0),
+                   ('mid', 2500.0, 7500.0), ('high', 7500.0, 100000.0))
+           AS bands(band, lo, hi)
+        ON c_acctbal >= lo AND c_acctbal < hi
+      GROUP BY band ORDER BY band"""),
+    doc = "non-equi range/band join against a broadcast inline table")
+
+  /** Sketch-based percentiles — the 100 TB path for q16 (exact percentile
+    * needs a full sort per group; the approx sketch is mergeable and
+    * single-pass). Engine-specific estimates → rows-only gate; exactness is
+    * covered by q16. */
+  val q26ApproxPercentiles = NamedQuery(
+    "q26_approx_percentiles",
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_approx"))
+        .orderBy(col("o_orderpriority"))
+    },
+    None,
+    doc = "approx_percentile sketch (mergeable, single-pass); rows-only")
+
   /** Batch sessionization: 30-minute-gap sessions via a cumulative window
     * sum over per-user event time — the batch analog of the streaming
     * flatMapGroupsWithState sessionizer (graft.stream.Sessionize), and the
@@ -616,7 +663,7 @@ object Relational {
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
-    q24AsOfJoin,
+    q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
