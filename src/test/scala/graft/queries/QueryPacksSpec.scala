@@ -24,6 +24,14 @@ class QueryPacksSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
 
+  test("query names are unique across packs (Map must not silently drop any)") {
+    val names = Seq(Relational.all, Analytics.all, Pipeline.all, TextOps.all,
+      Dedup.all, Similarity.all, Multimodal.all).flatten.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+    assert(names.size == SparkEntry.queries.size)
+  }
+
   test("query result columns are aliased (no raw agg names like sum(x))") {
     SparkEntry.queries.foreach { case (name, fn) =>
       fn(spark, sf()).columns.foreach { c =>
