@@ -56,7 +56,8 @@ object StreamJob {
     opts.get("duration-sec") match {
       case Some(d) =>
         Thread.sleep(d.toLong * 1000L)
-        running.processAllAvailable()
+        // no processAllAvailable here: on an unbounded source (rate/kafka)
+        // it would never return — stop drains the in-flight batch
         running.stopAll()
       case None => running.awaitAny()
     }
