@@ -34,8 +34,11 @@ object Dedup {
   val d3MinHashLsh = NamedQuery(
     "d3_minhash_lsh",
     (s, dir) => {
+      // DISK_ONLY, not MEMORY: exploded shingles are ~10× the corpus (see
+      // jaccardPairsPrefixFiltered) — don't hold them on-heap at scale.
       val sh = TextOps.shingles(s, dir)
-        .select(col("doc_id"), col("shingle")).cache()
+        .select(col("doc_id"), col("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val sig = signatures(sh)
       // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
       // One posexplode over the band-hash array — NOT a 4-way union, which

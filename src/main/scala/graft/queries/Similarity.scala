@@ -95,6 +95,19 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** The same 8 hyperplanes as DuckDB SQL literals — `Double.toString` is
+    * shortest-round-trip, so the parsed constants are bit-identical to the
+    * ones Spark folds over, and `list_dot_product` is a sequential left
+    * fold like [[dot]]; the sign test (and hence the bucket) agrees. */
+  private def planeSqlLiteral(p: Int): String =
+    (0 until Dim).map(d => planeComponent(p, d).toString)
+      .mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  private val bucketSql: String =
+    (0 until NumPlanes).map { p =>
+      s"(CASE WHEN list_dot_product(emb, ${planeSqlLiteral(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   val s2AnnLsh = NamedQuery(
     "s2_ann_lsh",
     (s, dir) => {
@@ -117,8 +130,19 @@ object Similarity {
         .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cosine"))
         .orderBy(col("q_id"), col("rn"))
     },
-    None,
-    doc = "hyperplane-LSH bucketed ANN (8-bit signatures), top-5 within bucket; rows-only")
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        b AS (SELECT vec_id, emb, ($bucketSql) AS bucket FROM e),
+        q AS (SELECT vec_id AS q_id, emb AS qe, bucket AS qb FROM b WHERE vec_id < 5),
+        sims AS (SELECT q_id, b.vec_id AS nn_id,
+                   round(list_cosine_similarity(qe, b.emb), 4) AS cosine
+                 FROM q JOIN b ON b.bucket = q.qb AND b.vec_id <> q.q_id)
+      SELECT q_id, rn, nn_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, nn_id) AS rn
+        FROM sims) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    doc = "hyperplane-LSH bucketed ANN (8-bit signatures), top-5 within bucket; " +
+      "oracle replays the deterministic planes as SQL literals")
 
   // ---------------------------------------------------------------- s4
   /** IVF-style ANN with a real coarse quantizer: one deterministic k-means
@@ -138,15 +162,22 @@ object Similarity {
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("nrm", norm(col("emb")))
 
-      def nearest(points: DataFrame, cents: DataFrame, label: String): DataFrame = {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_sim").desc, col("list_id"))
+      // Argmax over the broadcast centroid set via ONE aggregate: map-side
+      // combine collapses the k×-exploded rows back to one per vector
+      // before the shuffle, and no Window sort is involved (the round-1
+      // row_number() form forced a full shuffle+sort of the exploded
+      // corpus).  max_by over struct(c_sim, -list_id) reproduces the
+      // rank-1 tie-break of ORDER BY c_sim DESC, list_id ASC exactly.
+      def nearest(points: DataFrame, cents: DataFrame, label: String): DataFrame =
         points.crossJoin(broadcast(cents))
           .withColumn("c_sim", dot(col("emb"), col("centroid")) / (col("nrm") * col("c_nrm")))
-          .withColumn("c_rank", row_number().over(w))
-          .filter(col("c_rank") === 1)
-          .select(col("vec_id"), col("emb"), col("nrm"), col("list_id").as(label))
-      }
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("list_id"),
+              struct(col("c_sim"), (-col("list_id")).as("neg_list"))).as(label),
+            first(col("emb")).as("emb"),
+            first(col("nrm")).as("nrm"))
+          .select(col("vec_id"), col("emb"), col("nrm"), col(label))
       // seeds → assign → recompute centroids (one k-means step, deterministic)
       val seeds = e.filter(col("vec_id") < IvfLists)
         .select(col("vec_id").cast("int").as("list_id"),
@@ -187,11 +218,6 @@ object Similarity {
     doc = "IVF ANN: k-means(1-step) coarse quantizer, nprobe=3, top-5; rows-only")
 
   // ---------------------------------------------------------------- d5
-  /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold —
-    * the fifth dedup tier (after exact / Jaccard / MinHash / SimHash).
-    * Brute-force all-pairs here (corpus is small at bench SFs and the
-    * oracle must replay it); at scale the candidate set comes from the s2
-    * hyperplane-LSH buckets with this same exact verify on top. */
   /** Spark-side round() parity: Catalyst's Round is
     * BigDecimal(JDouble.toString).setScale(HALF_UP) — replicated here so the
     * kernel's output is bit-identical to the declarative form (and to what
@@ -200,42 +226,65 @@ object Similarity {
     new java.math.BigDecimal(java.lang.Double.toString(x))
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold —
+    * the fifth dedup tier (after exact / Jaccard / MinHash / SimHash).
+    *
+    * Exact all-pairs, computed DISTRIBUTED by block decomposition: rows
+    * hash into `DedupBlocks` blocks, every unordered block pair (i ≤ j)
+    * is a grouping key, and each group runs a primitive-array pair loop so
+    * only qualifying pairs materialize.  Shuffle volume is (B+1)·n rows —
+    * linear in the corpus — and nothing is collected to the driver (the
+    * round-1 version broadcast a driver-collected corpus; correct at bench
+    * SFs, driver-OOM at 100 TB).  Size B so one block pair (2n/B vectors)
+    * fits an executor; at larger corpora raise B quadratically-free, or
+    * front it with the s2 hyperplane-LSH buckets as an approximate
+    * prefilter — kept out of THIS query because 8-bit hyperplane
+    * signatures cannot guarantee 100% recall at the 0.4 threshold, and the
+    * oracle demands exactness. */
+  private val DedupBlocks = 16
+
   val d5EmbeddingNearDup = NamedQuery(
     "d5_embedding_neardup",
     (s, dir) => {
       import s.implicits._
-      // A naive `a.join(b, vec_a < vec_b)` materializes |n|²/2 rows each
-      // carrying two full vectors (gigabytes of array copies before any
-      // math).  Instead: broadcast the (small) corpus once and run the
-      // pair loop per partition over primitive arrays — only qualifying
-      // pairs materialize.  At corpus sizes where the broadcast no longer
-      // fits, the s2 LSH buckets bound the candidate blocks.
+      val B = DedupBlocks
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("nrm", norm(col("emb")))
         .as[(Long, Array[Double], Double)]
-      val corpus = e.collect().sortBy(_._1)
-      val bc = s.sparkContext.broadcast(corpus)
-      val pairs = e.mapPartitions { iter =>
-        val all = bc.value
-        iter.flatMap { case (ida, ea, na) =>
-          // binary search to the first id > ida (ids are sorted)
-          var lo = 0; var hi = all.length
-          while (lo < hi) {
-            val m = (lo + hi) >>> 1
-            if (all(m)._1 <= ida) lo = m + 1 else hi = m
-          }
-          (lo until all.length).iterator.flatMap { j =>
-            val (idb, eb, nb) = all(j)
-            var sAcc = 0.0
-            var i = 0
-            val n = math.min(ea.length, eb.length)
-            while (i < n) { sAcc += ea(i) * eb(i); i += 1 }
-            val cos = round4(sAcc / (na * nb))
-            if (cos >= 0.4) Some((ida, idb, cos)) else None
+      // Replicate each row to every block pair it participates in: the
+      // "left" side of keys (blk, j ≥ blk) and the "right" side of keys
+      // (i ≤ blk, blk).  A cross-block pair meets under exactly one key in
+      // one orientation; a same-block pair meets twice (both orientations)
+      // and the id< guard in the kernel keeps one.
+      val tagged = e.flatMap { case (id, emb, nrm) =>
+        val blk = (id % B).toInt
+        val asLeft  = (blk until B).iterator.map(j => (blk, j, 0, id, emb, nrm))
+        val asRight = (0 to blk).iterator.map(i => (i, blk, 1, id, emb, nrm))
+        asLeft ++ asRight
+      }
+      val pairs = tagged
+        .groupByKey(t => (t._1, t._2))
+        .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Int, Long, Array[Double], Double)]) =>
+          val (ls, rs) = rows.toArray.partition(_._3 == 0)
+          val sameBlock = key._1 == key._2
+          ls.iterator.flatMap { case (_, _, _, ida, ea, na) =>
+            rs.iterator.flatMap { case (_, _, _, idb, eb, nb) =>
+              if (sameBlock && ida >= idb) None
+              else {
+                var sAcc = 0.0
+                var i = 0
+                val n = math.min(ea.length, eb.length)
+                while (i < n) { sAcc += ea(i) * eb(i); i += 1 }
+                val cos = round4(sAcc / (na * nb))
+                if (cos >= 0.4)
+                  Some((math.min(ida, idb), math.max(ida, idb), cos))
+                else None
+              }
+            }
           }
         }
-      }.toDF("vec_a", "vec_b", "cosine")
+        .toDF("vec_a", "vec_b", "cosine")
       pairs.orderBy(col("vec_a"), col("vec_b"))
     },
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

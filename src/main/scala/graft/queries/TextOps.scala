@@ -280,13 +280,21 @@ object TextOps {
     "d2_ngram_jaccard",
     (s, dir) => {
       // Scale-adaptive plan choice (both paths produce identical results —
-      // proven by QueryPacksSpec): below ~500 k docs the group sizes are
-      // small enough that the naive shingle join beats the prefix filter's
-      // extra shuffles; above it, quadratic blowup on frequent shingles
-      // dominates and the prefix-filtered join is the only viable plan.
-      val nDocs = Tables.documents(s, dir).count() // parquet metadata count
+      // proven by QueryPacksSpec): for small corpora the naive shingle join
+      // beats the prefix filter's extra shuffles; at scale, quadratic
+      // blowup on frequent shingles dominates and the prefix-filtered join
+      // is the only viable plan.  The decision uses driver-side plan
+      // statistics (file-listing sizeInBytes — no Spark job; round 1 ran a
+      // full count() action inside query CONSTRUCTION) with an explicit
+      // conf override for deployments that know their corpus.
+      val usePrefix = s.conf.getOption("spark.graft.jaccard.prefixFilter") match {
+        case Some(v) => v.toBoolean
+        case None =>
+          Tables.documents(s, dir).queryExecution.optimizedPlan
+            .stats.sizeInBytes > (512L << 20) // ≈ the old 500 k-doc switch
+      }
       val pairs =
-        if (nDocs > 500000L) jaccardPairsPrefixFiltered(s, dir, 0.2)
+        if (usePrefix) jaccardPairsPrefixFiltered(s, dir, 0.2)
         else shingleJaccardPairs(s, dir).filter(col("jaccard") >= 0.2)
       pairs
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -340,7 +348,10 @@ object TextOps {
     */
   def jaccardPairsPrefixFiltered(s: SparkSession, dir: String, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(s, dir).cache()
+    // DISK_ONLY: the exploded shingle set is ~10× the corpus — an uncapped
+    // MEMORY cache of it is an executor-OOM hazard at scale, and spilled
+    // blocks serve the three downstream scans just as well.
+    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // global rarity order within the join scope (source)
     val freq = sh.groupBy(col("source"), col("shingle"))
@@ -373,7 +384,7 @@ object TextOps {
     * Naive quadratic form — kept as the reference implementation for tests;
     * production path is [[jaccardPairsPrefixFiltered]]. */
   def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
+    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle"))
