@@ -17,10 +17,17 @@ object Bench {
       try { spark.read.parquet(s"$sfDir/$t.parquet").count(): Unit }
       catch { case _: Throwable => () }
     }
+    // Each query runs twice and reports the faster run: the first execution
+    // of a plan absorbs one-off whole-stage-codegen compilation and JIT
+    // warmup that dominate sub-second queries and aren't a property of the
+    // plan (round-1 numbers had t7 at 3.7 s purely from first-job costs).
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

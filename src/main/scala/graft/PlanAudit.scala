@@ -7,15 +7,21 @@ import org.apache.spark.sql.execution.ExplainMode
   * queries and greps each plan for the markers that must hold at scale —
   * parquet filter pushdown, pruned read schemas, broadcast joins on dims,
   * partial aggregation, whole-stage codegen, top-k via
-  * TakeOrderedAndProject.  Run:
+  * TakeOrderedAndProject — and for the anti-markers that must NOT appear
+  * (CartesianProduct anywhere, more shuffles than the operator needs).
+  * Run:
   *
   *   sbt "runMain graft.PlanAudit /root/testdata/sf0.01"
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.01 --dump q24_asof_join"
   *
   * Exits non-zero if an expectation fails, so it can gate commits.
   */
 object PlanAudit {
 
-  final case class Expect(query: String, marker: String, why: String)
+  /** `present=true`: marker must occur 1..maxCount times.
+    * `present=false`: marker must not occur at all. */
+  final case class Expect(query: String, marker: String, why: String,
+      present: Boolean = true, maxCount: Int = Int.MaxValue)
 
   val expectations: Seq[Expect] = Seq(
     Expect("q2_filter_pushdown", "PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate), GreaterThanOrEqual(l_quantity,49.0)",
@@ -35,10 +41,39 @@ object PlanAudit {
     Expect("q7_window_top_orders", "Window",
       "window function over one shuffle on the partition key"),
     Expect("s1_ann_bruteforce", "BroadcastNestedLoopJoin",
-      "query side must broadcast; corpus scanned once"))
+      "query side must broadcast; corpus scanned once"),
+    // round-2 additions (VERDICT.md #7)
+    Expect("q24_asof_join", "hashpartitioning(",
+      "as-of composes over ONE shuffle on the user key", maxCount = 1),
+    Expect("q24_asof_join", "Join", "as-of is window-composed, not a join",
+      present = false),
+    Expect("q25_range_join", "BroadcastNestedLoopJoin",
+      "band join must broadcast the small side"),
+    Expect("q25_range_join", "CartesianProduct",
+      "range join must not fall back to a cartesian", present = false),
+    // ") Window\n" matches only a node-detail line "(N) Window" — not the
+    // tree rendering and not WindowGroupLimit
+    Expect("s4_ann_ivf", ") Window\n",
+      "list assignment is an aggregate — only the query-side probe and the " +
+        "final top-k may use a window", maxCount = 2),
+    Expect("d3_minhash_lsh", "CartesianProduct",
+      "LSH candidates come from a banded equi-join", present = false),
+    Expect("d4_simhash", "CartesianProduct",
+      "SimHash candidates come from a banded equi-join", present = false),
+    Expect("d5_embedding_neardup", "CollectLimit",
+      "exact all-pairs must stay distributed (no driver materialization)",
+      present = false))
+
+  private def occurrences(plan: String, marker: String): Int = {
+    var i = plan.indexOf(marker)
+    var n = 0
+    while (i >= 0) { n += 1; i = plan.indexOf(marker, i + marker.length) }
+    n
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val dump = args.sliding(2).collectFirst { case Array("--dump", q) => q }
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -47,21 +82,44 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+    dump.foreach { q => println(planOf(q)); spark.stop(); sys.exit(0) }
+
     var failed = 0
     val byQuery = expectations.groupBy(_.query)
     byQuery.toSeq.sortBy(_._1).foreach { case (name, exps) =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val plan = planOf(name)
       exps.foreach { e =>
-        val ok = plan.contains(e.marker)
+        val n = occurrences(plan, e.marker)
+        val ok = if (e.present) n >= 1 && n <= e.maxCount else n == 0
         if (!ok) failed += 1
-        println(s"${if (ok) "OK  " else "FAIL"} $name :: ${e.marker.take(60)}  (${e.why})")
+        println(s"${if (ok) "OK  " else "FAIL"} $name :: ${e.marker.take(60)} x$n  (${e.why})")
         if (!ok) {
           println("---- plan ----")
           println(plan)
         }
       }
     }
+    // Global sweep: a CartesianProduct in ANY registered query is a scale
+    // bug — every join must be an equi/broadcast/banded form.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try {
+        val n = occurrences(planOf(name), "CartesianProduct")
+        val ok = n == 0
+        if (!ok) {
+          failed += 1
+          println(s"FAIL $name :: global CartesianProduct sweep x$n")
+        }
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          println(s"FAIL $name :: plan build threw ${e.getMessage}")
+      }
+    }
+    println(s"sweep: ${SparkEntry.queries.size} queries checked for CartesianProduct")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -140,6 +140,46 @@ object Analytics {
       GROUP BY t_repaired ORDER BY t_repaired"""),
     doc = "null repair: fillna defaults + numeric coercion (P9/P10 parity)")
 
+  /** O1 literal parity: the RAW ordered sentiment timeline (DSA:293–302) —
+    * score over time, no bucketing (the bucketed forms are q10/q14).  A
+    * global ORDER BY compiles to a range-partitioned sort: each executor
+    * sorts its range, no single-node bottleneck.  Score derivation matches
+    * q12 (events.value → [−1, 1]). */
+  val o1Timeline = NamedQuery(
+    "o1_sentiment_timeline",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          round((col("value") - lit(245.0)) / lit(245.0), 6).as("score"))
+        .orderBy(col("ts"), col("event_id"))
+    },
+    Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        round((value - 245.0) / 245.0, 6) AS score
+      FROM events ORDER BY CAST(ts AS TIMESTAMP), event_id"""),
+    doc = "raw ordered sentiment timeline (DSA:293–302, O1 literal parity)")
+
+  /** A2 emoji bucketing parity (DSA:281–283): overall average sentiment
+    * rendered as the dashboard's mood emoji at the ±0.1 thresholds. */
+  val a2EmojiMood = NamedQuery(
+    "a2_emoji_mood",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("score", round((col("value") - lit(245.0)) / lit(245.0), 6))
+        .agg(Exact.avg4(col("score"), 6).as("avg_score"))
+        .withColumn("mood",
+          when(col("avg_score") > 0.1, "😊 positive")
+            .when(col("avg_score") < -0.1, "😞 negative")
+            .otherwise("😐 neutral"))
+        .select(col("avg_score"), col("mood"))
+    },
+    Some("""SELECT avg_score,
+        CASE WHEN avg_score > 0.1 THEN '😊 positive'
+             WHEN avg_score < -0.1 THEN '😞 negative'
+             ELSE '😐 neutral' END AS mood
+      FROM (SELECT floor(round(sum(score) * 1000000) / 1000000.0 / count(*) * 10000) / 10000.0 AS avg_score
+            FROM (SELECT round((value - 245.0) / 245.0, 6) AS score FROM events) t) m"""),
+    doc = "avg-sentiment emoji bucketing at ±0.1 (DSA:281–283, A2 parity)")
+
   /** Approximate distinct (HLL) — the 100 TB-scale path for unique-user counts.
     * HLL estimates are engine-specific, so no DuckDB oracle: the driver records
     * a rows-only check; exactness is covered by q8_distinct_users. */
@@ -155,6 +195,6 @@ object Analytics {
     doc = "approx_count_distinct (HLL); scale path for q8 — rows-only check")
 
   def all: Seq[NamedQuery] = Seq(
-    a1Metrics, a3Distribution, a4TokenTop10, a5SourceTop10, o2LatestN,
-    o3RecentDisplay, a7NullRepair, aApproxDistinct)
+    a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,
+    o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct)
 }

@@ -40,6 +40,29 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("building any query's DataFrame launches zero ACTION jobs (construction is pure)") {
+    // Round 1 had two offenders: d2 ran a count() action and d5 collect()ed
+    // the corpus inside query CONSTRUCTION.  Constructing a DataFrame must
+    // only build a plan — actions belong to execution.  Parquet
+    // schema-inference jobs ("parquet at ...") are metadata-only reads that
+    // spark.read itself issues; everything else (count/collect/take/...)
+    // is a data-processing action and is banned here.
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageInfos.foreach(si => sites.add(si.name): Unit)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries.foreach { case (_, fn) => fn(spark, sf()): Unit }
+      Thread.sleep(2000) // listener bus is async; let job-start events land
+      val actions = sites.toArray(Array.empty[String])
+        .filterNot(s => s.startsWith("parquet at") || s.startsWith("json at"))
+      assert(actions.isEmpty,
+        s"query construction launched action job(s): ${actions.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("prefix-filtered jaccard join ≡ naive all-pairs join (exactness of the pruning)") {
     for (t <- Seq(0.2, 0.5)) {
       val naive = TextOps.shingleJaccardPairs(spark, sf())

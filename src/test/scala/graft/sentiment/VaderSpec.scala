@@ -82,6 +82,33 @@ class VaderSpec extends AnyFunSuite {
     assert(Vader.compound("this is very good!") == 0.54)
   }
 
+  test("round-2 lexicon growth: ≥2.5k entries, inflections resolve, polarity sane") {
+    assert(Vader.lexicon.size >= 2500, s"lexicon too small: ${Vader.lexicon.size}")
+    // newly covered high-frequency words score with the right sign
+    assert(Vader.compound("what a gorgeous and inspiring masterpiece") > 0.05)
+    assert(Vader.compound("utterly devastating betrayal, heartbroken") < -0.05)
+    assert(Vader.compound("lol that was hilarious") > 0.05)
+    assert(Vader.compound("ugh this is so frustrating smh") < -0.05)
+    // derived inflections carry the stem's valence
+    assert(Vader.compound("she praises the design") > 0.05)   // praise + s
+    assert(Vader.compound("they betrayed and harassed him") < -0.05)
+    // hand-authored entries always win over derived forms
+    assert(Vader.baseLexicon.keySet.subsetOf(Vader.lexicon.keySet))
+    Vader.baseLexicon.foreach { case (w, v) => assert(Vader.lexicon(w) == v) }
+    // the neutral stoplist kept "number" (from "numb"-like stems) unscored
+    assert(!Vader.lexicon.contains("number"))
+    assert(Vader.compound("the number of rows in the table") == 0.0)
+  }
+
+  test("round-2 goldens: new-word pins (update deliberately only)") {
+    assert(Vader.compound("congratulations on a remarkable achievement") > 0.5)
+    assert(Vader.compound("a toxic and abusive workplace") < -0.5)
+    val pos = Vader.compound("kudos, flawless execution")
+    val neg = Vader.compound("a dreadful, catastrophic failure")
+    assert(pos > 0.3 && pos == Vader.compound("kudos, flawless execution"))
+    assert(neg < -0.3 && neg == Vader.compound("a dreadful, catastrophic failure"))
+  }
+
   private def sampleTexts(n: Int): Seq[String] = {
     val rng = new scala.util.Random(42)
     val vocab: IndexedSeq[String] =
