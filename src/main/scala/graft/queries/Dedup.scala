@@ -131,5 +131,91 @@ object Dedup {
     None,
     doc = "SimHash-64 + banded candidates (recall-guaranteed for hamming ≤ 4); rows-only")
 
-  def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash)
+  // ---------------------------------------------------------------- d6
+  /** Duplicate-cluster assignment — the step after pair detection in a
+    * training-data dedup pipeline: connected components over the near-dup
+    * graph, each document labeled with its component's minimum doc_id (the
+    * canonical "keeper"; everything else is the drop set).
+    *
+    * Spark side: iterative min-label propagation over the edge list — each
+    * round is one equi-join + min-aggregate, label information travels one
+    * hop, so `ccRounds` bounds the reachable diameter.  Near-dup components
+    * are near-cliques (diameter ≤ 2–3); 8 rounds is conservative.  At 100 TB
+    * this is the standard scalable CC shape (join+agg per round, shuffle on
+    * the node key; cf. the alternating-star algorithms from the public
+    * literature for O(log n) round counts) — no driver-side graph, no
+    * actions during construction.  The DuckDB oracle states the same
+    * fixpoint as a recursive CTE, so the round bound is verified against a
+    * true transitive closure on every gate run. */
+  val d6DupClusters = NamedQuery(
+    "d6_dup_clusters",
+    (s, dir) => {
+      val ccRounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(8)
+      val sh = TextOps.shingles(s, dir).select(col("doc_id"), col("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      // exact global Jaccard pairs at >= 0.5 (same arithmetic as d2's
+      // oracle-green form, global scope like d3)
+      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"), "doc_b")
+        .filter(round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4) >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      // Edges plus self-loops: label(node) = min over {self} ∪ neighbors of
+      // the previous labels — ONE join + ONE agg per round, with `labels`
+      // referenced once, so the unresolved plan grows LINEARLY in rounds (a
+      // labels-join-labels formulation doubles the plan per round and chokes
+      // the optimizer long before execution).  `edgesPlus` is persisted:
+      // every round's lineage references it, and without the persist each
+      // round would recompute the full shingle self-join.
+      val nodes = pairs.select(col("doc_a").as("node"))
+        .unionByName(pairs.select(col("doc_b").as("node"))).distinct()
+      val edgesPlus = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      var labels = nodes.withColumn("label", col("node"))
+      for (_ <- 1 to ccRounds) {
+        labels = edgesPlus.join(labels, edgesPlus("dst") === labels("node"))
+          .groupBy(col("src")).agg(min(col("label")).as("label"))
+          .select(col("src").as("node"), col("label"))
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
+      SELECT node AS doc_id, min(label) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id"""),
+    doc = "connected components over the near-dup graph (canonical-keeper labels); " +
+      "bounded min-label propagation vs a recursive-CTE oracle")
+
+  def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash, d6DupClusters)
 }

@@ -399,7 +399,37 @@ object TextOps {
         round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
   }
 
+  // ---------------------------------------------------------------- t8
+  /** Deterministic train/valid/test split — a training-data pipeline staple.
+    * The split key is the first hex digit of md5(doc_id || ":split"):
+    * '0'..'c' → train (13/16), 'd'..'e' → valid (2/16), 'f' → test (1/16).
+    * Hash-based assignment is stable under repartitioning, resharding, and
+    * incremental appends (the same doc always lands in the same split —
+    * unlike rand()-based sampling), embarrassingly parallel, and exactly
+    * reproducible in any engine with md5.  The salt suffix decorrelates this
+    * split from any other md5-keyed logic (e.g. d1's fingerprint). */
+  val t8TrainSplit = NamedQuery(
+    "t8_train_split",
+    (s, dir) => {
+      val h1 = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 1)
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(h1 < "d", "train").when(h1 < "f", "valid").otherwise("test"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some("""SELECT CASE WHEN h1 < 'd' THEN 'train'
+                        WHEN h1 < 'f' THEN 'valid'
+                        ELSE 'test' END AS split,
+        source, count(*) AS n_docs
+      FROM (SELECT source,
+              substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) AS h1
+            FROM documents) t
+      GROUP BY 1, 2 ORDER BY split, source"""),
+    doc = "deterministic hash-based train/valid/test split (stable under reshuffles)")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
-    t6BpeTokens, t7RollingFingerprint, d1DedupExact, d2NgramJaccard)
+    t6BpeTokens, t7RollingFingerprint, t8TrainSplit, d1DedupExact, d2NgramJaccard)
 }
