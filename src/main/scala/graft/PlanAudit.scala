@@ -62,7 +62,9 @@ object PlanAudit {
       "SimHash candidates come from a banded equi-join", present = false),
     Expect("d5_embedding_neardup", "CollectLimit",
       "exact all-pairs must stay distributed (no driver materialization)",
-      present = false))
+      present = false),
+    Expect("c1_corpus_curation", "LeftAnti",
+      "near-dup removal is an anti-join against the small drop set"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

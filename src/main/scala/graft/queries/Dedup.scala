@@ -147,9 +147,10 @@ object Dedup {
     * actions during construction.  The DuckDB oracle states the same
     * fixpoint as a recursive CTE, so the round bound is verified against a
     * true transitive closure on every gate run. */
-  val d6DupClusters = NamedQuery(
-    "d6_dup_clusters",
-    (s, dir) => {
+  /** Unordered (doc_id, cluster_id) component labels over the ≥0.5 exact
+    * global Jaccard graph — the d6 query body, reusable by composed
+    * pipelines (c1). */
+  def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       // Measured across the testdata SFs, every near-dup component is a
       // clique/star (eccentricity 1 from its min node) — 3 rounds covers
       // diameter 3 with margin; raise via conf for graphs with long chains.
@@ -189,8 +190,11 @@ object Dedup {
           .select(col("src").as("node"), col("label"))
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    },
+  }
+
+  val d6DupClusters = NamedQuery(
+    "d6_dup_clusters",
+    (s, dir) => clusterLabels(s, dir).orderBy(col("doc_id")),
     Some("""WITH RECURSIVE tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''),

@@ -429,7 +429,121 @@ object TextOps {
       GROUP BY 1, 2 ORDER BY split, source"""),
     doc = "deterministic hash-based train/valid/test split (stable under reshuffles)")
 
+  // ---------------------------------------------------------------- c1
+  /** The flagship training-data curation pipeline, composed end-to-end from
+    * the pack's tiers: quality-filter (t3's score ≥ 0.5) → language-filter
+    * (t2's predictor = 'en') → near-dup removal (anti-join against d6's
+    * non-keeper drop set) → deterministic split assignment (t8) → corpus
+    * budget per split (docs + tokens).  This is the query a 100 TB
+    * pre-training corpus actually runs: three embarrassingly-parallel
+    * scans' worth of column math fused into one, a single anti-join against
+    * the (small) drop set — broadcast at any realistic dup rate — and a
+    * 3-row aggregate.  Fully oracle-checked, including the recursive-CTE
+    * replay of the cluster labels. */
+  val c1CorpusCuration = NamedQuery(
+    "c1_corpus_curation",
+    (s, dir) => {
+      val cleaned = lower(col("text"))
+      def marker(pat: String): Column =
+        size(regexp_extract_all(cleaned, lit(pat), lit(0)))
+      val scored = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
+        .withColumn("punct_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
+            .cast("double") / length(col("text")))
+        .withColumn("stop_ratio",
+          stopwordCount(lower(col("text"))).cast("double") / col("n_tokens"))
+        .withColumn("quality",
+          floor((least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
+            + (lit(1.0) - col("punct_ratio")) * 0.3
+            + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.2) * 10000) / 10000.0)
+        .withColumn("s_en", marker("\\b(the|a|of|and|to|in)\\b"))
+        .withColumn("s_es", marker("\\b(el|la|los|las|un|una|y|en|de)\\b"))
+        .withColumn("s_fr", marker("\\b(le|la|les|des|un|une|et|est)\\b"))
+        .withColumn("lang_pred",
+          when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
+            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+      val dropSet = Dedup.clusterLabels(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val h1 = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 1)
+      scored
+        .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
+        .join(dropSet, Seq("doc_id"), "left_anti")
+        .withColumn("split",
+          when(h1 < "d", "train").when(h1 < "f", "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy(col("split"))
+    },
+    Some("""WITH RECURSIVE tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      labels AS (SELECT node AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY node),
+      dropset AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+      scored AS (
+        SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          floor((least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.5
+            + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+                / length(text)) * 0.3
+            + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.2) * 10000) / 10000.0
+            AS quality,
+          CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) = 0
+                AND len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0)) = 0
+                AND len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0)) = 0
+               THEN 'unknown'
+               WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0))
+                      >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0))
+                AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0))
+                      >= len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0))
+               THEN 'en'
+               WHEN len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0))
+                      >= len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0))
+               THEN 'es'
+               ELSE 'fr' END AS lang_pred,
+          substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) AS h1
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      kept AS (
+        SELECT * FROM scored
+        WHERE quality >= 0.5 AND lang_pred = 'en'
+          AND doc_id NOT IN (SELECT doc_id FROM dropset))
+      SELECT CASE WHEN h1 < 'd' THEN 'train'
+                  WHEN h1 < 'f' THEN 'valid'
+                  ELSE 'test' END AS split,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM kept GROUP BY 1 ORDER BY split"""),
+    doc = "end-to-end corpus curation: quality + lang filters, near-dup drop, split budget")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
-    t6BpeTokens, t7RollingFingerprint, t8TrainSplit, d1DedupExact, d2NgramJaccard)
+    t6BpeTokens, t7RollingFingerprint, t8TrainSplit, d1DedupExact,
+    d2NgramJaccard, c1CorpusCuration)
 }

@@ -102,6 +102,52 @@ class QueryPacksSpec extends SparkSpec {
     assert(hs.sameElements(hs.sorted))
   }
 
+  test("d6 cluster labels are a valid connected-components fixpoint") {
+    // ground truth: BFS over the same edge set (d3's exact-verified pairs
+    // universe is a different threshold — recompute edges from the exact
+    // global Jaccard pairs the query itself uses, via its own output)
+    val labels = Dedup.d6DupClusters.fn(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // keeper property: every cluster id is itself a member and is the min
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.keys.toSeq)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.min == cid, s"cluster $cid min is ${members.min}")
+      assert(labels(cid) == cid, s"keeper $cid not labeled with itself")
+    }
+    // consistency with the exact near-dup pairs: both endpoints of every
+    // strong pair (jaccard >= 0.5, global scope) share a cluster
+    val sh = TextOps.shingles(spark, sf()).select("doc_id", "shingle")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.toDF("doc_a", "sa"), "doc_a")
+      .join(sizes.toDF("doc_b", "sb"), "doc_b")
+      .filter(round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4) >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+  }
+
+  test("t8 split is deterministic, total, and roughly 13/2/1 by hash range") {
+    val out = TextOps.t8TrainSplit.fn(spark, sf()).collect()
+    val bySplit = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = bySplit.values.sum
+    assert(Set("train", "valid", "test").subsetOf(bySplit.keySet))
+    // 13/16 ≈ 81% expected for train; valid vs test (2/16 vs 1/16) is too
+    // close to order reliably at sf0.001's 500 docs
+    assert(bySplit("train") > bySplit("valid") && bySplit("train") > bySplit("test"))
+    assert(bySplit("train").toDouble / total > 0.6)
+    // determinism: a second run is identical row-for-row
+    val again = TextOps.t8TrainSplit.fn(spark, sf()).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("brute-force ANN: top-1 neighbor of a near-duplicate vector is that duplicate") {
     val top = Similarity.s1AnnBruteForce.fn(spark, sf())
     val rows = top.filter(col("rn") === 1).collect()
