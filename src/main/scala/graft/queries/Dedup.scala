@@ -155,20 +155,13 @@ object Dedup {
       // clique/star (eccentricity 1 from its min node) — 3 rounds covers
       // diameter 3 with margin; raise via conf for graphs with long chains.
       val ccRounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(3)
-      val sh = TextOps.shingles(s, dir).select(col("doc_id"), col("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      // exact global Jaccard pairs at >= 0.5 (same arithmetic as d2's
-      // oracle-green form, global scope like d3)
-      val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      val pairs = inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"), "doc_b")
-        .filter(round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4) >= 0.5)
+      // exact global Jaccard pairs at >= 0.5 — scale-adaptive: the naive
+      // shingle self-join for small corpora, the AllPairs/PPJoin prefix
+      // filter at scale, where the naive join's quadratic blowup on
+      // frequent shingles is the one thing that wouldn't survive 100 TB
+      // (both provably identical to the recursive-CTE oracle's pair set —
+      // equivalence spec-tested in both scopes)
+      val pairs = TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
         .select(col("doc_a"), col("doc_b"))
       // Edges plus self-loops: label(node) = min over {self} ∪ neighbors of
       // the previous labels — ONE join + ONE agg per round, with `labels`

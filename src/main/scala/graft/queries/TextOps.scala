@@ -279,23 +279,7 @@ object TextOps {
   val d2NgramJaccard = NamedQuery(
     "d2_ngram_jaccard",
     (s, dir) => {
-      // Scale-adaptive plan choice (both paths produce identical results —
-      // proven by QueryPacksSpec): for small corpora the naive shingle join
-      // beats the prefix filter's extra shuffles; at scale, quadratic
-      // blowup on frequent shingles dominates and the prefix-filtered join
-      // is the only viable plan.  The decision uses driver-side plan
-      // statistics (file-listing sizeInBytes — no Spark job; round 1 ran a
-      // full count() action inside query CONSTRUCTION) with an explicit
-      // conf override for deployments that know their corpus.
-      val usePrefix = s.conf.getOption("spark.graft.jaccard.prefixFilter") match {
-        case Some(v) => v.toBoolean
-        case None =>
-          Tables.documents(s, dir).queryExecution.optimizedPlan
-            .stats.sizeInBytes > (512L << 20) // ≈ the old 500 k-doc switch
-      }
-      val pairs =
-        if (usePrefix) jaccardPairsPrefixFiltered(s, dir, 0.2)
-        else shingleJaccardPairs(s, dir).filter(col("jaccard") >= 0.2)
+      val pairs = adaptiveJaccardPairs(s, dir, 0.2)
       pairs
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -323,6 +307,26 @@ object TextOps {
       ORDER BY doc_a, doc_b"""),
     doc = "n-gram (word-trigram) Jaccard near-dup pairs within source")
 
+  /** Scale-adaptive exact-Jaccard pairs (both paths produce identical
+    * results — proven by QueryPacksSpec in both scopes): for small corpora
+    * the naive shingle join beats the prefix filter's extra shuffles; at
+    * scale, quadratic blowup on frequent shingles dominates and the
+    * prefix-filtered join is the only viable plan.  The decision uses
+    * driver-side plan statistics (file-listing sizeInBytes — no Spark job;
+    * round 1 ran a full count() action inside query CONSTRUCTION) with an
+    * explicit conf override for deployments that know their corpus. */
+  def adaptiveJaccardPairs(s: SparkSession, dir: String, t: Double,
+      global: Boolean = false): DataFrame = {
+    val usePrefix = s.conf.getOption("spark.graft.jaccard.prefixFilter") match {
+      case Some(v) => v.toBoolean
+      case None =>
+        Tables.documents(s, dir).queryExecution.optimizedPlan
+          .stats.sizeInBytes > (512L << 20) // ≈ a 500 k-doc switch
+    }
+    if (usePrefix) jaccardPairsPrefixFiltered(s, dir, t, global)
+    else shingleJaccardPairs(s, dir, global).filter(col("jaccard") >= t)
+  }
+
   /** Shared shingle machinery: distinct word-trigram shingles per doc. */
   def shingles(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
@@ -346,26 +350,32 @@ object TextOps {
     * k² join rows) is cut to the rare tail.  This is the difference between
     * a set-similarity join that survives 100 TB and one that doesn't.
     */
-  def jaccardPairsPrefixFiltered(s: SparkSession, dir: String, t: Double): DataFrame = {
+  def jaccardPairsPrefixFiltered(s: SparkSession, dir: String, t: Double,
+      global: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `global=false` scopes pairs within `source` (the d2 semantics);
+    // `global=true` joins across the whole corpus (the dedup-tier d6/c1
+    // semantics) — the scope column set is the only difference.
+    val scope = if (global) Seq.empty[String] else Seq("source")
+    val scopedShingle = scope :+ "shingle"
     // DISK_ONLY: the exploded shingle set is ~10× the corpus — an uncapped
     // MEMORY cache of it is an executor-OOM hazard at scale, and spilled
     // blocks serve the three downstream scans just as well.
     val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // global rarity order within the join scope (source)
-    val freq = sh.groupBy(col("source"), col("shingle"))
+    // global rarity order within the join scope
+    val freq = sh.groupBy(scopedShingle.map(col): _*)
       .agg(count(lit(1)).as("df"))
-    val ranked = sh.join(freq, Seq("source", "shingle"))
+    val ranked = sh.join(freq, scopedShingle)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       .join(sizes, "doc_id")
       .withColumn("prefix_len", col("n_sh") - ceil(col("n_sh") * t) + 1)
     val prefix = ranked.filter(col("rn") <= col("prefix_len"))
-      .select(col("source"), col("shingle"), col("doc_id"), col("n_sh"))
-    val cand = prefix.select(col("source"), col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
-      .join(prefix.select(col("source"), col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("sb")),
-        Seq("source", "shingle"))
+      .select((scopedShingle :+ "doc_id" :+ "n_sh").map(col): _*)
+    val cand = prefix.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa")
+      .join(prefix.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"),
+        scopedShingle)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .distinct()
@@ -383,12 +393,14 @@ object TextOps {
   /** All same-source pairs with their exact shingle Jaccard (unfiltered).
     * Naive quadratic form — kept as the reference implementation for tests;
     * production path is [[jaccardPairsPrefixFiltered]]. */
-  def shingleJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  def shingleJaccardPairs(s: SparkSession, dir: String,
+      global: Boolean = false): DataFrame = {
+    val joinKeys = if (global) Seq("shingle") else Seq("source", "shingle")
     val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("source", "shingle"))
+    val inter = a.join(if (global) b.drop("source") else b, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))

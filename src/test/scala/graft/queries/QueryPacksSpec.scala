@@ -64,15 +64,15 @@ class QueryPacksSpec extends SparkSpec {
   }
 
   test("prefix-filtered jaccard join ≡ naive all-pairs join (exactness of the pruning)") {
-    for (t <- Seq(0.2, 0.5)) {
-      val naive = TextOps.shingleJaccardPairs(spark, sf())
+    for (t <- Seq(0.2, 0.5); global <- Seq(false, true)) {
+      val naive = TextOps.shingleJaccardPairs(spark, sf(), global)
         .filter(col("jaccard") >= t)
         .select("doc_a", "doc_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val pruned = TextOps.jaccardPairsPrefixFiltered(spark, sf(), t)
+      val pruned = TextOps.jaccardPairsPrefixFiltered(spark, sf(), t, global)
         .select("doc_a", "doc_b", "jaccard").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      assert(pruned == naive, s"prefix filter changed results at t=$t")
+      assert(pruned == naive, s"prefix filter changed results at t=$t global=$global")
     }
   }
 
