@@ -14,38 +14,30 @@ import org.apache.spark.sql.functions._
   * corpus (8-bit signatures) so each query only scans its bucket.
   * s3 exercises posexplode/per-dimension aggregation (label centroids).
   *
-  * Dot products use `zip_with` + `aggregate` higher-order functions over
-  * array<double> — codegen'd, no UDF.
+  * Dot products use the native codegen'd `graft_dot` expression
+  * ([[graft.functions.ArrayDotProduct]]) over array<double> — a static
+  * call into a primitive loop, no UDF boundary.
   */
 object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ as a fold — stays in whole-stage codegen.  Fine for
-    * |queries|·|corpus| sized joins; for all-pairs workloads use
-    * [[dotFast]] — the Catalyst per-element fold allocates per step and is
-    * ~20× slower than a primitive loop at millions of pairs. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ via the native codegen'd [[graft.functions.ArrayDotProduct]]
+    * expression (one static call into a primitive loop — the Catalyst
+    * `aggregate`+`zip_with` fold allocates a lambda frame per element and
+    * is ~20× slower at |queries|·|corpus| scale).  Same sequential
+    * left-fold arithmetic as the HOF form and DuckDB's
+    * `list_dot_product`, so oracle hashes are unaffected.  Callers must
+    * `GraftFunctions.register(s)` (every query fn below does). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Same left-fold arithmetic as [[dot]] (bit-identical result, so DuckDB
-    * oracles are unaffected), as a tight primitive loop. */
-  val dotFastUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
-  def dotFast(a: Column, b: Column): Column = dotFastUdf(a, b)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   // ---------------------------------------------------------------- s1
   val s1AnnBruteForce = NamedQuery(
     "s1_ann_bruteforce",
     (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("nrm", norm(col("emb")))
@@ -111,6 +103,7 @@ object Similarity {
   val s2AnnLsh = NamedQuery(
     "s2_ann_lsh",
     (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("nrm", norm(col("emb")))
@@ -157,6 +150,7 @@ object Similarity {
   val s4AnnIvf = NamedQuery(
     "s4_ann_ivf",
     (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
@@ -246,6 +240,7 @@ object Similarity {
   val d5EmbeddingNearDup = NamedQuery(
     "d5_embedding_neardup",
     (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
       import s.implicits._
       val B = DedupBlocks
       val e = Tables.embeddings(s, dir)

@@ -56,7 +56,11 @@ case class VaderCompound(child: Expression)
 
 /** Session-level registration of graft's native SQL functions. */
 object GraftFunctions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vader_compound", exprs => VaderCompound(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => graft.functions.ArrayDotProduct(exprs.head, exprs(1)), "scala_udf")
+  }
 }
