@@ -92,6 +92,22 @@ object Sinks {
       }
   }
 
+  /** Scale-correct streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * per-fingerprint state only until the watermark passes its event time,
+    * so state is BOUNDED by the dup horizon — unlike
+    * [[dedupedJsonFiles]]'s anti-join, which re-reads the entire written
+    * output every micro-batch (fine for a demo sink, quadratic over a
+    * long-running 100 TB ingest).  Duplicates arriving within `horizon` of
+    * each other emit once; a re-arrival after the watermark passes is a
+    * new document by definition of the horizon. */
+  def dedupWithinWatermark(enriched: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    Enrich.withEventTime(enriched)
+      .withColumn("__fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withWatermark("event_ts", horizon)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** T6: the windowed aggregation the reference deleted, restored properly:
     * tumbling 1-minute sentiment counts on event time with a 2-minute
     * watermark (append mode emits each window once it is final). */

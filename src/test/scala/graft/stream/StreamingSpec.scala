@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01T12:01:00Z", "neutral", 1L)))
   }
 
+  test("streaming dedup within watermark drops dups in-batch and across batches (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Post]
+    val deduped = Sinks.dedupWithinWatermark(Enrich.enrich(input.toDF()), "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup").outputMode(OutputMode.Append).start()
+
+    def post(text: String, user: String, ts: String) =
+      Post(Some(text), Some(user), Some("twitter"), None, None, None,
+        Some(Location(None, None)), Some(ts))
+
+    input.addData(
+      post("totally unique doc one", "u1", "2024-01-01 12:00:10"),
+      post("totally unique doc one", "u2", "2024-01-01 12:00:20"), // in-batch dup
+      post("another doc two", "u3", "2024-01-01 12:00:30"))
+    q.processAllAvailable()
+    // across batches, still inside the horizon; fingerprint is
+    // whitespace-normalized so the restyled copy is the same key
+    input.addData(post("totally  unique   doc  one", "u4", "2024-01-01 12:02:00"))
+    input.addData(post("fresh third doc", "u5", "2024-01-01 12:03:00"))
+    q.processAllAvailable()
+    q.stop()
+
+    val users = spark.table("dedup").select("user").collect().map(_.getString(0)).toSet
+    assert(users == Set("u1", "u3", "u5"), s"got $users")
+  }
+
   test("stateful sessionization closes sessions on in-batch gaps and event-time timeout") {
     import spark.implicits._
     implicit val sparkImplicit: org.apache.spark.sql.SparkSession = spark
