@@ -463,6 +463,19 @@ object Vader {
   /** Full lookup lexicon (hand-authored entries win over derived forms). */
   private[sentiment] val lexicon: Map[String, Double] = inflected ++ baseLexicon
 
+  /** Published special-case idioms (ICWSM-2014 reference implementation):
+    * multi-word expressions whose sentiment overrides the word-level
+    * lexicon ("the bomb" is praise, "yeah right" is sarcasm).  Bigrams and
+    * trigrams, matched on the lookup token stream; matched positions are
+    * scored once, at the idiom's head, with the idiom's valence. */
+  private[sentiment] val idiomBigrams: Map[(String, String), Double] = Map(
+    ("the", "shit") -> 3.0, ("the", "bomb") -> 3.0, ("bad", "ass") -> 1.5,
+    ("yeah", "right") -> -2.0)
+
+  private[sentiment] val idiomTrigrams: Map[(String, String, String), Double] = Map(
+    ("cut", "the", "mustard") -> 2.0, ("kiss", "of", "death") -> -1.5,
+    ("hand", "to", "mouth") -> -2.0)
+
   private val punctStrip = "^[\\p{Punct}]+|[\\p{Punct}]+$"
 
   /** Tokenize like VADER: whitespace split, strip leading/trailing
@@ -500,12 +513,41 @@ object Vader {
     val butIdx = lower.indexOf("but")
     val sentiments = new Array[Double](toks.length)
 
+    // idiom pass: trigrams first (longest match wins), then bigrams; the
+    // head position carries the idiom valence, the tail positions score 0
+    val idiomAt = new Array[Double](toks.length)
+    val idiomHead = new Array[Boolean](toks.length)
+    val idiomTail = new Array[Boolean](toks.length)
+    var k = 0
+    while (k < lower.length) {
+      if (!idiomTail(k) && k + 2 < lower.length &&
+          idiomTrigrams.contains((lower(k), lower(k + 1), lower(k + 2)))) {
+        idiomAt(k) = idiomTrigrams((lower(k), lower(k + 1), lower(k + 2)))
+        idiomHead(k) = true; idiomTail(k + 1) = true; idiomTail(k + 2) = true
+        k += 3
+      } else if (!idiomTail(k) && k + 1 < lower.length &&
+          idiomBigrams.contains((lower(k), lower(k + 1)))) {
+        idiomAt(k) = idiomBigrams((lower(k), lower(k + 1)))
+        idiomHead(k) = true; idiomTail(k + 1) = true
+        k += 2
+      } else k += 1
+    }
+
     var i = 0
     while (i < toks.length) {
       val (orig, word) = toks(i)
       var valence = 0.0
       val isBoosterHere = boosters.contains(word)
-      if (!isBoosterHere && lexicon.contains(word)) {
+      if (idiomHead(i)) {
+        valence = idiomAt(i)
+        // clause re-weighting still applies to idioms
+        if (butIdx >= 0) {
+          if (i < butIdx) valence *= 0.5
+          else if (i > butIdx) valence *= 1.5
+        }
+      } else if (idiomTail(i)) {
+        // consumed by the idiom at its head — contributes nothing itself
+      } else if (!isBoosterHere && lexicon.contains(word)) {
         valence = lexicon(word)
         // ALL-CAPS emphasis on the sentiment-bearing word itself
         if (mixedCase && isUpper(orig))
@@ -524,7 +566,20 @@ object Vader {
               }
               valence += b * decay
             }
-            if (negations.contains(prev)) valence *= NegScalar
+            if (negations.contains(prev)) {
+              // published special case: "never so X" / "never this X" is an
+              // intensifier (×1.25), not a negation
+              val neverBoost = prev == "never" && dist >= 2 && {
+                var j2 = i - dist + 1
+                var found = false
+                while (j2 < i && !found) {
+                  if (lower(j2) == "so" || lower(j2) == "this") found = true
+                  j2 += 1
+                }
+                found
+              }
+              valence *= (if (neverBoost) 1.25 else NegScalar)
+            }
             // "least X" de-amplifies unless preceded by "at" ("at least")
             if (dist == 1 && prev == "least" &&
                 (i - 2 < 0 || lower(i - 2) != "at")) valence *= NegScalar

@@ -109,6 +109,20 @@ class VaderSpec extends AnyFunSuite {
     assert(neg < -0.3 && neg == Vader.compound("a dreadful, catastrophic failure"))
   }
 
+  test("special-case idioms override word-level valence (published table)") {
+    assert(Vader.compound("that track is the bomb") > 0.05)      // idiom beats "bomb" −2.4
+    assert(Vader.compound("yeah right, great service") <
+      Vader.compound("great service"))                           // sarcasm marker drags down
+    assert(Vader.compound("a real kiss of death for the project") < -0.05)
+    assert(Vader.compound("he is one bad ass driver") > 0.05)    // idiom beats "bad" −2.5
+  }
+
+  test("'never so/this X' intensifies instead of negating (published special case)") {
+    val plain = Vader.compound("the food was good")
+    assert(Vader.compound("the food was never so good") > plain) // ×1.25 + booster
+    assert(Vader.compound("the food was never good") < 0)        // plain negation path intact
+  }
+
   private def sampleTexts(n: Int): Seq[String] = {
     val rng = new scala.util.Random(42)
     val vocab: IndexedSeq[String] =
