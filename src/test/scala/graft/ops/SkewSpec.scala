@@ -34,6 +34,43 @@ class SkewSpec extends SparkSpec {
     assert(plain("hot") == 9000L)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // the other half of the skew toolkit: salting is the planned fix,
+    // AQE skew-join is the runtime fix — demonstrate it actually fires
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of fact rows share one key → one reducer partition ≫ the
+      // others.  Payloads are seeded-random so the lz4-compressed shuffle
+      // partition sizes AQE measures reflect the skew (a constant pad
+      // compresses to almost nothing and defeats the threshold).
+      val rng = new scala.util.Random(1)
+      val fact = (1 to 120000)
+        .map(i => (if (i % 10 != 0) 1L else (i % 1000).toLong,
+          rng.alphanumeric.take(64).mkString))
+        .toDF("k", "payload")
+      val dim = (0L to 1000L).map(k => (k, s"dim-$k")).toDF("k", "dv")
+      val joined = fact.join(dim, "k")
+      joined.queryExecution.toRdd.count(): Unit // execute THIS plan to finality
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n${finalPlan.take(1500)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("salt is deterministic and bounded") {
     import spark.implicits._
     val df = (1 to 1000).toDF("v")
