@@ -15,11 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one hung query must not eat the whole round's
+    // correctness gate.  Each query runs in its own job group; a timer
+    // cancels the group at the deadline and the loop moves on (the failed
+    // query shows as a missing dump = red row, everything else stays green).
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
+    val timer = new java.util.Timer("verify-watchdog", true)
     SparkEntry.queries.foreach { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      val task = new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[verify] $name exceeded ${timeoutSec}s — cancelling")
+          spark.sparkContext.cancelJobGroup(name)
+        }
+      }
+      timer.schedule(task, timeoutSec * 1000L)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        task.cancel(): Unit
+        spark.sparkContext.clearJobGroup()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
