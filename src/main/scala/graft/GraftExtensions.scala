@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extension hook registering graft's native Catalyst functions at
+  * session build — the SURVEY §7.3 extension mechanism, usable two ways:
+  *
+  *   - cluster-wide: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *   - programmatic: `SparkSession.builder().withExtensions(new GraftExtensions)`
+  *     (the graft mains and the test harness do this)
+  *
+  * [[graft.sentiment.GraftFunctions.register]] remains as a per-session
+  * fallback for sessions built without the hook (query fns call it
+  * idempotently so bare construction keeps working anywhere).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vader_compound"),
+      new ExpressionInfo(classOf[graft.sentiment.VaderCompound].getName, "vader_compound"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.sentiment.VaderCompound(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ArrayDotProduct(exprs.head, exprs(1))))
+  }
+}

@@ -21,6 +21,7 @@ object StreamJob {
   def main(args: Array[String]): Unit = {
     val opts = parse(args.toList, Map.empty)
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-stream")
       .config("spark.sql.shuffle.partitions",

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * harness config in Verify.scala). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

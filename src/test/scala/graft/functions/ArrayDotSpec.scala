@@ -43,6 +43,16 @@ class ArrayDotSpec extends SparkSpec {
     assert(out(3).contains(4.0))             // 1.5*2 + 2*0.5
   }
 
+  test("GraftExtensions injects both native functions at session build (no manual register)") {
+    // SparkSpec builds its session withExtensions(new GraftExtensions) —
+    // SQL must resolve graft's functions without GraftFunctions.register
+    val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+    val v = spark.sql("SELECT vader_compound('i love this') AS v").head().getFloat(0)
+    assert(v > 0.05f)
+  }
+
   test("kernel uses min-length semantics on ragged arrays (interpreted path)") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
