@@ -148,6 +148,27 @@ class QueryPacksSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("sketch accuracy: approx_percentile within 5% of exact, HLL within 10% of exact") {
+    // q26 (t-digest-style sketch) vs q16 (exact percentiles), same grouping
+    val exactP = Relational.q16Percentiles.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    Relational.q26ApproxPercentiles.fn(spark, sf()).collect().foreach { r =>
+      val (p50, p90) = exactP(r.getString(0))
+      assert(math.abs(r.getDouble(2) - p50) / p50 < 0.05,
+        s"${r.getString(0)} p50 sketch ${r.getDouble(2)} vs exact $p50")
+      assert(math.abs(r.getDouble(3) - p90) / p90 < 0.05,
+        s"${r.getString(0)} p90 sketch ${r.getDouble(3)} vs exact $p90")
+    }
+    // a6 (HyperLogLog) vs q8 (exact COUNT DISTINCT), same grouping
+    val exactD = Relational.q8Distinct.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    Analytics.aApproxDistinct.fn(spark, sf()).collect().foreach { r =>
+      val exact = exactD(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(1) - exact) / exact < 0.10,
+        s"${r.getString(0)} HLL ${r.getLong(1)} vs exact $exact")
+    }
+  }
+
   test("brute-force ANN: top-1 neighbor of a near-duplicate vector is that duplicate") {
     val top = Similarity.s1AnnBruteForce.fn(spark, sf())
     val rows = top.filter(col("rn") === 1).collect()
