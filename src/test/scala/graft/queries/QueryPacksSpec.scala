@@ -193,6 +193,23 @@ class QueryPacksSpec extends SparkSpec {
     assert(recalled * 2 >= bfTop.size, s"IVF recalled only $recalled/${bfTop.size} top-1s")
   }
 
+  test("multi-probe LSH recall dominates single-probe (bucket superset)") {
+    def top1Hits(df: org.apache.spark.sql.DataFrame, bf: Map[Long, Long]): Int = {
+      val byQ = df.select("q_id", "nn_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      bf.count { case (q, nn) => byQ.get(q).exists(_.contains(nn)) }
+    }
+    val bfTop = Similarity.s1AnnBruteForce.fn(spark, sf())
+      .filter(col("rn") === 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = top1Hits(Similarity.s2AnnLsh.fn(spark, sf()), bfTop)
+    val multi = top1Hits(Similarity.s5AnnMultiProbe.fn(spark, sf()), bfTop)
+    // probing a superset of buckets can only help: if the global top-1 is
+    // in a single-probe bucket it ranks #1 there too, so it survives the
+    // top-5 cut in both
+    assert(multi >= single, s"multi-probe recalled $multi < single-probe $single")
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
