@@ -22,11 +22,19 @@ object Bench {
     // of a plan absorbs one-off whole-stage-codegen compilation and JIT
     // warmup that dominate sub-second queries and aren't a property of the
     // plan (round-1 numbers had t7 at 3.7 s purely from first-job costs).
+    // The cache is cleared between runs: queries that persist() an
+    // intermediate (d2/d3/d6/c1) register it in the CacheManager keyed by
+    // canonicalized plan, and without the clear the second run would read
+    // the first run's materialized blocks and report a warm-cache time for
+    // compute that IS a property of the plan (it also stops 61 queries'
+    // persisted blocks accumulating across the session).
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        t
       }
       name -> times.min
     }

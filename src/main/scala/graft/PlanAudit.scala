@@ -85,9 +85,10 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def planOf(name: String): String =
+    val planCache = scala.collection.mutable.Map.empty[String, String]
+    def planOf(name: String): String = planCache.getOrElseUpdate(name,
       SparkEntry.queries(name)(spark, dir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        .queryExecution.explainString(ExplainMode.fromString("formatted")))
 
     // --dump accepts a comma-separated list and emits EXPLAIN.md-shaped
     // markdown (one "## name" + fenced plan per query)

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -9,16 +8,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** JVM kernel with a static forwarder so generated Java can call it
   * directly.  Sequential left fold in index order — arithmetic-identical
-  * to `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` on equal-length
-  * arrays AND to DuckDB's `list_dot_product`, so swapping it into an
-  * oracle-checked query cannot change a single bit of output. */
+  * to `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` INCLUDING its null
+  * semantics: `zip_with` null-pads a length mismatch and a null product
+  * poisons the fold, so any mismatch or null element yields NULL (boxed
+  * null here).  Swapping it into an oracle-checked query cannot change a
+  * single bit of output. */
 object DotKernel {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 }
 
@@ -29,11 +35,12 @@ object DotKernel {
   * primitive loop and stays inside whole-stage codegen — the difference is
   * the ANN hot path (|queries|·|corpus| dot products per scan).
   * Registered as SQL function `graft_dot` by
-  * [[graft.sentiment.GraftFunctions]]. */
+  * [[graft.sentiment.GraftFunctions]] and [[graft.GraftExtensions]]. */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -48,7 +55,13 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     DotKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotKernel.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}$$boxed = graft.functions.DotKernel.dot($a, $b);
+      if (${ev.value}$$boxed == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}$$boxed.doubleValue();
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotProduct =

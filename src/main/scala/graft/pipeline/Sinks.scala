@@ -77,13 +77,13 @@ object Sinks {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val spark = batch.sparkSession
         val withFp = batch.withColumn("__fp",
-          md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+          graft.queries.TextOps.normFingerprint(col("text")))
           .dropDuplicates("__fp")
         val dir = new java.io.File(path)
         val fresh =
           if (dir.exists() && dir.listFiles().exists(f => f.getName.endsWith(".json"))) {
             val seen = spark.read.schema(batch.schema).json(path)
-              .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("__fp"))
+              .select(graft.queries.TextOps.normFingerprint(col("text")).as("__fp"))
               .distinct()
             withFp.join(seen, Seq("__fp"), "left_anti")
           } else withFp
@@ -103,7 +103,7 @@ object Sinks {
   def dedupWithinWatermark(enriched: DataFrame,
       horizon: String = "10 minutes"): DataFrame =
     Enrich.withEventTime(enriched)
-      .withColumn("__fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("__fp", graft.queries.TextOps.normFingerprint(col("text")))
       .withWatermark("event_ts", horizon)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

@@ -34,11 +34,11 @@ object Dedup {
   val d3MinHashLsh = NamedQuery(
     "d3_minhash_lsh",
     (s, dir) => {
-      // DISK_ONLY, not MEMORY: exploded shingles are ~10× the corpus (see
-      // jaccardPairsPrefixFiltered) — don't hold them on-heap at scale.
+      // MEMORY_AND_DISK, never MEMORY_ONLY: exploded shingles are ~10× the
+      // corpus (see jaccardPairsPrefixFiltered) — they must spill, not OOM.
       val sh = TextOps.shingles(s, dir)
         .select(col("doc_id"), col("shingle"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = signatures(sh)
       // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
       // One posexplode over the band-hash array — NOT a 4-way union, which
@@ -140,7 +140,8 @@ object Dedup {
     * Spark side: iterative min-label propagation over the edge list — each
     * round is one equi-join + min-aggregate, label information travels one
     * hop, so `ccRounds` bounds the reachable diameter.  Near-dup components
-    * are near-cliques (diameter ≤ 2–3); see the round-count note below.  At 100 TB
+    * are near-cliques (diameter ≤ 2–3); see the round-count note in
+    * [[clusterLabels]].  At 100 TB
     * this is the standard scalable CC shape (join+agg per round, shuffle on
     * the node key; cf. the alternating-star algorithms from the public
     * literature for O(log n) round counts) — no driver-side graph, no
@@ -151,10 +152,14 @@ object Dedup {
     * global Jaccard graph — the d6 query body, reusable by composed
     * pipelines (c1). */
   def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-      // Measured across the testdata SFs, every near-dup component is a
-      // clique/star (eccentricity 1 from its min node) — 3 rounds covers
-      // diameter 3 with margin; raise via conf for graphs with long chains.
-      val ccRounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(3)
+      // Round bound vs the oracle's true transitive closure: k rounds
+      // converge every node within k hops of its component's min.  Measured
+      // across the testdata SFs every component is a clique/star
+      // (eccentricity 1), so the default of 4 carries 4x margin; a corpus
+      // with longer similarity CHAINS (5+ docs pairwise-chained at Jaccard
+      // ≥ 0.5 without being mutually similar — rare in practice) needs
+      // spark.graft.cc.rounds raised to its expected diameter.
+      val ccRounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(4)
       // exact global Jaccard pairs at >= 0.5 — scale-adaptive: the naive
       // shingle self-join for small corpora, the AllPairs/PPJoin prefix
       // filter at scale, where the naive join's quadratic blowup on
@@ -165,17 +170,43 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
       // Edges plus self-loops: label(node) = min over {self} ∪ neighbors of
       // the previous labels — ONE join + ONE agg per round, with `labels`
-      // referenced once, so the unresolved plan grows LINEARLY in rounds (a
+      // referenced once, so the plan grows LINEARLY in rounds (a
       // labels-join-labels formulation doubles the plan per round and chokes
-      // the optimizer long before execution).  `edgesPlus` is persisted:
-      // every round's lineage references it, and without the persist each
-      // round would recompute the full shingle self-join.
-      val nodes = pairs.select(col("doc_a").as("node"))
-        .unionByName(pairs.select(col("doc_b").as("node"))).distinct()
-      val edgesPlus = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // the optimizer long before execution).  The edge list is cut from
+      // its lineage with a lazy `.rdd` boundary: without the cut every
+      // round EMBEDS another copy of the whole pair-generation subtree in
+      // the logical plan, and analyzer/optimizer/codegen time over k
+      // copies of that tree — not the tiny edge data — dominates the
+      // query.  Under AQE, `.rdd` (and even a lazy localCheckpoint)
+      // materializes query stages EAGERLY — jobs during construction,
+      // which this library bans — so the conversion runs with AQE off:
+      // the RDD lineage is then built lazily and nothing executes until
+      // the first action, which materializes the persisted edges once for
+      // all rounds.  (AQE matters for skewed/large shuffles; the edge list
+      // is the small end of the dedup funnel.)
+      val edgesDf = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // (broadcast exchanges also materialize eagerly when the RDD DAG is
+      // built — executeBroadcast submits its job — so the cut subplan
+      // additionally forgoes broadcast joins for shuffle joins; it runs
+      // exactly once and its inputs are the small end of the funnel)
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val edgesRdd =
+        try {
+          s.conf.set("spark.sql.adaptive.enabled", "false")
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          edgesDf.rdd
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        }
+      val edges = s.createDataFrame(
+        edgesRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        edgesDf.schema)
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val edgesPlus = edges
         .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       var labels = nodes.withColumn("label", col("node"))
       for (_ <- 1 to ccRounds) {
         labels = edgesPlus.join(labels, edgesPlus("dst") === labels("node"))
@@ -185,10 +216,9 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  val d6DupClusters = NamedQuery(
-    "d6_dup_clusters",
-    (s, dir) => clusterLabels(s, dir).orderBy(col("doc_id")),
-    Some("""WITH RECURSIVE tok AS (
+  /** The near-dup cluster graph as DuckDB CTEs (through `labels`), shared
+    * verbatim by the d6 and c1 oracles — prepend `WITH RECURSIVE`. */
+  private[queries] val dupGraphCteSql: String = """tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''),
       sh AS (
@@ -211,9 +241,15 @@ object Dedup {
       reach(node, label) AS (
         SELECT src, src FROM edges
         UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node)
-      SELECT node AS doc_id, min(label) AS cluster_id
-      FROM reach GROUP BY node ORDER BY doc_id"""),
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+      labels AS (SELECT node AS doc_id, min(label) AS cluster_id
+                 FROM reach GROUP BY node)"""
+
+  val d6DupClusters = NamedQuery(
+    "d6_dup_clusters",
+    (s, dir) => clusterLabels(s, dir).orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $dupGraphCteSql
+      SELECT doc_id, cluster_id FROM labels ORDER BY doc_id"""),
     doc = "connected components over the near-dup graph (canonical-keeper labels); " +
       "bounded min-label propagation vs a recursive-CTE oracle")
 

@@ -21,8 +21,85 @@ object TextOps {
   /** Whitespace tokens of non-empty text. */
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Normalized-text exact-dedup fingerprint — THE dedup key.  One
+    * definition shared by d1, t4, and both streaming dedup sinks; the
+    * DuckDB oracles restate it literally (their SQL cannot reference this). */
+  def normFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
   private def stopwordCount(cleaned: Column): Column =
     size(regexp_extract_all(cleaned, lit("\\b(the|a|of|and|to|in)\\b"), lit(0)))
+
+  // ------------------------------------------------------------------
+  // Shared quality / language-ID building blocks.  t2, t3, and c1 compose
+  // THESE (Spark columns and SQL fragments alike) — one definition each,
+  // so tuning a weight or a marker list cannot silently diverge between
+  // the tier queries and the c1 pipeline that composes them.
+  // ------------------------------------------------------------------
+  private val MarkersEn = "\\b(the|a|of|and|to|in)\\b"
+  private val MarkersEs = "\\b(el|la|los|las|un|una|y|en|de)\\b"
+  private val MarkersFr = "\\b(le|la|les|des|un|une|et|est)\\b"
+
+  private def markerCount(pat: String): Column =
+    size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+
+  /** Adds n_tokens / punct_ratio / stop_ratio / quality (t3's formula). */
+  private[queries] def withQualitySignals(df: DataFrame): DataFrame = df
+    .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
+    .withColumn("punct_ratio",
+      (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
+        .cast("double") / length(col("text")))
+    .withColumn("stop_ratio",
+      stopwordCount(lower(col("text"))).cast("double") / col("n_tokens"))
+    // floor-quantize instead of round: both engines compute bit-identical
+    // doubles (same op order), but their round() tie-breaking differs
+    // (BigDecimal HALF_UP vs numeric) and this formula's decimal weights
+    // land on .5 boundaries often; floor is unambiguous.
+    .withColumn("quality",
+      floor((least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
+        + (lit(1.0) - col("punct_ratio")) * 0.3
+        + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.2) * 10000) / 10000.0)
+
+  /** Adds s_en / s_es / s_fr marker counts and the lang_pred argmax (t2). */
+  private[queries] def withLangPred(df: DataFrame): DataFrame = df
+    .withColumn("s_en", markerCount(MarkersEn))
+    .withColumn("s_es", markerCount(MarkersEs))
+    .withColumn("s_fr", markerCount(MarkersFr))
+    .withColumn("lang_pred",
+      when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+
+  // the same blocks as DuckDB SQL fragments (markers mirrored with \b)
+  private val sEnSql = raw"len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0))"
+  private val sEsSql = raw"len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0))"
+  private val sFrSql = raw"len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0))"
+
+  private val langPredCaseSql =
+    """CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
+           WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END"""
+
+  private[queries] val langPredSubSql: String =
+    s"""SELECT doc_id, lang, $langPredCaseSql AS lang_pred
+        FROM (SELECT doc_id, lang, $sEnSql AS s_en, $sEsSql AS s_es, $sFrSql AS s_fr
+              FROM documents WHERE text IS NOT NULL AND text <> '') x"""
+
+  private val qualityExprSql =
+    """floor((least(n_tokens / 100.0, 1.0) * 0.5
+              + (1.0 - punct_ratio) * 0.3
+              + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000) / 10000.0"""
+
+  private[queries] val qualitySignalsSubSql: String =
+    raw"""SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+          / length(text) AS punct_ratio,
+        CAST($sEnSql AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
+        FROM documents WHERE text IS NOT NULL AND text <> ''"""
 
   // ---------------------------------------------------------------- t1
   val t1TokenStats = NamedQuery(
@@ -57,34 +134,13 @@ object TextOps {
   val t2LangId = NamedQuery(
     "t2_lang_id",
     (s, dir) => {
-      val cleaned = lower(col("text"))
-      def score(pat: String): Column =
-        size(regexp_extract_all(cleaned, lit(pat), lit(0)))
-      Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "")
-        .withColumn("s_en", score("\\b(the|a|of|and|to|in)\\b"))
-        .withColumn("s_es", score("\\b(el|la|los|las|un|una|y|en|de)\\b"))
-        .withColumn("s_fr", score("\\b(le|la|les|des|un|une|et|est)\\b"))
-        .withColumn("lang_pred",
-          when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
-            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+      withLangPred(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= ""))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))
     },
-    Some("""SELECT lang, lang_pred, count(*) AS n FROM (
-        SELECT lang,
-          CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'unknown'
-               WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-               WHEN s_es >= s_fr THEN 'es'
-               ELSE 'fr' END AS lang_pred
-        FROM (SELECT lang,
-          len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) AS s_en,
-          len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0)) AS s_es,
-          len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0)) AS s_fr
-          FROM documents WHERE text IS NOT NULL AND text <> '') x) y
+    Some(s"""SELECT lang, lang_pred, count(*) AS n FROM ($langPredSubSql) y
       GROUP BY lang, lang_pred ORDER BY lang, lang_pred"""),
     doc = "language-ID heuristic (marker-word counting, deterministic argmax)")
 
@@ -94,38 +150,16 @@ object TextOps {
   val t3QualityScore = NamedQuery(
     "t3_quality_score",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "")
-        .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
-        .withColumn("punct_ratio",
-          (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
-            .cast("double") / length(col("text")))
-        .withColumn("stop_ratio",
-          stopwordCount(lower(col("text"))).cast("double") / col("n_tokens"))
-      // floor-quantize instead of round: both engines compute bit-identical
-      // doubles (same op order), but their round() tie-breaking differs
-      // (BigDecimal HALF_UP vs numeric) and this formula's decimal weights
-      // land on .5 boundaries often; floor is unambiguous.
-      d.withColumn("quality",
-          floor((least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
-            + (lit(1.0) - col("punct_ratio")) * 0.3
-            + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.2) * 10000) / 10000.0)
+      withQualitySignals(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= ""))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           (floor(col("stop_ratio") * 10000) / 10000.0).as("stop_ratio"), col("quality"))
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id, n_tokens,
+    Some(s"""SELECT doc_id, n_tokens,
         floor(stop_ratio * 10000) / 10000.0 AS stop_ratio,
-        floor((least(n_tokens / 100.0, 1.0) * 0.5
-              + (1.0 - punct_ratio) * 0.3
-              + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000) / 10000.0 AS quality
-      FROM (SELECT doc_id,
-        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
-          / length(text) AS punct_ratio,
-        CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) AS DOUBLE)
-          / len(regexp_split_to_array(trim(text), '\s+')) AS stop_ratio
-        FROM documents WHERE text IS NOT NULL AND text <> '') t
+        $qualityExprSql AS quality
+      FROM ($qualitySignalsSubSql) t
       ORDER BY doc_id"""),
     doc = "quality scoring: length/punct/stopword ratios per doc")
 
@@ -138,7 +172,7 @@ object TextOps {
     (s, dir) => {
       Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("text") =!= "")
-        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("fp", normFingerprint(col("text")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("fp")).as("n_unique"))
@@ -255,7 +289,7 @@ object TextOps {
     (s, dir) => {
       Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("text") =!= "")
-        .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .withColumn("fp", normFingerprint(col("text")))
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
         .groupBy(col("n_copies"))
@@ -358,10 +392,10 @@ object TextOps {
     // semantics) — the scope column set is the only difference.
     val scope = if (global) Seq.empty[String] else Seq("source")
     val scopedShingle = scope :+ "shingle"
-    // DISK_ONLY: the exploded shingle set is ~10× the corpus — an uncapped
-    // MEMORY cache of it is an executor-OOM hazard at scale, and spilled
-    // blocks serve the three downstream scans just as well.
-    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // MEMORY_AND_DISK, never MEMORY_ONLY: the exploded shingle set is ~10×
+    // the corpus — it must spill to disk under pressure, not OOM, while
+    // still serving the three downstream scans from memory when it fits.
+    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // global rarity order within the join scope
     val freq = sh.groupBy(scopedShingle.map(col): _*)
@@ -396,7 +430,7 @@ object TextOps {
   def shingleJaccardPairs(s: SparkSession, dir: String,
       global: Boolean = false): DataFrame = {
     val joinKeys = if (global) Seq("shingle") else Seq("source", "shingle")
-    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle"))
@@ -455,29 +489,10 @@ object TextOps {
   val c1CorpusCuration = NamedQuery(
     "c1_corpus_curation",
     (s, dir) => {
-      val cleaned = lower(col("text"))
-      def marker(pat: String): Column =
-        size(regexp_extract_all(cleaned, lit(pat), lit(0)))
-      val scored = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "")
-        .withColumn("n_tokens", size(tokens(col("text"))).cast("double"))
-        .withColumn("punct_ratio",
-          (length(col("text")) - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
-            .cast("double") / length(col("text")))
-        .withColumn("stop_ratio",
-          stopwordCount(lower(col("text"))).cast("double") / col("n_tokens"))
-        .withColumn("quality",
-          floor((least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
-            + (lit(1.0) - col("punct_ratio")) * 0.3
-            + least(col("stop_ratio") * 5.0, lit(1.0)) * 0.2) * 10000) / 10000.0)
-        .withColumn("s_en", marker("\\b(the|a|of|and|to|in)\\b"))
-        .withColumn("s_es", marker("\\b(el|la|los|las|un|una|y|en|de)\\b"))
-        .withColumn("s_fr", marker("\\b(le|la|les|des|un|une|et|est)\\b"))
-        .withColumn("lang_pred",
-          when(col("s_en") === 0 && col("s_es") === 0 && col("s_fr") === 0, "unknown")
-            .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+      // compose the SAME building blocks t3 and t2 are built from — no
+      // re-stated formulas that could drift from the tier queries
+      val scored = withLangPred(withQualitySignals(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")))
       val dropSet = Dedup.clusterLabels(s, dir)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
@@ -492,57 +507,13 @@ object TextOps {
           sum(col("n_tokens").cast("long")).as("total_tokens"))
         .orderBy(col("split"))
     },
-    Some("""WITH RECURSIVE tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        FROM documents WHERE text IS NOT NULL AND text <> ''),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        FROM tok WHERE len(w) >= 3),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      pairs AS (
-        SELECT doc_a, doc_b FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION ALL SELECT doc_b, doc_a FROM pairs),
-      reach(node, label) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
-      labels AS (SELECT node AS doc_id, min(label) AS cluster_id
-                 FROM reach GROUP BY node),
+    Some(s"""WITH RECURSIVE ${Dedup.dupGraphCteSql},
       dropset AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
       scored AS (
-        SELECT doc_id,
-          CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-          floor((least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0) * 0.5
-            + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
-                / length(text)) * 0.3
-            + least(CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) AS DOUBLE)
-                / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.2) * 10000) / 10000.0
-            AS quality,
-          CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0)) = 0
-                AND len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0)) = 0
-                AND len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0)) = 0
-               THEN 'unknown'
-               WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0))
-                      >= len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0))
-                AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in)\b', 0))
-                      >= len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0))
-               THEN 'en'
-               WHEN len(regexp_extract_all(lower(text), '\b(el|la|los|las|un|una|y|en|de)\b', 0))
-                      >= len(regexp_extract_all(lower(text), '\b(le|la|les|des|un|une|et|est)\b', 0))
-               THEN 'es'
-               ELSE 'fr' END AS lang_pred,
-          substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) AS h1
-        FROM documents WHERE text IS NOT NULL AND text <> ''),
+        SELECT q.doc_id, q.n_tokens, $qualityExprSql AS quality, l.lang_pred,
+          substr(md5(CAST(q.doc_id AS VARCHAR) || ':split'), 1, 1) AS h1
+        FROM ($qualitySignalsSubSql) q
+        JOIN ($langPredSubSql) l ON l.doc_id = q.doc_id),
       kept AS (
         SELECT * FROM scored
         WHERE quality >= 0.5 AND lang_pred = 'en'

@@ -440,7 +440,14 @@ object Vader {
     "number", "numbers", "numbered", "numbering", "matter", "matters",
     "mattered", "winder", "fonder", "wander", "wonders", "founder",
     "flatter", "singer", "letter", "litter", "ladder", "differ",
-    "corner", "conner", "cooler", "dummy")
+    "corner", "conner", "cooler", "dummy",
+    // audited collisions: real words whose meaning departs from the stem
+    "sober",    // ≠ sob
+    "liter",    // ≠ lit (slang)
+    "stranger", // noun, not the comparative of strange
+    "doper",    // drug user, not dope (slang praise)
+    "fires",    // literal fires ≠ "fire" (slang praise)
+    "supers", "tenders")
 
   private[sentiment] val inflected: Map[String, Double] = {
     val out = scala.collection.mutable.Map[String, Double]()

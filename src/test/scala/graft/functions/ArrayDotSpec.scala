@@ -53,10 +53,20 @@ class ArrayDotSpec extends SparkSpec {
     assert(v > 0.05f)
   }
 
-  test("kernel uses min-length semantics on ragged arrays (interpreted path)") {
-    import org.apache.spark.sql.catalyst.util.ArrayData
-    val a = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
-    val b = ArrayData.toArrayData(Array(10.0, 10.0))
-    assert(DotKernel.dot(a, b) == 30.0)
+  test("HOF-fold null semantics: ragged lengths and null elements yield NULL") {
+    import spark.implicits._
+    // ragged arrays: zip_with null-pads → fold poisons → NULL; the native
+    // kernel must agree (it is injected session-wide, not just ANN-internal)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 10.0)))
+      .toDF("a", "b")
+      .withColumn("native", call_function("graft_dot", col("a"), col("b")))
+      .withColumn("hof", hofDot(col("a"), col("b")))
+    val r = df.select("native", "hof").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // null ELEMENT likewise
+    val r2 = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 3.0D)) AS d")
+      .head()
+    assert(r2.isNullAt(0))
   }
 }

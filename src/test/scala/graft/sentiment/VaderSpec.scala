@@ -95,9 +95,12 @@ class VaderSpec extends AnyFunSuite {
     // hand-authored entries always win over derived forms
     assert(Vader.baseLexicon.keySet.subsetOf(Vader.lexicon.keySet))
     Vader.baseLexicon.foreach { case (w, v) => assert(Vader.lexicon(w) == v) }
-    // the neutral stoplist kept "number" (from "numb"-like stems) unscored
-    assert(!Vader.lexicon.contains("number"))
+    // the neutral stoplist keeps real-word collisions unscored: "number"
+    // (≠ numb), "sober" (≠ sob), "liter" (≠ lit), "stranger" (≠ strange)
+    for (w <- Seq("number", "sober", "liter", "stranger", "doper", "fires"))
+      assert(!Vader.lexicon.contains(w), s"'$w' leaked into the lexicon")
     assert(Vader.compound("the number of rows in the table") == 0.0)
+    assert(Vader.compound("he stayed sober and drank a liter of water") == 0.0)
   }
 
   test("round-2 goldens: new-word pins (update deliberately only)") {
