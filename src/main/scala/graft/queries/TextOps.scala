@@ -220,28 +220,16 @@ object TextOps {
     * unlike md5-of-normalized-text, so reorderings fingerprint differently.
     * tokenval uses only SQL-computable features (length + first/last char
     * codes) so the oracle replays it exactly. */
-  /** JVM kernel for the rolling fold — arithmetic identical to the SQL
-    * list_reduce the oracle runs (length·131 + first·7 + last per token,
-    * acc·31 + v mod 1e9+7), but a tight loop instead of a per-element
-    * Catalyst fold (which allocates per step). */
-  val rollingFpUdf = udf { tokens: Seq[String] =>
-    var acc = 0L
-    tokens.foreach { t =>
-      if (t.nonEmpty) {
-        val v = t.length.toLong * 131L + t.charAt(0).toLong * 7L +
-          t.charAt(t.length - 1).toLong
-        acc = (acc * 31L + v) % 1000000007L
-      } else acc = (acc * 31L) % 1000000007L
-    }
-    acc
-  }
-
   val t7RollingFingerprint = NamedQuery(
     "t7_rolling_fingerprint",
     (s, dir) => {
+      // native codegen'd kernel (graft.functions.RollingFingerprint) —
+      // the round-1 Scala UDF paid an encoder boundary per row
+      graft.sentiment.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("text") =!= "")
-        .withColumn("fp", rollingFpUdf(split(trim(lower(col("text"))), "\\s+")))
+        .withColumn("fp",
+          call_function("graft_rolling_fp", split(trim(lower(col("text"))), "\\s+")))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .filter(col("n_docs") >= 1)

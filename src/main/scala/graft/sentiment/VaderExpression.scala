@@ -62,5 +62,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       exprs => graft.functions.ArrayDotProduct(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_fp",
+      exprs => graft.functions.RollingFingerprint(exprs.head), "scala_udf")
   }
 }
