@@ -64,7 +64,10 @@ object PlanAudit {
       "exact all-pairs must stay distributed (no driver materialization)",
       present = false),
     Expect("c1_corpus_curation", "LeftAnti",
-      "near-dup removal is an anti-join against the small drop set"))
+      "near-dup removal is an anti-join against the small drop set"),
+    Expect("c2_contamination", "LeftSemi",
+      "contamination check is a semi-join on 16-byte fingerprints, " +
+        "never a join on text"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -433,6 +433,20 @@ object TextOps {
         round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
   }
 
+  /** Deterministic split assignment — shared by t8, c1, and c2: the first
+    * hex digit of md5(doc_id || ":split") ranges into train (13/16),
+    * valid (2/16), test (1/16). */
+  private[queries] def splitCol: Column = {
+    val h1 = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 1)
+    when(h1 < "d", "train").when(h1 < "f", "valid").otherwise("test")
+  }
+
+  /** The same assignment as a SQL expression over a `doc_id` column. */
+  private[queries] val splitCaseSql: String =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) < 'd' THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) < 'f' THEN 'valid'
+           ELSE 'test' END"""
+
   // ---------------------------------------------------------------- t8
   /** Deterministic train/valid/test split — a training-data pipeline staple.
     * The split key is the first hex digit of md5(doc_id || ":split"):
@@ -445,22 +459,14 @@ object TextOps {
   val t8TrainSplit = NamedQuery(
     "t8_train_split",
     (s, dir) => {
-      val h1 = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 1)
       Tables.documents(s, dir)
-        .withColumn("split",
-          when(h1 < "d", "train").when(h1 < "f", "valid").otherwise("test"))
+        .withColumn("split", splitCol)
         .groupBy(col("split"), col("source"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("split"), col("source"))
     },
-    Some("""SELECT CASE WHEN h1 < 'd' THEN 'train'
-                        WHEN h1 < 'f' THEN 'valid'
-                        ELSE 'test' END AS split,
-        source, count(*) AS n_docs
-      FROM (SELECT source,
-              substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 1) AS h1
-            FROM documents) t
-      GROUP BY 1, 2 ORDER BY split, source"""),
+    Some(s"""SELECT $splitCaseSql AS split, source, count(*) AS n_docs
+      FROM documents GROUP BY 1, 2 ORDER BY split, source"""),
     doc = "deterministic hash-based train/valid/test split (stable under reshuffles)")
 
   // ---------------------------------------------------------------- c1
@@ -484,12 +490,10 @@ object TextOps {
       val dropSet = Dedup.clusterLabels(s, dir)
         .filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id"))
-      val h1 = substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 1)
       scored
         .filter(col("quality") >= 0.5 && col("lang_pred") === "en")
         .join(dropSet, Seq("doc_id"), "left_anti")
-        .withColumn("split",
-          when(h1 < "d", "train").when(h1 < "f", "valid").otherwise("test"))
+        .withColumn("split", splitCol)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("total_tokens"))
@@ -498,23 +502,68 @@ object TextOps {
     Some(s"""WITH RECURSIVE ${Dedup.dupGraphCteSql},
       dropset AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
       scored AS (
-        SELECT q.doc_id, q.n_tokens, $qualityExprSql AS quality, l.lang_pred,
-          substr(md5(CAST(q.doc_id AS VARCHAR) || ':split'), 1, 1) AS h1
+        SELECT q.doc_id, q.n_tokens, $qualityExprSql AS quality, l.lang_pred
         FROM ($qualitySignalsSubSql) q
         JOIN ($langPredSubSql) l ON l.doc_id = q.doc_id),
       kept AS (
         SELECT * FROM scored
         WHERE quality >= 0.5 AND lang_pred = 'en'
           AND doc_id NOT IN (SELECT doc_id FROM dropset))
-      SELECT CASE WHEN h1 < 'd' THEN 'train'
-                  WHEN h1 < 'f' THEN 'valid'
-                  ELSE 'test' END AS split,
+      SELECT $splitCaseSql AS split,
         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM kept GROUP BY 1 ORDER BY split"""),
     doc = "end-to-end corpus curation: quality + lang filters, near-dup drop, split budget")
 
+  // ---------------------------------------------------------------- c2
+  /** Benchmark decontamination — the check every training-data pipeline
+    * runs before publishing an eval split: held-out (valid/test) documents
+    * whose normalized fingerprint also appears in train are CONTAMINATED
+    * (the model would see the eval text during training).  One semi-join
+    * of the held-out set against the distinct train fingerprints — at
+    * 100 TB the train side reduces to distinct md5s (32 bytes/doc) before
+    * the join, and the join key is the fingerprint, so this is a single
+    * hash-shuffle over hashes, never over text. */
+  val c2Contamination = NamedQuery(
+    "c2_contamination",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("fp", normFingerprint(col("text")))
+        .withColumn("split", splitCol)
+      val trainFps = docs.filter(col("split") === "train")
+        .select(col("fp")).distinct()
+      val heldOut = docs.filter(col("split") =!= "train")
+      val contaminated = heldOut.join(trainFps, Seq("fp"), "left_semi")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          countDistinct(col("fp")).as("n_fps"))
+      heldOut.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .join(contaminated, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_fps"), lit(0L)).as("n_fps"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH docs AS (
+        SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+               $splitCaseSql AS split
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      train_fps AS (SELECT DISTINCT fp FROM docs WHERE split = 'train'),
+      held AS (SELECT * FROM docs WHERE split <> 'train'),
+      contaminated AS (
+        SELECT split, count(*) AS n_contaminated, count(DISTINCT fp) AS n_fps
+        FROM held WHERE fp IN (SELECT fp FROM train_fps)
+        GROUP BY split)
+      SELECT h.split, h.n_docs,
+        coalesce(c.n_contaminated, 0) AS n_contaminated,
+        coalesce(c.n_fps, 0) AS n_fps
+      FROM (SELECT split, count(*) AS n_docs FROM held GROUP BY split) h
+      LEFT JOIN contaminated c ON c.split = h.split
+      ORDER BY h.split"""),
+    doc = "train/eval decontamination: held-out docs sharing a train fingerprint")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, d1DedupExact,
-    d2NgramJaccard, c1CorpusCuration)
+    d2NgramJaccard, c1CorpusCuration, c2Contamination)
 }

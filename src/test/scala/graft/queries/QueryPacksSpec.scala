@@ -148,6 +148,32 @@ class QueryPacksSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("c2 contamination matches an independent fp-level split-set recount") {
+    val out = TextOps.c2Contamination.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.nonEmpty)
+    // independent method: one pass collecting the set of splits per
+    // fingerprint, then per-doc membership of 'train' in that set
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .withColumn("fp", TextOps.normFingerprint(col("text")))
+      .withColumn("split", TextOps.splitCol)
+    val fpSplits = docs.groupBy(col("fp"))
+      .agg(collect_set(col("split")).as("splits"))
+    val recount = docs.filter(col("split") =!= "train")
+      .join(fpSplits, "fp")
+      .withColumn("contaminated", array_contains(col("splits"), "train"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_cont"),
+        countDistinct(when(col("contaminated"), col("fp"))).as("n_fps"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == recount, s"query=$out recount=$recount")
+    // sanity: contaminated docs never exceed held-out docs
+    out.values.foreach { case (n, c, f) => assert(c <= n && f <= c) }
+  }
+
   test("sketch accuracy: approx_percentile within 5% of exact, HLL within 10% of exact") {
     // q26 (t-digest-style sketch) vs q16 (exact percentiles), same grouping
     val exactP = Relational.q16Percentiles.fn(spark, sf()).collect()
