@@ -67,7 +67,10 @@ object PlanAudit {
       "near-dup removal is an anti-join against the small drop set"),
     Expect("c2_contamination", "LeftSemi",
       "contamination check is a semi-join on 16-byte fingerprints, " +
-        "never a join on text"))
+        "never a join on text"),
+    Expect("c3_sequence_packing", "hashpartitioning(",
+      "packing window and summary agg share ONE shuffle on (split, source); " +
+        "only the tiny ordered output repartitions again", maxCount = 1))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

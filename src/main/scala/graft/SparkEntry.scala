@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Dedup, Multimodal, Pipeline, Relational, Similarity, TextOps}
+import graft.queries.{Analytics, Curation, Dedup, Multimodal, Pipeline, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def packs: Seq[NamedQuery] =
     Relational.all ++ Analytics.all ++ Pipeline.all ++
-      TextOps.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all
+      TextOps.all ++ Dedup.all ++ Similarity.all ++ Multimodal.all ++
+      Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → pushed filter → hash agg → sort. */

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.NamedQuery
+import graft.tables.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation planning pack — the scheduling steps a training-data
+  * pipeline runs AFTER filtering/dedup (c1) and decontamination (c2):
+  * sequence packing and source mixing.  Both queries are pure integer
+  * arithmetic end-to-end (`div`, no floating division), so the DuckDB
+  * oracles replay them bit-exactly at every scale factor.
+  *
+  * Scale notes (100 TB): c3's window partitions by (split, source) — the
+  * sort is per-group, shuffled on the group key, never global.  c4's
+  * windows run over the per-source AGGREGATE (one row per source), so
+  * their cost is the source cardinality, not the corpus.
+  */
+object Curation {
+
+  /** Tokens per packed training sequence (c3) — 2^11, a common LLM
+    * context-length budget. */
+  private val SeqBudget = 2048L
+
+  // ---------------------------------------------------------------- c3
+  /** Sequence packing — concatenate-and-chunk: documents are concatenated
+    * in deterministic (doc_id) order within each (split, source) group and
+    * chunked every [[SeqBudget]] tokens.  Reports, per group, the sequence
+    * count the budget implies and how many documents straddle a chunk
+    * boundary (those get split across two training sequences).  The
+    * straddle test compares the chunk index of a document's first and last
+    * token — `cum_before div B < (cum - 1) div B` — in exact BIGINT
+    * division on both engines. */
+  val c3SequencePacking = NamedQuery(
+    "c3_sequence_packing",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("split", TextOps.splitCol)
+      val w = Window.partitionBy(col("split"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("straddles",
+          expr(s"(cum - n_tokens) div $SeqBudget") <
+            expr(s"(cum - 1) div $SeqBudget"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"))
+        .withColumn("n_seqs",
+          expr(s"(total_tokens + ${SeqBudget - 1}) div $SeqBudget"))
+        .select(col("split"), col("source"), col("n_docs"),
+          col("total_tokens"), col("n_seqs"), col("n_straddlers"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+          ${TextOps.splitCaseSql} AS split
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      c AS (
+        SELECT split, source, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d)
+      SELECT split, source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        (CAST(sum(n_tokens) AS BIGINT) + ${SeqBudget - 1}) // $SeqBudget AS n_seqs,
+        CAST(sum(CASE WHEN (cum - n_tokens) // $SeqBudget < (cum - 1) // $SeqBudget
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+      FROM c GROUP BY split, source ORDER BY split, source"""),
+    doc = "sequence packing plan: chunk count + boundary-straddling docs per " +
+      "(split, source) at a 2048-token budget")
+
+  // ---------------------------------------------------------------- c4
+  /** Source mixing — data-mixture planning: given a total token budget of
+    * half the corpus and an equal per-source share, compute each source's
+    * acceptance rate (capped at 1.0 — no upsampling) and the token count
+    * the plan yields.  Rates are held in basis points via integer division
+    * (`target*10000 div avail`), sidestepping float rounding entirely. */
+  val c4SourceMixing = NamedQuery(
+    "c4_source_mixing",
+    (s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("avail_tokens"))
+      val all = Window.partitionBy()
+      perSource
+        .withColumn("budget", expr("sum(avail_tokens) OVER () div 2"))
+        .withColumn("n_sources", count(lit(1)).over(all))
+        .withColumn("target_tokens", expr("budget div n_sources"))
+        .withColumn("rate_bp",
+          least(expr("(target_tokens * 10000) div avail_tokens"), lit(10000L)))
+        .withColumn("planned_tokens", expr("(avail_tokens * rate_bp) div 10000"))
+        .select(col("source"), col("n_docs"), col("avail_tokens"),
+          col("target_tokens"), col("rate_bp"), col("planned_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+            AS BIGINT) AS avail_tokens
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+        GROUP BY source),
+      planned AS (
+        SELECT source, n_docs, avail_tokens,
+          (CAST(sum(avail_tokens) OVER () AS BIGINT) // 2)
+            // (count(*) OVER ()) AS target_tokens
+        FROM per_source)
+      SELECT source, n_docs, avail_tokens, target_tokens,
+        least((target_tokens * 10000) // avail_tokens, 10000) AS rate_bp,
+        (avail_tokens * least((target_tokens * 10000) // avail_tokens, 10000))
+          // 10000 AS planned_tokens
+      FROM planned ORDER BY source"""),
+    doc = "data-mixture plan: per-source acceptance rate (basis points) for an " +
+      "equal-share half-corpus token budget, no upsampling")
+
+  def all: Seq[NamedQuery] = Seq(c3SequencePacking, c4SourceMixing)
+}

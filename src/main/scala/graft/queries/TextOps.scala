@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokens of non-empty text. */
-  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+  private[queries] def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Normalized-text exact-dedup fingerprint — THE dedup key.  One
     * definition shared by d1, t4, and both streaming dedup sinks; the

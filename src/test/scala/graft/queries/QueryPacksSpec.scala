@@ -26,7 +26,7 @@ class QueryPacksSpec extends SparkSpec {
 
   test("query names are unique across packs (Map must not silently drop any)") {
     val names = Seq(Relational.all, Analytics.all, Pipeline.all, TextOps.all,
-      Dedup.all, Similarity.all, Multimodal.all).flatten.map(_.name)
+      Dedup.all, Similarity.all, Multimodal.all, Curation.all).flatten.map(_.name)
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: $dups")
     assert(names.size == SparkEntry.queries.size)
@@ -172,6 +172,51 @@ class QueryPacksSpec extends SparkSpec {
     assert(out == recount, s"query=$out recount=$recount")
     // sanity: contaminated docs never exceed held-out docs
     out.values.foreach { case (n, c, f) => assert(c <= n && f <= c) }
+  }
+
+  test("c3 packing matches a plain-Scala simulation of concatenate-and-chunk") {
+    val B = 2048L
+    val out = Curation.c3SequencePacking.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.nonEmpty)
+    // simulate: per (split, source), docs in doc_id order, running token sum
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("split", TextOps.splitCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val sim = docs.groupBy(d => (d._4, d._2)).map { case (key, ds) =>
+      var cum = 0L; var straddlers = 0L
+      ds.sortBy(_._1).foreach { d =>
+        val before = cum; cum += d._3
+        if (before / B < (cum - 1) / B) straddlers += 1
+      }
+      key -> ((ds.length.toLong, cum, (cum + B - 1) / B, straddlers))
+    }
+    assert(out == sim, s"query=$out sim=$sim")
+    // invariants (the boundary-crossing CASE itself is exercised by the
+    // sf0.01 oracle gate, where doc groups exceed the 2048-token budget)
+    out.values.foreach { case (nDocs, total, nSeqs, nStraddle) =>
+      assert(nSeqs == (total + B - 1) / B)
+      assert(nStraddle <= nDocs && nStraddle < nSeqs.max(1))
+    }
+  }
+
+  test("c4 mixing plan: budget conservation and no-upsampling cap") {
+    val rows = Curation.c4SourceMixing.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val avail = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (av, target, bp, planned) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(bp >= 0 && bp <= 10000)
+      assert(planned <= av)                    // never upsample
+      assert(bp == math.min(target * 10000 / av, 10000L))
+      assert(planned == av * bp / 10000)
+      assert(target == avail / 2 / rows.length) // equal share of half corpus
+    }
   }
 
   test("sketch accuracy: approx_percentile within 5% of exact, HLL within 10% of exact") {
