@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.RollingFingerprint].getName, "graft_rolling_fp"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.RollingFingerprint(exprs.head)))
+    // optimizer rule: derive parquet-pushable raw-nanos bounds from
+    // event-time filters on the converted events.ts column
+    ext.injectOptimizerRule(_ => graft.plans.NanosFilterPushdown)
   }
 }

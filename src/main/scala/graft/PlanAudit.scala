@@ -70,7 +70,12 @@ object PlanAudit {
         "never a join on text"),
     Expect("c3_sequence_packing", "hashpartitioning(",
       "packing window and summary agg share ONE shuffle on (split, source); " +
-        "only the tiny ordered output repartitions again", maxCount = 1))
+        "only the tiny ordered output repartitions again", maxCount = 1),
+    Expect("q27_event_time_pushdown",
+      "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704844800000000000), " +
+        "LessThanOrEqual(ts,1704931199999999999)]",
+      "NanosFilterPushdown must derive raw-nanos parquet bounds from the " +
+        "event-time range filter"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -1,0 +1,103 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Restores parquet predicate pushdown for event-time filters on the
+  * nanosecond `events.ts` column.
+  *
+  * `events.parquet` stores TIMESTAMP(NANOS), which the vectorized reader
+  * only accepts as a raw long (`spark.sql.legacy.parquet.nanosAsLong`), so
+  * [[graft.tables.Tables.events]] exposes
+  * `ts = timestamp_micros(ts_nanos DIV 1000)`.  A user filter
+  * `ts >= TIMESTAMP '…'` then sits on top of that conversion and never
+  * reaches the scan — at 100 TB that is a full-table read for a one-day
+  * range query.
+  *
+  * This rule derives, from each comparison of that conversion pattern with
+  * a timestamp literal, an IMPLIED bound on the raw nanos column and ANDs
+  * it into the filter.  The original predicate is kept, so correctness
+  * never depends on the derivation being tight — the added conjunct only
+  * has to be implied by (i.e. no stricter than) the original:
+  *
+  *   - `trunc(e/1000) >= m`  ⟹  `e >= m*1000`          (for m > 0)
+  *   - `trunc(e/1000) >  m`  ⟹  `e >= (m+1)*1000`
+  *   - `trunc(e/1000) <= m`  ⟹  `e <= m*1000 + 999`
+  *   - `trunc(e/1000) <  m`  ⟹  `e <= m*1000 - 1`
+  *   - `trunc(e/1000) =  m`  ⟹  both bounds
+  *
+  * (`IntegralDivide` truncates toward zero; with the literal micros m > 0
+  * — i.e. any timestamp after the epoch — each implication above holds for
+  * every long e, negative or not.  Literals at or before the epoch are
+  * left alone.)  The new conjunct compares the bare scan attribute, so the
+  * stock `PushDownPredicates` + DataSource strategy carry it into the
+  * parquet reader as a min/max row-group + page filter.
+  *
+  * Injected via [[graft.GraftExtensions]] (`injectOptimizerRule`), running
+  * inside the operator-optimization fixed point; the duplicate check below
+  * keeps it convergent.
+  */
+object NanosFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Matches `timestamp_micros(e DIV 1000)` and yields the raw `e`. */
+  private object MicrosOfNanos {
+    def unapply(expr: Expression): Option[Expression] = expr match {
+      case MicrosToTimestamp(IntegralDivide(e, Literal(d, _), _))
+          if d == 1000L || d == 1000 => Some(e)
+      case _ => None
+    }
+  }
+
+  /** Positive epoch-micros literal (timestamps after 1970 only — the
+    * implication proofs in the scaladoc assume m > 0). */
+  private object PosMicrosLit {
+    def unapply(expr: Expression): Option[Long] = expr match {
+      case Literal(m: Long, TimestampType) if m > 0 => Some(m)
+      case _ => None
+    }
+  }
+
+  private def geq(e: Expression, v: Long) = GreaterThanOrEqual(e, Literal(v, LongType))
+  private def leq(e: Expression, v: Long) = LessThanOrEqual(e, Literal(v, LongType))
+
+  /** The implied raw-nanos bound(s) for one conjunct, if it matches. */
+  private def implied(conjunct: Expression): Seq[Expression] =
+    try {
+      conjunct match {
+        case GreaterThanOrEqual(MicrosOfNanos(e), PosMicrosLit(m)) =>
+          Seq(geq(e, Math.multiplyExact(m, 1000L)))
+        case GreaterThan(MicrosOfNanos(e), PosMicrosLit(m)) =>
+          Seq(geq(e, Math.multiplyExact(Math.addExact(m, 1L), 1000L)))
+        case LessThanOrEqual(MicrosOfNanos(e), PosMicrosLit(m)) =>
+          Seq(leq(e, Math.addExact(Math.multiplyExact(m, 1000L), 999L)))
+        case LessThan(MicrosOfNanos(e), PosMicrosLit(m)) =>
+          Seq(leq(e, Math.subtractExact(Math.multiplyExact(m, 1000L), 1L)))
+        case EqualTo(MicrosOfNanos(e), PosMicrosLit(m)) =>
+          Seq(geq(e, Math.multiplyExact(m, 1000L)),
+            leq(e, Math.addExact(Math.multiplyExact(m, 1000L), 999L)))
+        // literal-on-the-left orientations: flip once and re-match (the
+        // recursion terminates — after the flip the literal is on the right)
+        case GreaterThanOrEqual(l @ PosMicrosLit(_), r) => implied(LessThanOrEqual(r, l))
+        case GreaterThan(l @ PosMicrosLit(_), r)        => implied(LessThan(r, l))
+        case LessThanOrEqual(l @ PosMicrosLit(_), r)    => implied(GreaterThanOrEqual(r, l))
+        case LessThan(l @ PosMicrosLit(_), r)           => implied(GreaterThan(r, l))
+        case EqualTo(l @ PosMicrosLit(_), r)            => implied(EqualTo(r, l))
+        case _ => Nil
+      }
+    } catch {
+      // a bound that overflows Long can't be represented — add nothing
+      case _: ArithmeticException => Nil
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val additions = conjuncts.flatMap(implied)
+        .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+        .distinct
+      if (additions.isEmpty) f
+      else Filter((conjuncts ++ additions).reduce(And), child)
+  }
+}

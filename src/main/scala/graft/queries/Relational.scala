@@ -660,10 +660,35 @@ object Relational {
       FROM sess GROUP BY user_id ORDER BY user_id"""),
     doc = "30-min-gap sessionization via cumulative window sum; batch analog of streaming state")
 
+  // ---------------------------------------------------------------- q27
+  /** Event-time range scan — the query shape [[graft.plans.NanosFilterPushdown]]
+    * exists for.  `events.ts` is parquet TIMESTAMP(NANOS) read as a raw long
+    * and converted to micros (see [[Tables.events]]); a plain range filter on
+    * the converted column cannot reach the scan, so without the rule a
+    * one-day query reads the whole table.  The injected rule adds the
+    * implied raw-nanos bounds, and PlanAudit asserts they arrive as parquet
+    * `PushedFilters` on ts; a spec proves rule-on ≡ rule-off row-for-row. */
+  val q27EventTimePushdown = NamedQuery(
+    "q27_event_time_pushdown",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "event-time range scan; optimizer rule derives parquet-pushable raw-nanos bounds")
+
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
-    q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles,
+    q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule must be (a) effective — bounds reach the parquet
+  * scan — and (b) invisible — identical rows with the rule excluded, for
+  * every comparison shape and orientation it rewrites. */
+class NanosFilterPushdownSpec extends SparkSpec {
+
+  private val ExcludeKey = "spark.sql.optimizer.excludedRules"
+
+  private def withRuleOff[A](body: => A): A = {
+    val prev = spark.conf.getOption(ExcludeKey)
+    try {
+      spark.conf.set(ExcludeKey, NanosFilterPushdown.ruleName)
+      body
+    } finally prev match {
+      case Some(v) => spark.conf.set(ExcludeKey, v)
+      case None    => spark.conf.unset(ExcludeKey)
+    }
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def filtered(cond: org.apache.spark.sql.Column): DataFrame =
+    Tables.events(spark, sf()).filter(cond).select(col("event_id"))
+
+  private val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
+  private val midTs = lit("2024-01-15 12:34:56.789012").cast("timestamp")
+
+  test("bounds are pushed to the parquet scan") {
+    val plan = filtered(col("ts") >= t0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"), plan)
+  }
+
+  test("rule-off plans carry no raw-nanos bound (the rule is what adds it)") {
+    val plan = withRuleOff {
+      filtered(col("ts") >= t0).queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("1704844800000000000"), plan)
+  }
+
+  test("every comparison shape returns identical rows with the rule excluded") {
+    val conds = Seq(
+      col("ts") >= t0, col("ts") > t0, col("ts") <= t0, col("ts") < t0,
+      col("ts") === midTs,
+      // literal-on-the-left orientations
+      t0 <= col("ts"), t0 > col("ts"),
+      // conjunction of both bounds (the range-scan shape)
+      col("ts") >= t0 && col("ts") < lit("2024-01-11 00:00:00").cast("timestamp"))
+    conds.zipWithIndex.foreach { case (cond, i) =>
+      val on = rows(filtered(cond))
+      val off = withRuleOff(rows(filtered(cond)))
+      assert(on == off, s"cond #$i diverged: on=${on.size} off=${off.size} rows")
+    }
+  }
+
+  test("boundary exactness: >= keeps the first in-range micro, < drops the boundary") {
+    // the derived nano bounds must not clip micro-boundary rows: compare
+    // counts for adjacent predicates around an exact event timestamp
+    val ts = Tables.events(spark, sf())
+      .select(col("ts")).orderBy(col("ts")).limit(1)
+      .collect().head.getTimestamp(0)
+    val exact = lit(ts.toString).cast("timestamp")
+    assert(rows(filtered(col("ts") >= exact)).size ==
+      rows(filtered(col("ts") > exact)).size + rows(filtered(col("ts") === exact)).size)
+    assert(rows(filtered(col("ts") === exact)).nonEmpty)
+  }
+}
