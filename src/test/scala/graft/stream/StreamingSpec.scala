@@ -246,6 +246,28 @@ class StreamingSpec extends SparkSpec {
     assert(fin.filter(col("user") === "uA").count() == 1)
   }
 
+  test("enrichment sustains ≥100× the reference's ingest envelope (3.3 rec/s)") {
+    // BASELINE.md: the reference caps ingest at maxOffsetsPerTrigger=100 /
+    // 30 s trigger ≈ 3.3 rec/s, and its enrichment pays a per-row Python
+    // UDF round-trip.  This pipeline (JVM VADER expression, codegen'd
+    // chain) must clear 100× that envelope even on the local[4] test
+    // session; at local[32]/cluster parallelism it scales with cores.
+    val src = graft.pipeline.RatePostSource(rowsPerSecond = 2000)
+    val enriched = Enrich.enrich(src.load(spark))
+    val q = enriched.writeStream
+      .format("memory").queryName("tput").outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val t0 = System.nanoTime()
+    Thread.sleep(5000)
+    q.processAllAvailable()
+    q.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.table("tput").count()
+    val rate = n / secs
+    assert(rate >= 330.0,
+      f"sustained $rate%.0f rec/s over $secs%.1f s ($n rows) — need ≥330 (100× reference)")
+  }
+
   test("rate-source generator produces schema-conformant enriched posts") {
     val src = graft.pipeline.RatePostSource(rowsPerSecond = 100)
     val enriched = Enrich.enrich(src.load(spark))
