@@ -660,6 +660,49 @@ object Relational {
       FROM sess GROUP BY user_id ORDER BY user_id"""),
     doc = "30-min-gap sessionization via cumulative window sum; batch analog of streaming state")
 
+  // ---------------------------------------------------------------- q21
+  /** Sequential funnel — view → click → purchase per user, ordered by
+    * event time.  One shuffle on user_id (conditional-min aggregation; no
+    * self-joins, no windows), then a single-row summary — at scale the
+    * funnel stage counts come out of one pass over events.  Stage
+    * ordering compares exact integer microseconds; a user missing a stage
+    * yields NULL, which the CASE/when treats as not-converted on both
+    * engines. */
+  val q21Funnel = NamedQuery(
+    "q21_funnel",
+    (s, dir) => {
+      val us = unix_micros(col("ts"))
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", us)).as("t_view"),
+          min(when(col("event_type") === "click", us)).as("t_click"),
+          min(when(col("event_type") === "purchase", us)).as("t_purchase"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_view_click"),
+          sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1L)
+            .otherwise(0L)).as("n_full_funnel"))
+    },
+    Some("""WITH u AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'view'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+          min(CASE WHEN event_type = 'click'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+          min(CASE WHEN event_type = 'purchase'
+                   THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS n_users,
+        CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      FROM u"""),
+    doc = "sequential conversion funnel (view→click→purchase) via conditional-min " +
+      "aggregation — one shuffle, no self-join")
+
   // ---------------------------------------------------------------- q27
   /** Event-time range scan — the query shape [[graft.plans.NanosFilterPushdown]]
     * exists for.  `events.ts` is parquet TIMESTAMP(NANOS) read as a raw long
@@ -688,7 +731,7 @@ object Relational {
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
-    q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
+    q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
