@@ -62,11 +62,13 @@ class NanosFilterPushdownSpec extends SparkSpec {
 
   test("boundary exactness: >= keeps the first in-range micro, < drops the boundary") {
     // the derived nano bounds must not clip micro-boundary rows: compare
-    // counts for adjacent predicates around an exact event timestamp
-    val ts = Tables.events(spark, sf())
-      .select(col("ts")).orderBy(col("ts")).limit(1)
-      .collect().head.getTimestamp(0)
-    val exact = lit(ts.toString).cast("timestamp")
+    // counts for adjacent predicates around an exact event timestamp.
+    // Round-trip as integer micros, not Timestamp.toString (which renders
+    // in the JVM default timezone while the cast parses in session UTC).
+    val us = Tables.events(spark, sf())
+      .select(unix_micros(col("ts")).as("us")).orderBy(col("us")).limit(1)
+      .collect().head.getLong(0)
+    val exact = timestamp_micros(lit(us))
     assert(rows(filtered(col("ts") >= exact)).size ==
       rows(filtered(col("ts") > exact)).size + rows(filtered(col("ts") === exact)).size)
     assert(rows(filtered(col("ts") === exact)).nonEmpty)

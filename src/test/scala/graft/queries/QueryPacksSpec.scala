@@ -184,7 +184,7 @@ class QueryPacksSpec extends SparkSpec {
     val docs = graft.tables.Tables.documents(spark, sf())
       .filter(col("text").isNotNull && col("text") =!= "")
       .select(col("doc_id"), col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("split", TextOps.splitCol)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
     val sim = docs.groupBy(d => (d._4, d._2)).map { case (key, ds) =>

@@ -259,7 +259,10 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.ProcessingTime(0L)).start()
     val t0 = System.nanoTime()
     Thread.sleep(5000)
-    q.processAllAvailable()
+    // stop WITHOUT processAllAvailable(): the rate source never ends, so a
+    // drain call would block forever if processing lagged generation — the
+    // exact case this assertion exists to catch.  Count what actually
+    // landed in the bounded wall-clock window instead.
     q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
     val n = spark.table("tput").count()
