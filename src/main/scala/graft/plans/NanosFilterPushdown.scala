@@ -59,6 +59,27 @@ object NanosFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Matches `date_trunc(unit, timestamp_micros(e DIV 1000))` for units
+    * whose bucket length is bounded; yields the raw `e` and a conservative
+    * MAXIMUM bucket length in micros.  The bounds derived from
+    * `trunc(v) cmp m` use only two facts — the trunc result is the bucket's
+    * start instant (≤ v), and the bucket spans less than `len` — so they
+    * stay implied in any session timezone (the 25-hour "day" covers DST;
+    * months/quarters/years get their longest calendar span plus an hour). */
+  private object TruncOfNanos {
+    private val H = 3600L * 1000000L
+    private val maxLenUs: Map[String, Long] = Map(
+      "minute" -> 60L * 1000000L, "hour" -> H,
+      "day" -> 25L * H, "week" -> (7L * 24 + 1) * H,
+      "month" -> (31L * 24 + 1) * H, "quarter" -> (92L * 24 + 1) * H,
+      "year" -> (366L * 24 + 1) * H)
+    def unapply(expr: Expression): Option[(Expression, Long)] = expr match {
+      case TruncTimestamp(Literal(fmt, _), MicrosOfNanos(e), _) if fmt != null =>
+        maxLenUs.get(fmt.toString.toLowerCase(java.util.Locale.ROOT)).map(e -> _)
+      case _ => None
+    }
+  }
+
   private def geq(e: Expression, v: Long) = GreaterThanOrEqual(e, Literal(v, LongType))
   private def leq(e: Expression, v: Long) = LessThanOrEqual(e, Literal(v, LongType))
 
@@ -77,6 +98,22 @@ object NanosFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
         case EqualTo(MicrosOfNanos(e), PosMicrosLit(m)) =>
           Seq(geq(e, Math.multiplyExact(m, 1000L)),
             leq(e, Math.addExact(Math.multiplyExact(m, 1000L), 999L)))
+        // date_trunc(unit, ·) comparisons: v >= trunc(v) and
+        // v < trunc(v) + len give timezone-safe bounds (see TruncOfNanos)
+        case GreaterThanOrEqual(TruncOfNanos(e, _), PosMicrosLit(m)) =>
+          Seq(geq(e, Math.multiplyExact(m, 1000L)))
+        case GreaterThan(TruncOfNanos(e, _), PosMicrosLit(m)) =>
+          Seq(geq(e, Math.multiplyExact(Math.addExact(m, 1L), 1000L)))
+        case LessThanOrEqual(TruncOfNanos(e, len), PosMicrosLit(m)) =>
+          Seq(leq(e, Math.subtractExact(
+            Math.multiplyExact(Math.addExact(m, len), 1000L), 1L)))
+        case LessThan(TruncOfNanos(e, len), PosMicrosLit(m)) =>
+          Seq(leq(e, Math.subtractExact(
+            Math.multiplyExact(Math.addExact(Math.subtractExact(m, 1L), len), 1000L), 1L)))
+        case EqualTo(TruncOfNanos(e, len), PosMicrosLit(m)) =>
+          Seq(geq(e, Math.multiplyExact(m, 1000L)),
+            leq(e, Math.subtractExact(
+              Math.multiplyExact(Math.addExact(m, len), 1000L), 1L)))
         // literal-on-the-left orientations: flip once and re-match (the
         // recursion terminates — after the flip the literal is on the right)
         case GreaterThanOrEqual(l @ PosMicrosLit(_), r) => implied(LessThanOrEqual(r, l))

@@ -60,6 +60,23 @@ class NanosFilterPushdownSpec extends SparkSpec {
     }
   }
 
+  test("date_trunc day-equality derives scan bounds and keeps row parity") {
+    val day = lit("2024-01-10 00:00:00").cast("timestamp")
+    val cond = date_trunc("day", col("ts")) === day
+    val plan = filtered(cond).queryExecution.executedPlan.toString
+    // lower bound is the day start in nanos; upper is conservative (+25h)
+    assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"), plan)
+    assert(plan.contains("LessThanOrEqual(ts,"), plan)
+    val on = rows(filtered(cond))
+    val off = withRuleOff(rows(filtered(cond)))
+    assert(on == off && on.nonEmpty, s"on=${on.size} off=${off.size}")
+    // the bounds must not clip the bucket edges: day-equality row set ==
+    // explicit [day, day+1d) range row set
+    val range = rows(filtered(col("ts") >= day &&
+      col("ts") < lit("2024-01-11 00:00:00").cast("timestamp")))
+    assert(on == range)
+  }
+
   test("boundary exactness: >= keeps the first in-range micro, < drops the boundary") {
     // the derived nano bounds must not clip micro-boundary rows: compare
     // counts for adjacent predicates around an exact event timestamp.
