@@ -77,6 +77,34 @@ class NanosFilterPushdownSpec extends SparkSpec {
     assert(on == range)
   }
 
+  test("exhaustive boundary matrix: no operator drops a row at any nanos remainder") {
+    import spark.implicits._
+    // the rule fires on ANY timestamp_micros(x DIV 1000) filter, not just
+    // the events scan — craft nanos values straddling every interesting
+    // boundary: each micro adjacent to the literal, at remainders
+    // {-1, 0, +1, +999, +1000} nanos, plus epoch-adjacent values
+    val m = 1704844800000000L // 2024-01-10 00:00:00 UTC in micros
+    val nanos = ((for {
+      base <- Seq(m - 1, m, m + 1)
+      r <- Seq(-1L, 0L, 1L, 999L, 1000L)
+    } yield base * 1000L + r) ++ Seq(0L, 1L, 999L, 1000L)).distinct
+    val df = nanos.toDF("raw")
+      .withColumn("ts", timestamp_micros(expr("raw DIV 1000")))
+    val tm = timestamp_micros(lit(m))
+    val day = lit("2024-01-10 00:00:00").cast("timestamp")
+    val conds = Seq(
+      col("ts") >= tm, col("ts") > tm, col("ts") <= tm, col("ts") < tm,
+      col("ts") === tm, tm <= col("ts"), tm > col("ts"), tm === col("ts"),
+      date_trunc("day", col("ts")) === day,
+      date_trunc("day", col("ts")) <= day, date_trunc("day", col("ts")) > day)
+    conds.zipWithIndex.foreach { case (cond, i) =>
+      val on = df.filter(cond).select(col("raw")).collect().map(_.getLong(0)).sorted.toSeq
+      val off = withRuleOff(
+        df.filter(cond).select(col("raw")).collect().map(_.getLong(0)).sorted.toSeq)
+      assert(on == off, s"cond #$i: on=$on off=$off")
+    }
+  }
+
   test("boundary exactness: >= keeps the first in-range micro, < drops the boundary") {
     // the derived nano bounds must not clip micro-boundary rows: compare
     // counts for adjacent predicates around an exact event timestamp.
