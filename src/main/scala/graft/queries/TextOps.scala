@@ -469,6 +469,44 @@ object TextOps {
       FROM documents GROUP BY 1, 2 ORDER BY split, source"""),
     doc = "deterministic hash-based train/valid/test split (stable under reshuffles)")
 
+  // ---------------------------------------------------------------- t9
+  /** Distinctive-term extraction — the integer-rank variant of TF-IDF:
+    * terms appearing in ≤5% of documents (low df) yet ≥5 times overall
+    * (high tf), ranked by total frequency.  Same signal TF-IDF's
+    * tf·log(N/df) ordering gives for rare terms, but in exact COUNT
+    * arithmetic (`df * 20 <= n_docs`), so the oracle replays it
+    * hash-identically — no ln() cross-engine ulp hazard.  At scale: one
+    * shuffle on term for the stats, a 1-row broadcast for the corpus
+    * size, TakeOrderedAndProject for the top-k. */
+  val t9DistinctiveTerms = NamedQuery(
+    "t9_distinctive_terms",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+      val stats = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      val total = toks.agg(countDistinct(col("doc_id")).as("n_docs"))
+      stats.crossJoin(broadcast(total))
+        .filter(col("df") * 20 <= col("n_docs") && col("tf") >= 5)
+        .select(col("term"), col("df"), col("tf"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(20)
+    },
+    Some(raw"""WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      tok2 AS (SELECT * FROM tok WHERE term <> ''),
+      stats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+                FROM tok2 GROUP BY term),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok2)
+      SELECT term, df, tf FROM stats, n
+      WHERE df * 20 <= n_docs AND tf >= 5
+      ORDER BY tf DESC, term LIMIT 20"""),
+    doc = "distinctive terms (rare-across-docs, frequent overall) — integer-exact TF-IDF " +
+      "rank; on the 31-term synthetic corpus this surfaces exactly the planted dup marker")
+
   // ---------------------------------------------------------------- c1
   /** The flagship training-data curation pipeline, composed end-to-end from
     * the pack's tiers: quality-filter (t3's score ≥ 0.5) → language-filter
@@ -564,6 +602,6 @@ object TextOps {
 
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
-    t6BpeTokens, t7RollingFingerprint, t8TrainSplit, d1DedupExact,
-    d2NgramJaccard, c1CorpusCuration, c2Contamination)
+    t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
+    d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination)
 }
