@@ -703,6 +703,38 @@ object Relational {
     doc = "sequential conversion funnel (view→click→purchase) via conditional-min " +
       "aggregation — one shuffle, no self-join")
 
+  // ---------------------------------------------------------------- q28
+  /** Sliding (hopping) event-time windows — 10-minute windows every
+    * 5 minutes, the overlap semantics tumbling windows (q10) can't
+    * express.  Spark's `window(ts, win, slide)` explodes each event into
+    * win/slide buckets before the aggregation (here exactly 2); the
+    * oracle replays the same explosion with integer-micros bucket
+    * arithmetic (`(us // slide) * slide` and the one before it), so
+    * window starts are epoch-aligned and hash-identical.  One shuffle on
+    * (window, event_type) — the 2× row explosion happens map-side. */
+  val q28HoppingWindow = NamedQuery(
+    "q28_hopping_window",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some("""WITH e AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value FROM events),
+      x AS (
+        SELECT event_type, value, us,
+          unnest([(us // 300000000) * 300000000,
+                  (us // 300000000) * 300000000 - 300000000]) AS ws
+        FROM e)
+      SELECT make_timestamp(ws) AS win_start, event_type,
+        count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM x WHERE us >= ws AND us < ws + 600000000
+      GROUP BY ws, event_type ORDER BY win_start, event_type"""),
+    doc = "sliding 10-min/5-min event-time windows (overlapping buckets, map-side explode)")
+
   // ---------------------------------------------------------------- q27
   /** Event-time range scan — the query shape [[graft.plans.NanosFilterPushdown]]
     * exists for.  `events.ts` is parquet TIMESTAMP(NANOS) read as a raw long
@@ -732,6 +764,7 @@ object Relational {
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
+    q28HoppingWindow,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
