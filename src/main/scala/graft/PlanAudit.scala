@@ -75,7 +75,17 @@ object PlanAudit {
       "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704844800000000000), " +
         "LessThanOrEqual(ts,1704931199999999999)]",
       "NanosFilterPushdown must derive raw-nanos parquet bounds from the " +
-        "event-time range filter"))
+        "event-time range filter"),
+    Expect("q21_funnel", "hashpartitioning(",
+      "funnel is conditional-min aggregation: one data shuffle on user_id, " +
+        "no self-join, no window", maxCount = 1),
+    Expect("q21_funnel", ") Window\n", "no window in the funnel",
+      present = false),
+    Expect("q28_hopping_window", "Expand",
+      "sliding windows explode map-side (Expand), partial-agg before the shuffle"),
+    Expect("q28_hopping_window", "hashpartitioning(",
+      "one shuffle on (window, event_type); the final sort repartitions by range",
+      maxCount = 1))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)
