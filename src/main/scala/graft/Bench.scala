@@ -11,6 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Contention taints these numbers (a loaded machine once skewed one
+    // query 5×): record the 1-min load average before and after so a dirty
+    // run is self-evident in the output rather than silently trusted.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg()
     // Warm-up: touch each table once (parquet footers, codegen, JIT) so the
     // first timed query doesn't absorb one-off session startup costs.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -26,22 +32,36 @@ object Bench {
     // intermediate (d2/d3/d6/c1) register it in the CacheManager keyed by
     // canonicalized plan, and without the clear the second run would read
     // the first run's materialized blocks and report a warm-cache time for
-    // compute that IS a property of the plan (it also stops 61 queries'
-    // persisted blocks accumulating across the session).
+    // compute that IS a property of the plan.  RDD-level persists (the
+    // d6/c1 lineage-cut edges) aren't in the CacheManager, so they are
+    // unpersisted explicitly — otherwise their MEMORY_AND_DISK blocks
+    // accumulate across the run and pressure later timings.
+    // A query that THROWS is an error, not a fast run: its name is
+    // reported in "errors" and the process exits non-zero, so a regression
+    // can never improve the bench number.
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(): Unit } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count(): Unit }
+        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}" }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         t
       }
       name -> times.min
     }
+    val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.mkString("; ")}")
+      sys.exit(1)
+    }
   }
 }

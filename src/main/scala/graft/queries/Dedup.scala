@@ -148,18 +148,113 @@ object Dedup {
     * actions during construction.  The DuckDB oracle states the same
     * fixpoint as a recursive CTE, so the round bound is verified against a
     * true transitive closure on every gate run. */
+  /** Runs `body` with AQE and auto-broadcast disabled, restoring the
+    * previous session values after — including UNSET keys (a plain
+    * set-back would pin a default value the user never chose).  Query
+    * CONSTRUCTION is single-threaded per session by library convention
+    * (all `queries` entries build their plan synchronously); a concurrent
+    * construction on the same session could observe the toggled values
+    * for the duration of `body`. */
+  private def withLineageCutConfs[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val toggles = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = toggles.map { case (k, _) => k -> s.conf.getOption(k) }
+    try { toggles.foreach { case (k, v) => s.conf.set(k, v) }; body }
+    finally prev.foreach { case (k, vOpt) =>
+      vOpt.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
+  /** Cuts `df` from its logical-plan lineage via a lazy `.rdd` boundary
+    * and persists the result (MEMORY_AND_DISK — must spill, not OOM).
+    *
+    * Why the cut: an iterated DataFrame EMBEDS another copy of its whole
+    * upstream subtree per round, and analyzer/optimizer/codegen time over
+    * k copies of that tree — not the data — dominates the query.  Under
+    * AQE, `.rdd` (and even a lazy localCheckpoint) materializes query
+    * stages EAGERLY — jobs during construction, which this library bans —
+    * so the conversion runs with AQE off: the RDD lineage is then built
+    * lazily and nothing executes until the first action, which
+    * materializes the persisted blocks once for all downstream readers.
+    * (Broadcast exchanges also materialize eagerly when the RDD DAG is
+    * built — executeBroadcast submits its job — so the cut subplan
+    * additionally forgoes broadcast joins for shuffle joins; it runs
+    * exactly once and its inputs are the small end of the dedup funnel.) */
+  private def lineageCut(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rdd = withLineageCutConfs(s)(df.rdd)
+    s.createDataFrame(
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      df.schema)
+  }
+
+  /** Min-label propagation over an undirected pair list — the reusable CC
+    * core.  `rounds` bounds the hop distance a label can travel; the
+    * returned plan carries a FIXPOINT GUARD: one extra (tiny) aggregate
+    * that re-checks every edge has equal endpoint labels and
+    * `raise_error`s at EXECUTION time if not.  A convergence LOOP
+    * ("repeat until no label changes") needs an action per round, and
+    * query construction in this library is action-free by contract (the
+    * zero-jobs spec) — so instead of silently returning wrong labels on a
+    * component whose diameter exceeds `rounds`, the query fails loudly
+    * with the conf to raise.  That turns the round bound from a footgun
+    * into a checked precondition. */
+  def propagateLabels(s: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val edgesDf = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = lineageCut(s, edgesDf)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    // Edges plus self-loops: label(node) = min over {self} ∪ neighbors of
+    // the previous labels — ONE join + ONE agg per round, with `labels`
+    // referenced once, so the plan grows LINEARLY in rounds (a
+    // labels-join-labels formulation doubles the plan per round and chokes
+    // the optimizer long before execution).
+    val edgesPlus = edges
+      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = edgesPlus.join(labels, edgesPlus("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("node"), col("label"))
+    }
+    // Second cut: the final labels feed BOTH the output and the fixpoint
+    // guard below; without it each reference would recompute the whole
+    // propagation chain.
+    val labelsCut = lineageCut(s, labels)
+    // Fixpoint guard: at a true fixpoint every edge's endpoints share a
+    // label.  assert_true is non-foldable, and the filter on its (null)
+    // result keeps the guard subtree alive through column pruning; the
+    // 1-row guard side joins as a BroadcastNestedLoopJoin (not a
+    // CartesianProduct) at negligible cost.
+    val guard = edges
+      .join(labelsCut.select(col("node").as("src"), col("label").as("label_a")), "src")
+      .join(labelsCut.select(col("node").as("dst"), col("label").as("label_b")), "dst")
+      .filter(col("label_a") =!= col("label_b"))
+      .agg(count(lit(1)).as("n_bad"))
+      .select(assert_true(col("n_bad") === 0,
+        concat(lit("graft: connected-components did not reach a fixpoint in "),
+          lit(rounds), lit(" rounds ("), col("n_bad"),
+          lit(" unconverged edges); raise spark.graft.cc.rounds to the "),
+          lit("component diameter"))).as("ok"))
+    labelsCut.join(broadcast(guard), col("ok").isNull, "inner")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Default hop bound for [[propagateLabels]].  Near-dup components are
+    * near-cliques (diameter ≤ 2–3 in every measured corpus), so 6 carries
+    * real margin; a corpus with a similarity CHAIN longer than 6 hops
+    * trips the fixpoint guard at execution (a loud error naming
+    * `spark.graft.cc.rounds`) rather than silently mislabeling. */
+  private val DefaultCcRounds = 6
+
   /** Unordered (doc_id, cluster_id) component labels over the ≥0.5 exact
     * global Jaccard graph — the d6 query body, reusable by composed
     * pipelines (c1). */
   def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-      // Round bound vs the oracle's true transitive closure: k rounds
-      // converge every node within k hops of its component's min.  Measured
-      // across the testdata SFs every component is a clique/star
-      // (eccentricity 1), so the default of 4 carries 4x margin; a corpus
-      // with longer similarity CHAINS (5+ docs pairwise-chained at Jaccard
-      // ≥ 0.5 without being mutually similar — rare in practice) needs
-      // spark.graft.cc.rounds raised to its expected diameter.
-      val ccRounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(4)
+      val ccRounds = s.conf.getOption("spark.graft.cc.rounds")
+        .map(_.toInt).getOrElse(DefaultCcRounds)
       // exact global Jaccard pairs at >= 0.5 — scale-adaptive: the naive
       // shingle self-join for small corpora, the AllPairs/PPJoin prefix
       // filter at scale, where the naive join's quadratic blowup on
@@ -168,52 +263,7 @@ object Dedup {
       // equivalence spec-tested in both scopes)
       val pairs = TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
         .select(col("doc_a"), col("doc_b"))
-      // Edges plus self-loops: label(node) = min over {self} ∪ neighbors of
-      // the previous labels — ONE join + ONE agg per round, with `labels`
-      // referenced once, so the plan grows LINEARLY in rounds (a
-      // labels-join-labels formulation doubles the plan per round and chokes
-      // the optimizer long before execution).  The edge list is cut from
-      // its lineage with a lazy `.rdd` boundary: without the cut every
-      // round EMBEDS another copy of the whole pair-generation subtree in
-      // the logical plan, and analyzer/optimizer/codegen time over k
-      // copies of that tree — not the tiny edge data — dominates the
-      // query.  Under AQE, `.rdd` (and even a lazy localCheckpoint)
-      // materializes query stages EAGERLY — jobs during construction,
-      // which this library bans — so the conversion runs with AQE off:
-      // the RDD lineage is then built lazily and nothing executes until
-      // the first action, which materializes the persisted edges once for
-      // all rounds.  (AQE matters for skewed/large shuffles; the edge list
-      // is the small end of the dedup funnel.)
-      val edgesDf = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      // (broadcast exchanges also materialize eagerly when the RDD DAG is
-      // built — executeBroadcast submits its job — so the cut subplan
-      // additionally forgoes broadcast joins for shuffle joins; it runs
-      // exactly once and its inputs are the small end of the funnel)
-      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
-      val prevBcast = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-      val edgesRdd =
-        try {
-          s.conf.set("spark.sql.adaptive.enabled", "false")
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-          edgesDf.rdd
-        } finally {
-          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        }
-      val edges = s.createDataFrame(
-        edgesRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        edgesDf.schema)
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val edgesPlus = edges
-        .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
-      var labels = nodes.withColumn("label", col("node"))
-      for (_ <- 1 to ccRounds) {
-        labels = edgesPlus.join(labels, edgesPlus("dst") === labels("node"))
-          .groupBy(col("src")).agg(min(col("label")).as("label"))
-          .select(col("src").as("node"), col("label"))
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      propagateLabels(s, pairs, ccRounds)
   }
 
   /** The near-dup cluster graph as DuckDB CTEs (through `labels`), shared

@@ -28,7 +28,7 @@ object Multimodal {
   /** Typed blob row: the schema a media lake table would have. */
   final case class Blob(doc_id: Long, media_type: String, bytes: Array[Byte])
   final case class Decoded(doc_id: Long, media_type: String, n_bytes: Int,
-      width: Int, height: Int, features: Array[Double])
+      width: Int, height: Int, fp: Long, features: Array[Double])
 
   /** documents → opaque binary blobs with a media_type tag. */
   def blobs(s: SparkSession, dir: String): DataFrame =
@@ -42,24 +42,28 @@ object Multimodal {
 
   /** ======== STUB KERNEL ========
     * Stands in for a real image/audio decoder. Deterministic: derives
-    * "dimensions" and an 8-dim "feature vector" purely from byte content.
-    * Runs per-partition over the typed Dataset — the exact call shape a
-    * real vectorized decode (JNI ffmpeg/turbojpeg, or Arrow-batched
-    * python) would use: one kernel instance per partition, streaming
-    * iterator in/out, no per-row setup cost. */
+    * "dimensions", a content fingerprint and an 8-dim "feature vector"
+    * purely from byte content.  Runs per-partition over the typed
+    * Dataset — the exact call shape a real vectorized decode (JNI
+    * ffmpeg/turbojpeg, or Arrow-batched python) would use: one kernel
+    * instance per partition, streaming iterator in/out, no per-row setup
+    * cost.  The arithmetic is mod-prime (like t7's fold) rather than
+    * wrapping-64-bit precisely so the whole kernel is replayable as
+    * DuckDB SQL — which promotes m2 from a rows-only check to a full
+    * value oracle over the mapPartitions path. */
+  private val FpPrime = 1000000007L
+
   def decodePartition(rows: Iterator[Blob]): Iterator[Decoded] = {
     // per-partition "codec init" happens here (once, not per row)
     rows.map { b =>
       val n = b.bytes.length
-      var h = 1125899906842597L
+      var h = 7L
       var i = 0
-      while (i < n) { h = 31 * h + b.bytes(i); i += 1 }
+      while (i < n) { h = (h * 31 + (b.bytes(i) & 0xFF)) % FpPrime; i += 1 }
       val feats = Array.tabulate(8) { d =>
-        var x = h ^ (0x9E3779B97F4A7C15L * (d + 1))
-        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27
-        (x.toDouble / Long.MaxValue.toDouble)
+        (h * (2 * d + 3) % FpPrime).toDouble / FpPrime.toDouble
       }
-      Decoded(b.doc_id, b.media_type, n, n % 640, n % 480, feats)
+      Decoded(b.doc_id, b.media_type, n, n % 640, n % 480, h, feats)
     }
   }
 
@@ -93,24 +97,43 @@ object Multimodal {
 
   // ---------------------------------------------------------------- m2
   /** Full stubbed decode via mapPartitions (typed kernel application),
-    * then a relational summary of the synthesized features. Rows-only:
-    * the kernel is JVM-local. */
+    * then a relational summary.  Oracle-checked: the kernel's mod-prime
+    * fold is replayed character-by-character in DuckDB (`documents.text`
+    * is pure ASCII at every SF, so code points == bytes), and the feature
+    * aggregates ride on the exact INTEGER residues (`fp`), never on float
+    * accumulation order. */
   val m2DecodeFeatures = NamedQuery(
     "m2_decode_features",
     (s, dir) => {
       import s.implicits._
       val decoded = blobs(s, dir).as[Blob].mapPartitions(decodePartition)
       decoded.toDF()
-        .withColumn("f0", element_at(col("features"), 1))
         .groupBy(col("media_type"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("f0")), 4).as("avg_f0"),
-          round(min(col("f0")), 4).as("min_f0"),
-          round(max(col("f0")), 4).as("max_f0"))
+          graft.queries.Exact.avg4(col("width"), 0).as("avg_width"),
+          graft.queries.Exact.avg4(col("height"), 0).as("avg_height"),
+          sum(col("fp")).as("fp_sum"),
+          min(col("fp")).as("fp_min"),
+          max(col("fp")).as("fp_max"))
         .orderBy(col("media_type"))
     },
-    None,
-    doc = "stubbed decode kernel via mapPartitions over typed Dataset; rows-only")
+    Some("""SELECT media_type, count(*) AS n,
+        floor(round(sum(width)) / count(*) * 10000) / 10000.0 AS avg_width,
+        floor(round(sum(height)) / count(*) * 10000) / 10000.0 AS avg_height,
+        CAST(sum(fp) AS BIGINT) AS fp_sum, min(fp) AS fp_min, max(fp) AS fp_max
+      FROM (SELECT
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        octet_length(CAST(text AS BLOB)) % 640 AS width,
+        octet_length(CAST(text AS BLOB)) % 480 AS height,
+        list_reduce(
+          list_prepend(CAST(7 AS BIGINT), list_transform(
+            range(1, length(text) + 1),
+            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+          (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        FROM documents WHERE text IS NOT NULL AND text <> '') t
+      GROUP BY media_type ORDER BY media_type"""),
+    doc = "stubbed decode kernel via mapPartitions over typed Dataset; " +
+      "mod-prime fold replayed in SQL → full value oracle")
 
   // ---------------------------------------------------------------- m3
   /** Frame sampling for "video" blobs: fixed-size frame slicing of the byte

@@ -272,65 +272,206 @@ object Similarity {
   /** Embedding-cosine near-dup pairs: all pairs above a cosine threshold —
     * the fifth dedup tier (after exact / Jaccard / MinHash / SimHash).
     *
-    * Exact all-pairs, computed DISTRIBUTED by block decomposition: rows
-    * hash into `DedupBlocks` blocks, every unordered block pair (i ≤ j)
-    * is a grouping key, and each group runs a primitive-array pair loop so
-    * only qualifying pairs materialize.  Shuffle volume is (B+1)·n rows —
-    * linear in the corpus — and nothing is collected to the driver (the
-    * round-1 version broadcast a driver-collected corpus; correct at bench
-    * SFs, driver-OOM at 100 TB).  Size B so one block pair (2n/B vectors)
-    * fits an executor; at larger corpora raise B quadratically-free, or
-    * front it with the s2 hyperplane-LSH buckets as an approximate
-    * prefilter — kept out of THIS query because 8-bit hyperplane
-    * signatures cannot guarantee 100% recall at the 0.4 threshold, and the
-    * oracle demands exactness. */
+    * Exact all-pairs SEMANTICS, computed DISTRIBUTED by block
+    * decomposition: rows hash into `blocks` blocks, every unordered block
+    * pair (i ≤ j) is a grouping key, and each group runs a primitive-array
+    * pair kernel so only qualifying pairs materialize.  Shuffle volume is
+    * (B+1)·n rows — linear in the corpus — and nothing is collected to the
+    * driver.  Size B so one block pair (2n/B vectors) fits an executor.
+    *
+    * The kernel itself is SUB-QUADRATIC on clusterable data while staying
+    * exact (the round-2 kernel compared every pair): each group greedily
+    * leader-clusters its right side into balls of radius [[BallRadius]] in
+    * normalized space, and a left row skips a whole ball when the triangle
+    * inequality proves every member is below the threshold —
+    * d(â, leader) > R + r  ⟹  d(â, b̂) ≥ d(â, leader) − r > R  ⟹
+    * cos(a, b) = 1 − d²/2 < [[PruneCos]], which sits 5·10⁻⁵ below the
+    * round-to-4-dp output cutoff (true cutoff: round4(cos) ≥ 0.4 ⟺
+    * cos ≥ 0.39995), so floating-point noise (~1e-12) cannot flip a pruned
+    * pair into the output.  Surviving pairs run the SAME raw-vector dot
+    * loop as before — output is bit-identical to the all-pairs kernel,
+    * which the equivalence spec asserts row-for-row.
+    *
+    * On data that does not cluster (isotropic random vectors — the known
+    * worst case for any exact metric pruning, by concentration of
+    * measure), ball construction hits [[maxBalls]] and the group falls
+    * back to the plain pair loop, bounding overhead at ~maxBalls²/2 probe
+    * distances per group (<1% of the group's pair cost).  Real embedding
+    * corpora at 100 TB cluster heavily (the same structure IVF exploits),
+    * so the pruned path is the expected path in production; the
+    * comparison-count spec pins >50% savings on a planted clustered
+    * corpus.  For approximate-but-cheaper tiers see s2/s5/d3/d4. */
   private val DedupBlocks = 16
+
+  /** Prune when the cosine upper bound is below this — 5e-5 under the
+    * round4 output cutoff of 0.39995, so pruning can never drop a pair
+    * that would round to ≥ 0.4. */
+  private val PruneCos = 0.3999
+  /** Normalized-space distance equivalent of [[PruneCos]]:
+    * cos = 1 − d²/2 ⟹ d = √(2 − 2·cos) ≈ 1.0955. */
+  private val PruneR = math.sqrt(2.0 - 2.0 * PruneCos)
+  /** Leader-clustering ball radius (normalized space). */
+  private val BallRadius = 0.25
+  /** Extra slack on the prune test, ≫ any fp error in the bound math. */
+  private val PruneEps = 1e-6
+
+  /** The d5 kernel over an arbitrary (vec_id, emb, nrm) corpus.
+    *
+    * @param prune        disable to force the plain all-pairs kernel
+    *                     (the equivalence-spec reference path)
+    * @param comparisons  when set, counts every 64-dim distance/dot the
+    *                     kernel evaluates (ball builds, leader probes and
+    *                     pair dots alike) — the honest denominator for the
+    *                     sub-quadratic claim */
+  def embeddingPairsOf(
+      s: SparkSession,
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
+      blocks: Int = DedupBlocks,
+      prune: Boolean = true,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import s.implicits._
+    val B = blocks
+    val doPrune = prune
+    val acc = comparisons
+    // Replicate each row to every block pair it participates in: the
+    // "left" side of keys (blk, j ≥ blk) and the "right" side of keys
+    // (i ≤ blk, blk).  A cross-block pair meets under exactly one key in
+    // one orientation; a same-block pair meets twice (both orientations)
+    // and the id< guard in the kernel keeps one.
+    val tagged = e.flatMap { case (id, emb, nrm) =>
+      val blk = (id % B).toInt
+      val asLeft  = (blk until B).iterator.map(j => (blk, j, 0, id, emb, nrm))
+      val asRight = (0 to blk).iterator.map(i => (i, blk, 1, id, emb, nrm))
+      asLeft ++ asRight
+    }
+    val pairs = tagged
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Int, Long, Array[Double], Double)]) =>
+        val all = rows.toArray
+        // deterministic ball construction + stable comparison counts
+        val (lsRaw, rsRaw) = all.partition(_._3 == 0)
+        val ls = lsRaw.sortBy(_._4)
+        val rs = rsRaw.sortBy(_._4)
+        val sameBlock = key._1 == key._2
+        var nCompares = 0L
+
+        def rawDot(ea: Array[Double], eb: Array[Double]): Double = {
+          var sAcc = 0.0
+          var i = 0
+          val n = math.min(ea.length, eb.length)
+          while (i < n) { sAcc += ea(i) * eb(i); i += 1 }
+          sAcc
+        }
+        // normalized copies: pruning geometry only — never the output value
+        def unit(t: (Int, Int, Int, Long, Array[Double], Double)): Array[Double] = {
+          val emb = t._5; val nrm = t._6
+          val u = new Array[Double](emb.length)
+          var i = 0
+          while (i < emb.length) { u(i) = emb(i) / nrm; i += 1 }
+          u
+        }
+        def dist(a: Array[Double], b: Array[Double]): Double = {
+          var sAcc = 0.0
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) { val d = a(i) - b(i); sAcc += d * d; i += 1 }
+          math.sqrt(sAcc)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        def comparePair(a: (Int, Int, Int, Long, Array[Double], Double),
+                        b: (Int, Int, Int, Long, Array[Double], Double)): Unit = {
+          val (ida, ea, na) = (a._4, a._5, a._6)
+          val (idb, eb, nb) = (b._4, b._5, b._6)
+          if (!(sameBlock && ida >= idb)) {
+            nCompares += 1
+            val cos = round4(rawDot(ea, eb) / (na * nb))
+            if (cos >= 0.4)
+              out += ((math.min(ida, idb), math.max(ida, idb), cos))
+          }
+        }
+
+        // greedy leader clustering of rs: first-fit in id order; abort to
+        // the all-pairs fallback if the data won't cluster
+        val maxBalls = math.max(8, rs.length / 8)
+        var fallback = !doPrune || rs.length < 32
+        var leaders = Array.empty[Array[Double]]
+        var memberOf = Array.empty[Array[Int]]
+        if (!fallback) {
+          val rsUnit = rs.map(unit)
+          val lead = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val membs = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Int]]
+          var bi = 0
+          while (bi < rs.length && !fallback) {
+            var placed = false
+            var li = 0
+            while (!placed && li < lead.length) {
+              nCompares += 1
+              if (dist(rsUnit(bi), rsUnit(lead(li))) <= BallRadius) {
+                membs(li) += bi; placed = true
+              }
+              li += 1
+            }
+            if (!placed) {
+              if (lead.length >= maxBalls) fallback = true
+              else { lead += bi; membs += scala.collection.mutable.ArrayBuffer(bi) }
+            }
+            bi += 1
+          }
+          if (!fallback) {
+            leaders = lead.map(rsUnit).toArray
+            memberOf = membs.map(_.toArray).toArray
+          }
+        }
+
+        if (fallback) {
+          var ai = 0
+          while (ai < ls.length) {
+            var bi = 0
+            while (bi < rs.length) { comparePair(ls(ai), rs(bi)); bi += 1 }
+            ai += 1
+          }
+        } else {
+          val pruneAt = PruneR + BallRadius + PruneEps
+          var ai = 0
+          while (ai < ls.length) {
+            val aUnit = unit(ls(ai))
+            var li = 0
+            while (li < leaders.length) {
+              nCompares += 1
+              if (dist(aUnit, leaders(li)) <= pruneAt) {
+                val ms = memberOf(li)
+                var mi = 0
+                while (mi < ms.length) { comparePair(ls(ai), rs(ms(mi))); mi += 1 }
+              }
+              li += 1
+            }
+            ai += 1
+          }
+        }
+        acc.foreach(_.add(nCompares))
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+    pairs.orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** [[embeddingPairsOf]] over the `embeddings` table. */
+  def embeddingPairs(
+      s: SparkSession, dir: String,
+      blocks: Int = DedupBlocks, prune: Boolean = true,
+      comparisons: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .as[(Long, Array[Double], Double)]
+    embeddingPairsOf(s, e, blocks, prune, comparisons)
+  }
 
   val d5EmbeddingNearDup = NamedQuery(
     "d5_embedding_neardup",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      import s.implicits._
-      val B = DedupBlocks
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .withColumn("nrm", norm(col("emb")))
-        .as[(Long, Array[Double], Double)]
-      // Replicate each row to every block pair it participates in: the
-      // "left" side of keys (blk, j ≥ blk) and the "right" side of keys
-      // (i ≤ blk, blk).  A cross-block pair meets under exactly one key in
-      // one orientation; a same-block pair meets twice (both orientations)
-      // and the id< guard in the kernel keeps one.
-      val tagged = e.flatMap { case (id, emb, nrm) =>
-        val blk = (id % B).toInt
-        val asLeft  = (blk until B).iterator.map(j => (blk, j, 0, id, emb, nrm))
-        val asRight = (0 to blk).iterator.map(i => (i, blk, 1, id, emb, nrm))
-        asLeft ++ asRight
-      }
-      val pairs = tagged
-        .groupByKey(t => (t._1, t._2))
-        .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Int, Long, Array[Double], Double)]) =>
-          val (ls, rs) = rows.toArray.partition(_._3 == 0)
-          val sameBlock = key._1 == key._2
-          ls.iterator.flatMap { case (_, _, _, ida, ea, na) =>
-            rs.iterator.flatMap { case (_, _, _, idb, eb, nb) =>
-              if (sameBlock && ida >= idb) None
-              else {
-                var sAcc = 0.0
-                var i = 0
-                val n = math.min(ea.length, eb.length)
-                while (i < n) { sAcc += ea(i) * eb(i); i += 1 }
-                val cos = round4(sAcc / (na * nb))
-                if (cos >= 0.4)
-                  Some((math.min(ida, idb), math.max(ida, idb), cos))
-                else None
-              }
-            }
-          }
-        }
-        .toDF("vec_a", "vec_b", "cosine")
-      pairs.orderBy(col("vec_a"), col("vec_b"))
-    },
+    (s, dir) => embeddingPairs(s, dir),
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine

@@ -133,6 +133,25 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("cc propagation converges on a 7-node chain at default rounds; guard trips when bounded") {
+    import spark.implicits._
+    // chain 10–11–…–16: diameter 6 — exactly the default hop bound
+    val pairs = (10L to 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(spark, pairs, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 7, s"expected 7 labeled nodes, got $labels")
+    assert(labels.values.forall(_ == 10L), s"chain not fully converged: $labels")
+    // insufficient rounds must FAIL LOUDLY at execution (fixpoint guard),
+    // never silently return partial labels
+    val ex = intercept[Exception] {
+      Dedup.propagateLabels(spark, pairs, 2).collect(): Unit
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("did not reach a fixpoint")),
+      s"guard error not raised; got: ${messages.mkString(" | ")}")
+  }
+
   test("t8 split is deterministic, total, and roughly 13/2/1 by hash range") {
     val out = TextOps.t8TrainSplit.fn(spark, sf()).collect()
     val bySplit = out.groupBy(_.getString(0)).view
@@ -238,6 +257,61 @@ class QueryPacksSpec extends SparkSpec {
       assert(math.abs(r.getLong(1) - exact) / exact < 0.10,
         s"${r.getString(0)} HLL ${r.getLong(1)} vs exact $exact")
     }
+  }
+
+  /** splitmix64 — deterministic pseudo-random noise for the planted corpus. */
+  private def mix(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /** 20 well-separated clusters × 50 points in 64-dim: centers are distinct
+    * basis vectors, noise amplitude 0.005/coord.  Geometry is provable:
+    * within-cluster normalized distance ≤ ~0.09 (inside the 0.25 ball
+    * radius, cosine ≥ 0.99), cross-cluster ≥ ~1.38 (beyond the
+    * R + ball = 1.3455 prune bound, cosine ≤ ~0.05) — so the ball pruning
+    * MUST activate and the exact output is exactly the within-cluster
+    * pairs. */
+  private def plantedCorpus: Seq[(Long, Array[Double], Double)] =
+    (0L until 1000L).map { id =>
+      val cluster = (id / 50).toInt
+      val emb = new Array[Double](64)
+      emb(cluster * 3) = 1.0
+      var i = 0
+      while (i < 64) {
+        emb(i) += 0.005 * (mix((id << 8) | i).toDouble / Long.MaxValue)
+        i += 1
+      }
+      (id, emb, math.sqrt(emb.map(x => x * x).sum))
+    }
+
+  test("d5 ball pruning ≡ all-pairs kernel (bit-identical rows), clustered AND real corpora") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val planted = spark.createDataset(plantedCorpus)
+    val pruned = rows(Similarity.embeddingPairsOf(spark, planted, blocks = 4))
+    val naive = rows(Similarity.embeddingPairsOf(spark, planted, blocks = 4, prune = false))
+    assert(pruned == naive, "pruning changed the output on the clustered corpus")
+    assert(pruned.size == 20 * (50 * 49 / 2), "expected exactly the within-cluster pairs")
+    // real corpus (isotropic — exercises the maxBalls fallback guard)
+    val p2 = rows(Similarity.embeddingPairs(spark, sf()))
+    val n2 = rows(Similarity.embeddingPairs(spark, sf(), prune = false))
+    assert(p2 == n2, "pruning changed the output on the real corpus")
+  }
+
+  test("d5 kernel is sub-quadratic on the planted corpus (<50% of n(n-1)/2 comparisons)") {
+    import spark.implicits._
+    val planted = spark.createDataset(plantedCorpus)
+    val acc = spark.sparkContext.longAccumulator("d5-comparisons")
+    Similarity.embeddingPairsOf(spark, planted, blocks = 4, comparisons = Some(acc))
+      .count(): Unit
+    val n = 1000L
+    assert(acc.value > 0, "comparison counter never incremented")
+    assert(acc.value < n * (n - 1) / 2 / 2,
+      s"${acc.value} comparisons is not <50% of all-pairs ${n * (n - 1) / 2}")
   }
 
   test("brute-force ANN: top-1 neighbor of a near-duplicate vector is that duplicate") {
