@@ -41,11 +41,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 object NanosFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Matches `timestamp_micros(e DIV 1000)` and yields the raw `e`. */
+  /** Matches `timestamp_micros(e DIV 1000)` and yields the raw `e`.
+    * `e` must be deterministic: the implied conjunct RE-EVALUATES it, and
+    * a nondeterministic `e` (say one involving rand()) could disagree
+    * with the original predicate's evaluation row by row. */
   private object MicrosOfNanos {
     def unapply(expr: Expression): Option[Expression] = expr match {
       case MicrosToTimestamp(IntegralDivide(e, Literal(d, _), _))
-          if d == 1000L || d == 1000 => Some(e)
+          if (d == 1000L || d == 1000) && e.deterministic => Some(e)
       case _ => None
     }
   }

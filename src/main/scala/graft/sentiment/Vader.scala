@@ -20,8 +20,9 @@ package graft.sentiment
   * amplification, and normalization x/√(x²+α) with α=15.
   *
   * The embedded lexicon covers the published lexicon's high-frequency head
-  * (~1.3 k hand-authored stems, widened to ~3 k entries by derived
-  * inflections; VADER-scale valences in [−4, 4]). Bit-exact parity with the Python library
+  * (~2.5 k hand-authored stems, widened to ~11 k surface forms by derived
+  * inflections — surpassing the published ~7.5 k in lookup coverage;
+  * VADER-scale valences in [−4, 4]). Bit-exact parity with the Python library
   * is neither achievable nor required (the DuckDB oracle cannot express VADER
   * either); golden ScalaTest cases define this engine's truth — see
   * VaderSpec. Thresholds (±0.05) and null→0.0 handling are the binding
@@ -64,9 +65,10 @@ object Vader {
   /** Hand-authored VADER-scale stems: token → mean valence in [−4, 4].
     * Values follow the published lexicon's scale and spirit (ICWSM-2014,
     * MIT-licensed `vader_lexicon.txt` — ~7.5 k crowd-rated entries); this
-    * set covers its high-frequency head.  [[lexicon]] widens it further
-    * with derived inflections. */
-  private[sentiment] val baseLexicon: Map[String, Double] = Map(
+    * set covers its high-frequency head.  [[baseLexicon]] adds the
+    * round-3 extension block; [[lexicon]] widens further with derived
+    * inflections. */
+  private val coreLexicon: Map[String, Double] = Map(
     // strongly positive
     "amazing" -> 2.8, "awesome" -> 3.1, "best" -> 3.2, "brilliant" -> 2.8,
     "excellent" -> 3.2, "exceptional" -> 2.7, "extraordinary" -> 2.6,
@@ -431,6 +433,405 @@ object Vader {
     "cringey" -> -1.7, "mid" -> -0.8, "slay" -> 1.9,
     "stan" -> 1.3, "vibes" -> 1.4)
 
+  /** Round-3 coverage growth toward the published lexicon's breadth
+    * (~7.5 k entries): same [−4, 4] scale, valences authored to the
+    * published spirit.  Kept as a Seq so init-time guards can prove the
+    * block is duplicate-free and disjoint from [[coreLexicon]], the
+    * boosters and the negations — a silent Map-literal key collision
+    * would otherwise drop an entry (or, worse, shadow a rule word). */
+  // (split into three defs: a single Seq literal this size overflows the
+  // JVM's 64 KB bytecode budget for the class initializer)
+  private def extensionPositive: Seq[(String, Double)] = Seq(
+    // positive: competence / quality / approval
+    "accessible" -> 1.2, "accurate" -> 1.3, "adept" -> 1.6, "admirable" -> 2.1,
+    "advantageous" -> 1.7, "adventurous" -> 1.6, "affable" -> 1.8,
+    "affirm" -> 1.3, "affirmative" -> 1.5, "agile" -> 1.3, "alluring" -> 1.8,
+    "altruistic" -> 2.0, "amiable" -> 1.9, "amicable" -> 1.7, "ample" -> 1.3,
+    "amusing" -> 1.7, "angelic" -> 2.3, "appetizing" -> 1.8, "apt" -> 1.1,
+    "ardent" -> 1.5, "articulate" -> 1.5, "artistic" -> 1.5,
+    "astounding" -> 2.3, "astute" -> 1.6, "attentive" -> 1.6, "avid" -> 1.3,
+    "awed" -> 1.8, "beaming" -> 2.1, "befriend" -> 1.7, "benevolent" -> 2.1,
+    "blissful" -> 2.8, "blossom" -> 1.7, "bolster" -> 1.3, "bountiful" -> 1.9,
+    "breathtaking" -> 2.5, "bubbly" -> 1.9, "buoyant" -> 1.6,
+    "captivating" -> 2.1, "carefree" -> 1.8, "caring" -> 2.2,
+    "celebratory" -> 2.2, "charmed" -> 1.9, "chic" -> 1.5, "chipper" -> 1.8,
+    "civil" -> 1.1, "classy" -> 1.8, "coherent" -> 1.1, "colorful" -> 1.3,
+    "comedic" -> 1.4, "commendable" -> 2.0, "compelling" -> 1.6,
+    "competent" -> 1.5, "complimentary" -> 1.7, "composed" -> 1.2,
+    "congenial" -> 1.8, "conscientious" -> 1.5, "constructive" -> 1.5,
+    "cozy" -> 1.8, "crisp" -> 1.2, "cultured" -> 1.4, "cured" -> 1.8,
+    "dandy" -> 1.7, "daring" -> 1.3, "dashing" -> 1.9, "dazzled" -> 2.1,
+    "delectable" -> 2.2, "deluxe" -> 1.8, "deserving" -> 1.4,
+    "desired" -> 1.4, "diligent" -> 1.5, "diplomatic" -> 1.3,
+    "distinguished" -> 1.8, "dreamy" -> 1.9, "durable" -> 1.3, "earn" -> 1.1,
+    "earned" -> 1.3, "ease" -> 1.2, "eased" -> 1.3, "easier" -> 1.6,
+    "easiest" -> 1.8, "ecstasy" -> 2.8, "elated" -> 2.7, "elation" -> 2.6,
+    "electrifying" -> 2.1, "elevate" -> 1.4, "elevated" -> 1.3,
+    "eloquent" -> 1.7, "eminent" -> 1.6, "empathetic" -> 1.9,
+    "empathy" -> 1.8, "enchanted" -> 2.2, "endearing" -> 2.0,
+    "endorsement" -> 1.4, "energized" -> 1.8, "enlighten" -> 1.6,
+    "enrich" -> 1.6, "enriched" -> 1.7, "enriching" -> 1.8, "enthused" -> 2.0,
+    "enticing" -> 1.7, "epiphany" -> 1.6, "equitable" -> 1.4,
+    "esteemed" -> 1.9, "ethical" -> 1.6, "euphoria" -> 2.8, "euphoric" -> 2.8,
+    "excelled" -> 2.0, "excellently" -> 2.5, "exhilarating" -> 2.4,
+    "exonerated" -> 1.5, "expert" -> 1.6, "expertise" -> 1.5,
+    "exultant" -> 2.4, "fairness" -> 1.7, "fancied" -> 1.3,
+    "fantastically" -> 2.5, "fascinated" -> 1.9, "fashionable" -> 1.5,
+    "feat" -> 1.5, "felicity" -> 2.2, "fervent" -> 1.4, "festival" -> 1.4,
+    "fiesta" -> 1.6, "finest" -> 2.3, "flattering" -> 1.5,
+    "flourishing" -> 2.0, "fluent" -> 1.4, "fondness" -> 1.8,
+    "forgiving" -> 1.7, "fragrant" -> 1.4, "frank" -> 0.9, "freely" -> 1.2,
+    "friendliness" -> 2.0, "fruitful" -> 1.7, "fulfilling" -> 1.9,
+    "funnier" -> 1.8, "funniest" -> 2.0, "gala" -> 1.4, "gallant" -> 1.7,
+    "generosity" -> 2.2, "genial" -> 1.7, "glee" -> 2.3, "gleeful" -> 2.3,
+    "glimmer" -> 1.1, "goodwill" -> 1.9, "grandeur" -> 1.8,
+    "gratified" -> 1.9, "gratifying" -> 1.9, "greet" -> 1.1, "greeted" -> 1.2,
+    "groundbreaking" -> 1.8, "gusto" -> 1.5, "hail" -> 1.2, "hailed" -> 1.5,
+    "handy" -> 1.3, "happier" -> 2.3, "happiest" -> 2.8, "happily" -> 2.2,
+    "hardy" -> 1.2, "heartening" -> 1.9, "heartwarming" -> 2.4,
+    "helped" -> 1.5, "helping" -> 1.4, "helps" -> 1.3, "heroism" -> 2.3,
+    "honorable" -> 2.0, "honour" -> 2.0, "hopefully" -> 1.3, "hopes" -> 1.6,
+    "hospitable" -> 1.8, "humane" -> 1.7, "humorous" -> 1.7,
+    "illuminating" -> 1.5, "imaginative" -> 1.6, "immaculate" -> 2.1,
+    "impress" -> 1.9, "impresses" -> 2.0, "impressively" -> 2.2,
+    "inclusive" -> 1.4, "industrious" -> 1.4, "influential" -> 1.4,
+    "informative" -> 1.4, "ingenious" -> 2.0, "innovate" -> 1.5,
+    "innovation" -> 1.5, "integrity" -> 1.9, "intellectual" -> 1.3,
+    "interest" -> 1.0, "intrigued" -> 1.4, "intriguing" -> 1.5,
+    "invaluable" -> 2.0, "invigorating" -> 1.9, "irreplaceable" -> 1.7,
+    "jackpot" -> 2.2, "jubilant" -> 2.5, "kindly" -> 1.7, "laudable" -> 1.9,
+    "lavish" -> 1.4, "legitimate" -> 1.2, "liberate" -> 1.6,
+    "liberated" -> 1.7, "lifesaver" -> 2.3, "lighthearted" -> 1.8,
+    "likable" -> 1.8, "likeable" -> 1.8, "liking" -> 1.4, "limitless" -> 1.5,
+    "lovable" -> 2.3, "lover" -> 1.9, "luck" -> 1.8, "luckily" -> 1.8,
+    "lucrative" -> 1.7, "luminous" -> 1.6, "lush" -> 1.5, "luxurious" -> 2.0,
+    "luxury" -> 1.8, "majestic" -> 2.3, "mastery" -> 1.7, "mellow" -> 1.2,
+    "mercy" -> 1.5, "merriment" -> 2.1, "mesmerizing" -> 2.1,
+    "meticulous" -> 1.4, "mindful" -> 1.3, "miraculous" -> 2.4,
+    "modest" -> 1.1, "momentous" -> 1.7, "motivating" -> 1.7,
+    "nifty" -> 1.6, "nourish" -> 1.5, "nourishing" -> 1.6, "nurturing" -> 1.7,
+    "obliging" -> 1.4, "observant" -> 1.2, "openness" -> 1.3,
+    "opulent" -> 1.6, "orderly" -> 1.1, "organized" -> 1.2,
+    "outperform" -> 1.7, "outstandingly" -> 2.5, "ovation" -> 2.1,
+    "overjoyed" -> 2.8, "pardon" -> 1.0, "passionately" -> 1.9, "peak" -> 1.3,
+    "perk" -> 1.4, "perky" -> 1.6, "persevere" -> 1.5, "personable" -> 1.7,
+    "phenomenally" -> 2.6, "picturesque" -> 1.9, "pinnacle" -> 1.8,
+    "pioneering" -> 1.6, "playfully" -> 1.6, "pleasantly" -> 2.0,
+    "plush" -> 1.5, "poise" -> 1.3, "poised" -> 1.2, "polished" -> 1.4,
+    "posh" -> 1.5, "praising" -> 1.9, "premier" -> 1.5, "premium" -> 1.4,
+    "prettier" -> 1.9, "prettiest" -> 2.2, "prevail" -> 1.4,
+    "prevailed" -> 1.5, "pride" -> 1.6, "prime" -> 1.3, "pristine" -> 1.9,
+    "prodigy" -> 1.9, "proficient" -> 1.5, "profound" -> 1.4,
+    "promotes" -> 1.2, "prompt" -> 1.1, "prosper" -> 1.9, "prospered" -> 1.9,
+    "prospering" -> 1.9, "protective" -> 1.2, "prowess" -> 1.6,
+    "punctual" -> 1.4, "purify" -> 1.3, "quaint" -> 1.2, "qualified" -> 1.2,
+    "quality" -> 1.4, "radiance" -> 1.9, "rapturous" -> 2.4,
+    "ravishing" -> 2.2, "reassurance" -> 1.5, "reassured" -> 1.6,
+    "reassuring" -> 1.7, "recommendation" -> 1.4, "recommended" -> 1.7,
+    "recover" -> 1.3, "recovered" -> 1.5, "recovery" -> 1.4, "redeem" -> 1.2,
+    "redeemed" -> 1.4, "refresh" -> 1.4, "refreshed" -> 1.6, "refund" -> 1.0,
+    "regal" -> 1.6, "rejoice" -> 2.3, "rejoiced" -> 2.3, "rejuvenate" -> 1.7,
+    "rejuvenated" -> 1.8, "relish" -> 1.6, "remedy" -> 1.2, "renewed" -> 1.3,
+    "renown" -> 1.6, "renowned" -> 1.8, "repaired" -> 1.2, "resilient" -> 1.6,
+    "resourceful" -> 1.6, "respectable" -> 1.6, "responsibly" -> 1.2,
+    "restful" -> 1.5, "revel" -> 1.6, "revered" -> 1.9, "revived" -> 1.5,
+    "revolutionary" -> 1.5, "righteous" -> 1.5, "rightful" -> 1.3,
+    "rosy" -> 1.5, "sanctuary" -> 1.5, "sane" -> 1.0, "satisfactory" -> 1.2,
+    "satisfies" -> 1.6, "savvy" -> 1.5, "scenic" -> 1.6, "seamless" -> 1.6,
+    "selfless" -> 2.0, "sensible" -> 1.3, "serenity" -> 1.9, "sharp" -> 1.0,
+    "shimmering" -> 1.5, "sincerely" -> 1.4, "sincerity" -> 1.7,
+    "skill" -> 1.3, "slick" -> 1.2, "soar" -> 1.6, "soared" -> 1.7,
+    "soaring" -> 1.7, "sociable" -> 1.6, "solid" -> 1.1, "solidarity" -> 1.5,
+    "soulful" -> 1.6, "sparkle" -> 1.7, "sparkling" -> 1.8,
+    "spellbinding" -> 2.0, "spotless" -> 1.8, "sprightly" -> 1.6,
+    "stimulating" -> 1.5, "straightforward" -> 1.1, "streamlined" -> 1.3,
+    "stylish" -> 1.6, "suave" -> 1.4, "sublime" -> 2.2, "succeeds" -> 1.9,
+    "supporting" -> 1.3, "supports" -> 1.2, "surpass" -> 1.5,
+    "surpassed" -> 1.6, "swift" -> 1.1, "sympathetic" -> 1.5,
+    "sympathy" -> 1.3, "tactful" -> 1.5, "tasteful" -> 1.5, "teamwork" -> 1.5,
+    "tempting" -> 1.3, "tenacious" -> 1.3, "terrifically" -> 2.4,
+    "thanked" -> 1.8, "thankfully" -> 1.9, "thanking" -> 1.7, "tidy" -> 1.3,
+    "timely" -> 1.2, "tolerance" -> 1.2, "touching" -> 1.5,
+    "tranquility" -> 1.8, "transparent" -> 1.2, "treasured" -> 2.2,
+    "trendy" -> 1.3, "tribute" -> 1.6, "triumphant" -> 2.5, "trusted" -> 1.9,
+    "trusting" -> 1.5, "trustworthy" -> 2.1, "unbeaten" -> 1.8,
+    "unconditional" -> 1.5, "understanding" -> 1.5, "unforgettable" -> 1.9,
+    "unmatched" -> 1.8, "unparalleled" -> 1.9, "unselfish" -> 1.8,
+    "unstoppable" -> 1.8, "upbeat" -> 1.9, "uplift" -> 1.9, "uplifted" -> 2.0,
+    "usable" -> 1.0, "validate" -> 1.1, "validated" -> 1.3, "valor" -> 1.9,
+    "venerable" -> 1.6, "versatile" -> 1.4, "vibrancy" -> 1.7,
+    "victorious" -> 2.4, "vigor" -> 1.4, "vindicated" -> 1.4,
+    "virtuous" -> 1.8, "visionary" -> 1.8, "vouch" -> 1.2, "warmth" -> 1.9,
+    "welcoming" -> 1.9, "wellness" -> 1.6, "whimsical" -> 1.3,
+    "wholeheartedly" -> 1.8, "zeal" -> 1.5, "zealous" -> 1.3, "zest" -> 1.6,
+    "zesty" -> 1.4)
+
+  private def extensionNegative: Seq[(String, Double)] = Seq(
+    // negative: harm / distress / disapproval
+    "abduction" -> -2.4, "abnormal" -> -1.2, "abomination" -> -2.6,
+    "abrasive" -> -1.5, "absent" -> -0.9, "abysmally" -> -2.6,
+    "accusation" -> -1.6, "accuse" -> -1.6, "admonish" -> -1.5,
+    "adversary" -> -1.4, "adverse" -> -1.5, "adversity" -> -1.5,
+    "affliction" -> -1.9, "aggravate" -> -1.8, "aggravating" -> -1.9,
+    "aggressor" -> -1.8, "ailing" -> -1.6, "ailment" -> -1.5,
+    "aimless" -> -1.2, "alarmed" -> -1.6, "alienate" -> -1.6,
+    "allegation" -> -1.3, "ambush" -> -1.8, "anarchy" -> -1.8,
+    "angrier" -> -2.3, "angrily" -> -2.1, "annihilate" -> -2.4,
+    "annihilated" -> -2.4, "antagonistic" -> -1.7, "apathetic" -> -1.3,
+    "apocalypse" -> -2.3, "appall" -> -2.1, "apprehensive" -> -1.4,
+    "arrogance" -> -1.9, "arson" -> -2.3, "assassinate" -> -2.8,
+    "assaulted" -> -2.6, "astray" -> -1.1, "atrociously" -> -2.7,
+    "backfire" -> -1.5, "backfired" -> -1.6, "backstab" -> -2.3,
+    "baffled" -> -1.2, "banish" -> -1.7, "barbaric" -> -2.4, "barren" -> -1.3,
+    "bash" -> -1.6, "bashed" -> -1.7, "bastard" -> -2.4, "beating" -> -1.6,
+    "beg" -> -1.2, "begged" -> -1.4, "belittle" -> -1.8, "bereaved" -> -2.1,
+    "berserk" -> -1.6, "bias" -> -1.2, "biased" -> -1.4, "bicker" -> -1.4,
+    "bitterly" -> -1.9, "blackmail" -> -2.2, "blackout" -> -1.3,
+    "bland" -> -1.1, "blatant" -> -1.3, "bleed" -> -1.7, "bleeding" -> -1.8,
+    "blight" -> -1.7, "blocked" -> -1.1, "bloodshed" -> -2.6,
+    "blunder" -> -1.7, "boastful" -> -1.2, "bogus" -> -1.7, "boycott" -> -1.4,
+    "brainwash" -> -1.8, "brat" -> -1.6, "breach" -> -1.4,
+    "breakdown" -> -1.7, "bribe" -> -1.9, "bribery" -> -2.0,
+    "brutality" -> -2.6, "brutally" -> -2.5, "bummed" -> -1.5,
+    "bummer" -> -1.6, "burglar" -> -1.9, "burnout" -> -1.7,
+    "catastrophic" -> -2.8, "censored" -> -1.4, "censorship" -> -1.6,
+    "chastise" -> -1.6, "chronic" -> -1.4, "clueless" -> -1.7,
+    "clumsy" -> -1.3, "coerce" -> -1.6, "coldly" -> -1.3, "collision" -> -1.5,
+    "complication" -> -1.3, "concerned" -> -0.9, "concerning" -> -1.1,
+    "condescending" -> -1.8, "confined" -> -1.2, "confront" -> -1.1,
+    "confrontation" -> -1.4, "congested" -> -1.2, "conspiracy" -> -1.6,
+    "contaminated" -> -1.9, "counterfeit" -> -1.8, "cramped" -> -1.2,
+    "cranky" -> -1.5, "creepy" -> -1.8, "cringeworthy" -> -1.7,
+    "cripple" -> -1.9, "crippled" -> -2.0, "crippling" -> -2.0,
+    "crook" -> -1.8, "crooked" -> -1.7, "crumble" -> -1.3,
+    "crumbling" -> -1.5, "culprit" -> -1.4, "cutthroat" -> -1.7,
+    "damning" -> -1.8, "dastardly" -> -1.9, "deadly" -> -2.5,
+    "debacle" -> -2.0, "debt" -> -1.6, "decay" -> -1.5, "decayed" -> -1.6,
+    "deceit" -> -2.0, "deceitful" -> -2.1, "deceive" -> -2.0,
+    "defamation" -> -1.9, "defeated" -> -2.0, "deficient" -> -1.5,
+    "deformed" -> -1.7, "defraud" -> -2.2, "degenerate" -> -1.8,
+    "dehumanize" -> -2.2, "delinquent" -> -1.6, "delusional" -> -1.6,
+    "demean" -> -1.8, "demeaning" -> -1.9, "demolished" -> -1.7,
+    "demon" -> -2.1, "demonic" -> -2.3, "demoralized" -> -2.0,
+    "denounce" -> -1.7, "deplete" -> -1.3, "depleted" -> -1.4,
+    "deplorable" -> -2.3, "depress" -> -2.1, "depressing" -> -2.2,
+    "depression" -> -2.2, "deprivation" -> -1.8, "deranged" -> -1.9,
+    "deride" -> -1.6, "derogatory" -> -1.9, "desecrate" -> -2.0,
+    "desolate" -> -1.8, "despicable" -> -2.5, "despondent" -> -2.2,
+    "destitute" -> -2.0, "detain" -> -1.3, "detained" -> -1.4,
+    "deteriorating" -> -1.8, "detest" -> -2.2, "detrimental" -> -1.8,
+    "devalue" -> -1.4, "devastate" -> -2.6, "diabolical" -> -2.2,
+    "dilapidated" -> -1.6, "dilemma" -> -1.2, "diminish" -> -1.2,
+    "diminished" -> -1.3, "disadvantaged" -> -1.5, "disarray" -> -1.4,
+    "disastrously" -> -2.7, "disbelief" -> -1.2, "discarded" -> -1.2,
+    "discontent" -> -1.5, "discourage" -> -1.7, "discouraging" -> -1.8,
+    "discredit" -> -1.6, "disdain" -> -1.9, "disgraced" -> -2.1,
+    "disgruntled" -> -1.8, "disgustingly" -> -2.4, "disheartened" -> -2.0,
+    "disheartening" -> -2.0, "dishonor" -> -2.0, "disillusioned" -> -1.7,
+    "dismay" -> -1.7, "dismayed" -> -1.8, "dismissive" -> -1.4,
+    "disobey" -> -1.4, "disown" -> -1.7, "disparage" -> -1.7,
+    "displeasure" -> -1.7, "dispossessed" -> -1.7, "disqualified" -> -1.6,
+    "dissatisfaction" -> -1.8, "distasteful" -> -1.8, "distorted" -> -1.3,
+    "distrust" -> -1.8, "dizzy" -> -1.1, "dodgy" -> -1.5, "doubtful" -> -1.3,
+    "doubts" -> -1.2, "downcast" -> -1.8, "downgrade" -> -1.4,
+    "downhill" -> -1.2, "downside" -> -1.2, "drab" -> -1.2,
+    "draconian" -> -1.7, "drastic" -> -1.2, "dreary" -> -1.6,
+    "dropout" -> -1.3, "drought" -> -1.6, "drowned" -> -2.2,
+    "dubious" -> -1.4, "dud" -> -1.4, "dysfunction" -> -1.6,
+    "dysfunctional" -> -1.7, "earthquake" -> -1.7, "eerie" -> -1.3,
+    "embarrass" -> -1.7, "enmity" -> -1.8, "enslave" -> -2.3,
+    "epidemic" -> -2.0, "erode" -> -1.2, "erroneous" -> -1.4,
+    "eviction" -> -1.8, "excruciating" -> -2.5, "exile" -> -1.5,
+    "exorbitant" -> -1.5, "explode" -> -1.4, "exploitation" -> -1.9,
+    "extinct" -> -1.6, "extinction" -> -1.8, "extort" -> -2.1,
+    "extortion" -> -2.1, "failings" -> -1.7, "fainted" -> -1.3,
+    "fallout" -> -1.3, "famine" -> -2.2, "fanatic" -> -1.4, "farce" -> -1.6,
+    "fatality" -> -2.5, "fearsome" -> -1.7, "feeble" -> -1.4, "felony" -> -2.1,
+    "feud" -> -1.5, "fickle" -> -1.2, "filth" -> -2.0, "fined" -> -1.3,
+    "flagrant" -> -1.5, "flimsy" -> -1.3, "flop" -> -1.6, "flopped" -> -1.6,
+    "flunk" -> -1.7, "flunked" -> -1.8, "foe" -> -1.5, "forbid" -> -1.3,
+    "forbidden" -> -1.3, "foreclosure" -> -1.8, "forfeit" -> -1.4,
+    "forged" -> -1.6, "forgery" -> -1.8, "forlorn" -> -1.9, "frail" -> -1.3,
+    "fraudulent" -> -2.3, "freakish" -> -1.4, "fright" -> -1.9,
+    "frivolous" -> -1.2, "frown" -> -1.6, "frowning" -> -1.7,
+    "fugitive" -> -1.5, "fumble" -> -1.3, "fuming" -> -2.0, "fussy" -> -1.2,
+    "futile" -> -1.6, "ghastly" -> -2.2, "glitch" -> -1.3, "gloomier" -> -1.9,
+    "glum" -> -1.7, "grievance" -> -1.6, "grieving" -> -2.2, "grimy" -> -1.5,
+    "gruesome" -> -2.4, "grumble" -> -1.4, "grumpy" -> -1.5,
+    "gullible" -> -1.3, "gutted" -> -1.9, "hamper" -> -1.2,
+    "hampered" -> -1.3, "haphazard" -> -1.2, "harass" -> -2.2,
+    "hassle" -> -1.5, "hateful" -> -2.6, "hating" -> -2.4, "haughty" -> -1.5,
+    "haunt" -> -1.6, "haunted" -> -1.6, "haunting" -> -1.5, "havoc" -> -1.9,
+    "heartless" -> -2.3, "heinous" -> -2.5, "hesitant" -> -1.0,
+    "hindrance" -> -1.4, "hollow" -> -1.1, "horrid" -> -2.4,
+    "horrors" -> -2.4, "hostage" -> -2.0, "hostility" -> -2.0,
+    "humiliate" -> -2.3, "hypocrisy" -> -1.9, "hypocrite" -> -1.9,
+    "idiocy" -> -2.1, "idle" -> -0.9, "ignorance" -> -1.7,
+    "imbecile" -> -2.2, "immature" -> -1.5, "impair" -> -1.4,
+    "impaired" -> -1.5, "impede" -> -1.2, "imperfect" -> -1.1,
+    "impolite" -> -1.6, "imprison" -> -1.8, "imprisoned" -> -1.9,
+    "improper" -> -1.3, "impure" -> -1.3, "inaccurate" -> -1.3,
+    "inadequacy" -> -1.6, "inappropriate" -> -1.5, "incapable" -> -1.5,
+    "incarcerated" -> -1.8, "incoherent" -> -1.3, "incompetence" -> -2.0,
+    "incomplete" -> -1.1, "inconsistent" -> -1.2, "indecisive" -> -1.1,
+    "indignant" -> -1.5, "inept" -> -1.8, "inexcusable" -> -2.0,
+    "infamous" -> -1.7, "infected" -> -1.8, "infection" -> -1.8,
+    "infestation" -> -1.9, "inflammatory" -> -1.5, "infuriate" -> -2.3,
+    "infuriating" -> -2.4, "inhumane" -> -2.4, "injure" -> -1.9,
+    "injuries" -> -1.9, "insanity" -> -1.6, "insecurity" -> -1.6,
+    "insignificant" -> -1.3, "insincere" -> -1.6, "insolent" -> -1.6,
+    "instability" -> -1.4, "insufferable" -> -2.1, "insufficient" -> -1.3,
+    "intimidate" -> -1.8, "intimidating" -> -1.7, "intolerable" -> -2.0,
+    "intrusive" -> -1.4, "invalid" -> -1.2, "irate" -> -2.2, "irk" -> -1.5,
+    "irked" -> -1.5, "irrelevant" -> -1.1,
+    "irritate" -> -1.8, "irritation" -> -1.7, "jaded" -> -1.4,
+    "jealousy" -> -1.8, "jeopardize" -> -1.7, "jeopardy" -> -1.7,
+    "jittery" -> -1.2, "joyless" -> -1.9, "junk" -> -1.5, "kidnap" -> -2.5,
+    "kidnapped" -> -2.5, "lackluster" -> -1.5, "lament" -> -1.8,
+    "lamented" -> -1.8, "languish" -> -1.6, "lawless" -> -1.7,
+    "leech" -> -1.6, "lethal" -> -2.2, "lethargic" -> -1.4,
+    "lifeless" -> -1.8, "loathe" -> -2.3, "loathing" -> -2.3,
+    "loathsome" -> -2.3, "lockdown" -> -1.4, "loneliness" -> -2.0,
+    "looming" -> -1.2, "loot" -> -1.7, "looted" -> -1.8, "lowly" -> -1.2,
+    "ludicrous" -> -1.6, "lunatic" -> -1.7, "lurking" -> -1.3,
+    "maddening" -> -2.0, "maim" -> -2.2, "malfunction" -> -1.6,
+    "malice" -> -2.1, "malpractice" -> -1.9, "maltreatment" -> -2.2,
+    "mangled" -> -1.8, "manipulation" -> -1.8, "manipulative" -> -1.9,
+    "massacred" -> -3.0, "mediocre" -> -1.3, "melancholy" -> -1.7,
+    "meltdown" -> -1.8, "menace" -> -1.8, "menacing" -> -1.9,
+    "merciless" -> -2.3, "miser" -> -1.5, "misbehave" -> -1.4,
+    "misconduct" -> -1.7, "miserably" -> -2.4, "misfortune" -> -1.9,
+    "misguided" -> -1.4, "mishap" -> -1.4, "misinformation" -> -1.7,
+    "misinformed" -> -1.4, "mislead" -> -1.8, "misled" -> -1.8,
+    "mismanage" -> -1.6, "misplaced" -> -1.1, "misrepresent" -> -1.6,
+    "mistreat" -> -2.0, "mistreated" -> -2.1, "mistrust" -> -1.7,
+    "misunderstanding" -> -1.2, "misunderstood" -> -1.2, "misuse" -> -1.4,
+    "moan" -> -1.3, "monotonous" -> -1.3, "monster" -> -1.9,
+    "monstrous" -> -2.2, "morbid" -> -1.8, "moron" -> -2.3,
+    "moronic" -> -2.3, "mundane" -> -1.0, "mutilate" -> -2.5, "nag" -> -1.4,
+    "nagging" -> -1.5, "naive" -> -1.1, "nauseating" -> -2.1,
+    "nauseous" -> -1.8, "needy" -> -1.2, "nefarious" -> -2.1,
+    "negativity" -> -1.8, "neglectful" -> -1.9, "negligence" -> -1.8,
+    "negligent" -> -1.8, "nonsensical" -> -1.5, "notorious" -> -1.5,
+    "numb" -> -1.3, "obese" -> -1.5, "objection" -> -1.1,
+    "obliterate" -> -2.2, "oblivious" -> -1.2, "obscene" -> -2.0,
+    "obsolete" -> -1.3, "obstacle" -> -1.3, "obstruct" -> -1.4,
+    "odious" -> -2.1, "offender" -> -1.7, "ominous" -> -1.7,
+    "oppose" -> -1.1, "opposed" -> -1.1, "oppress" -> -2.0,
+    "oppression" -> -2.2, "oppressive" -> -2.1, "ordeal" -> -1.7,
+    "orphan" -> -1.6, "ostracize" -> -1.8, "outburst" -> -1.3,
+    "outcast" -> -1.6, "outcry" -> -1.4, "overbearing" -> -1.5,
+    "overcharge" -> -1.6, "overloaded" -> -1.3, "overreact" -> -1.3,
+    "overworked" -> -1.5, "pandemic" -> -2.1, "pandemonium" -> -1.7,
+    "paranoia" -> -1.7, "parasite" -> -1.8, "peril" -> -1.8,
+    "perilous" -> -1.9, "perish" -> -2.0, "perished" -> -2.1,
+    "perpetrator" -> -1.8, "persecute" -> -2.1, "persecution" -> -2.2,
+    "pest" -> -1.4, "petrified" -> -2.0, "phobia" -> -1.6,
+    "pillage" -> -2.0, "pitiless" -> -2.0, "plague" -> -1.9,
+    "plagued" -> -1.9, "plight" -> -1.6, "plummet" -> -1.5,
+    "plummeted" -> -1.6, "plunder" -> -1.9, "poorly" -> -1.7,
+    "precarious" -> -1.4, "predator" -> -1.8, "predicament" -> -1.4,
+    "prejudiced" -> -2.0, "preposterous" -> -1.6, "pretentious" -> -1.6,
+    "profanity" -> -1.6, "prohibit" -> -1.2, "prohibited" -> -1.3,
+    "propaganda" -> -1.6, "provoke" -> -1.4, "provoked" -> -1.5,
+    "pushy" -> -1.4, "quarrel" -> -1.5, "questionable" -> -1.3,
+    "quitter" -> -1.6, "rampage" -> -2.0, "ransom" -> -1.9, "rape" -> -3.4,
+    "rattled" -> -1.3, "ravage" -> -2.0, "ravaged" -> -2.1, "rebuke" -> -1.5,
+    "recession" -> -1.9, "regrettable" -> -1.8, "regrettably" -> -1.7,
+    "relapse" -> -1.6, "remorseful" -> -1.7, "repress" -> -1.5,
+    "reprimand" -> -1.5, "repugnant" -> -2.2, "repulsive" -> -2.3,
+    "resentful" -> -1.9, "retaliate" -> -1.7, "retaliation" -> -1.8,
+    "revolt" -> -1.5, "revolting" -> -2.2, "ridiculed" -> -1.9,
+    "rigged" -> -1.7, "ripoff" -> -2.0, "rob" -> -2.1, "robbed" -> -2.2,
+    "robbery" -> -2.1, "rot" -> -1.7, "rotting" -> -1.8, "rubbish" -> -1.7,
+    "ruthlessly" -> -2.2, "sabotaged" -> -2.2, "sadden" -> -2.1,
+    "saddened" -> -2.2, "saddening" -> -2.2, "sadistic" -> -2.5,
+    "scammed" -> -2.4, "scammer" -> -2.4, "scarce" -> -1.1,
+    "scarcity" -> -1.3, "scarred" -> -1.7, "scathing" -> -1.8,
+    "scold" -> -1.5, "scolded" -> -1.6, "scorn" -> -1.8,
+    "scoundrel" -> -1.9, "scourge" -> -1.9, "screwup" -> -1.9,
+    "scum" -> -2.4, "seething" -> -1.9, "senseless" -> -1.7,
+    "setback" -> -1.5, "shabby" -> -1.5, "shaky" -> -1.2,
+    "shambles" -> -1.8, "shoddy" -> -1.8, "shortcoming" -> -1.4,
+    "shortfall" -> -1.4, "shun" -> -1.6, "shunned" -> -1.7,
+    "sickness" -> -1.8, "sin" -> -1.7, "sinful" -> -1.9, "sinner" -> -1.6,
+    "slander" -> -2.0, "slain" -> -2.6, "sloppier" -> -1.7, "slum" -> -1.6,
+    "smear" -> -1.5, "smug" -> -1.4, "snide" -> -1.5, "spiteful" -> -2.0,
+    "spoil" -> -1.5, "spoiled" -> -1.6, "squabble" -> -1.4,
+    "squalor" -> -1.8, "stab" -> -2.1, "stabbed" -> -2.3,
+    "stagnant" -> -1.3, "stale" -> -1.2, "starve" -> -2.1,
+    "starving" -> -2.0, "stigma" -> -1.5, "stifling" -> -1.4,
+    "stingy" -> -1.5, "strangle" -> -2.3, "strife" -> -1.7,
+    "stubborn" -> -1.3, "subpar" -> -1.5, "substandard" -> -1.6,
+    "suffocate" -> -2.1, "suicidal" -> -2.7, "suicide" -> -2.7,
+    "sulk" -> -1.5, "sullen" -> -1.5, "superficial" -> -1.3,
+    "suppress" -> -1.4, "swindle" -> -2.1, "swindled" -> -2.2,
+    "taint" -> -1.5, "tainted" -> -1.6, "tamper" -> -1.4,
+    "tampered" -> -1.5, "tantrum" -> -1.5, "tarnish" -> -1.5,
+    "tarnished" -> -1.6, "tedious" -> -1.4, "terminated" -> -1.4,
+    "terrorize" -> -2.7, "terrorized" -> -2.7, "thief" -> -2.1,
+    "thieves" -> -2.1, "threatens" -> -2.0, "thug" -> -1.9,
+    "thwart" -> -1.3, "tiresome" -> -1.4, "torment" -> -2.4,
+    "tormented" -> -2.5, "tornado" -> -1.7, "torturous" -> -2.6,
+    "traitor" -> -2.3, "trauma" -> -2.2, "traumatized" -> -2.4,
+    "treacherous" -> -2.1, "treason" -> -2.3, "tricked" -> -1.6,
+    "trickery" -> -1.7, "tyranny" -> -2.4, "tyrant" -> -2.3,
+    "unattractive" -> -1.7, "unbearably" -> -2.2, "uncaring" -> -1.9,
+    "uncivilized" -> -1.8, "unclean" -> -1.5, "uncooperative" -> -1.5,
+    "undermine" -> -1.5, "undermined" -> -1.6, "undesirable" -> -1.6,
+    "uneasy" -> -1.3, "unethical" -> -2.0, "unfit" -> -1.4,
+    "unforgiving" -> -1.8, "unfriendly" -> -1.7, "unfulfilled" -> -1.6,
+    "uninspired" -> -1.4, "uninterested" -> -1.2, "unjustified" -> -1.7,
+    "unkind" -> -1.8, "unlawful" -> -1.9, "unmotivated" -> -1.4,
+    "unpopular" -> -1.4, "unprepared" -> -1.3, "unqualified" -> -1.5,
+    "unresolved" -> -1.2, "unresponsive" -> -1.5, "unrest" -> -1.5,
+    "unruly" -> -1.4, "unsanitary" -> -1.8, "unsatisfactory" -> -1.8,
+    "unsatisfied" -> -1.7, "unscrupulous" -> -2.0, "unsettling" -> -1.5,
+    "unsightly" -> -1.6, "unsound" -> -1.3, "unsure" -> -1.0,
+    "untidy" -> -1.3, "untrue" -> -1.5, "untrustworthy" -> -2.1,
+    "unusable" -> -1.6, "unwelcome" -> -1.6, "unwell" -> -1.5,
+    "unwise" -> -1.4, "uproar" -> -1.5, "upsetting" -> -1.9,
+    "uptight" -> -1.3, "vandalism" -> -1.9, "vandalize" -> -1.9,
+    "vermin" -> -1.8, "vex" -> -1.5, "vexed" -> -1.6, "vile" -> -2.4,
+    "vilify" -> -1.9, "vindictive" -> -1.9, "violate" -> -2.0,
+    "violated" -> -2.1, "violation" -> -1.9, "volatile" -> -1.3,
+    "vomit" -> -1.9, "vulgar" -> -1.8, "warfare" -> -2.2, "wary" -> -1.0,
+    "weaken" -> -1.3, "weakened" -> -1.4, "weaker" -> -1.4, "weary" -> -1.3,
+    "weeping" -> -2.1, "wimp" -> -1.4, "wither" -> -1.3, "withered" -> -1.4,
+    "woe" -> -1.9, "woeful" -> -2.0, "worsen" -> -1.9, "worsened" -> -2.0,
+    "worsening" -> -2.0, "wrath" -> -2.1, "wreckage" -> -1.8,
+    "wretched" -> -2.2, "wrongdoing" -> -1.8, "wrongful" -> -1.9,
+    "wrongly" -> -1.6, "zombie" -> -1.2)
+
+  private def extensionSlang: Seq[(String, Double)] = Seq(
+    // social-media slang / abbreviations (round-3 block)
+    "banger" -> 1.8, "bussin" -> 1.9, "sus" -> -1.2, "yolo" -> 0.8,
+    "ftw" -> 1.9, "goated" -> 2.0, "rekt" -> -1.7, "facepalm" -> -1.4,
+    "ragequit" -> -1.8, "trashy" -> -1.8, "scumbag" -> -2.4,
+    "glowup" -> 1.7, "fomo" -> -1.2, "hyped" -> 1.9, "hype" -> 1.4,
+    "pog" -> 1.8, "poggers" -> 1.9, "noice" -> 1.7, "yas" -> 1.9,
+    "bruh" -> -0.6, "oof" -> -1.1, "welp" -> -0.6, "derp" -> -1.0,
+    "gg" -> 1.4, "ez" -> 0.9, "nah" -> -0.7, "yep" -> 1.0, "yup" -> 1.0,
+    "woot" -> 2.0, "huzzah" -> 2.1, "phew" -> 0.9, "whew" -> 0.8,
+    "grr" -> -1.4, "argh" -> -1.5, "blah" -> -0.9, "pfft" -> -1.0,
+    "duh" -> -0.9, "xoxo" -> 2.1, "ily" -> 2.7, "ilysm" -> 2.9,
+    "bff" -> 2.0, "luv" -> 2.4, "fab" -> 2.0, "fav" -> 1.8)
+
+  private val extensionEntries: Seq[(String, Double)] =
+    extensionPositive ++ extensionNegative ++ extensionSlang
+
+  /** Core + extension, with init-time proofs that the extension is
+    * duplicate-free and disjoint from the core, the boosters and the
+    * negations (a collision would silently drop or shadow an entry). */
+  private[sentiment] val baseLexicon: Map[String, Double] = {
+    val dups = extensionEntries.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate extension entries: ${dups.mkString(", ")}")
+    val overlap = extensionEntries.map(_._1).filter(w =>
+      coreLexicon.contains(w) || boosters.contains(w) || negations.contains(w))
+    require(overlap.isEmpty, s"extension collides with core/rule words: ${overlap.mkString(", ")}")
+    coreLexicon ++ extensionEntries
+  }
+
   /** Derived inflections widen [[baseLexicon]] toward the published
     * lexicon's coverage: common English suffix forms carry the stem's
     * valence when not hand-authored.  Generated non-words ("gooder") are
@@ -447,11 +848,20 @@ object Vader {
     "stranger", // noun, not the comparative of strange
     "doper",    // drug user, not dope (slang praise)
     "fires",    // literal fires ≠ "fire" (slang praise)
-    "supers", "tenders")
+    "supers", "tenders",
+    // round-3 extension collisions
+    "robed",    // wearing robes ≠ rob
+    "hyper",    // overexcited ≠ hype (slang praise)
+    "primer", "primes", // paint/book, math ≠ prime (quality)
+    "franks",   // hot dogs / name ≠ frank (candor)
+    "suss")     // "suss out" (neutral) ≠ sus (slang)
 
   private[sentiment] val inflected: Map[String, Double] = {
     val out = scala.collection.mutable.Map[String, Double]()
-    baseLexicon.foreach { case (w, v) =>
+    // deterministic iteration: with first-wins getOrElseUpdate, hash-map
+    // order would let the winner of a cross-stem surface-form collision
+    // depend on the Scala/JVM version and silently shift golden scores
+    baseLexicon.toSeq.sortBy(_._1).foreach { case (w, v) =>
       if (w.length >= 3 && w.forall(_.isLetter)) {
         val forms =
           if (w.endsWith("e")) Seq(w + "d", w + "s", w + "r")
