@@ -42,6 +42,8 @@ object PlanAudit {
       "window function over one shuffle on the partition key"),
     Expect("s1_ann_bruteforce", "BroadcastNestedLoopJoin",
       "query side must broadcast; corpus scanned once"),
+    Expect("s6_ann_quantized", "BroadcastNestedLoopJoin",
+      "quantized query side must broadcast; corpus scanned once"),
     // round-2 additions (VERDICT.md #7)
     Expect("q24_asof_join", "hashpartitioning(",
       "as-of composes over ONE shuffle on the user key", maxCount = 1),

@@ -204,15 +204,25 @@ object Dedup {
       pairs: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
     val edgesDf = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val edges = lineageCut(s, edgesDf)
-    val nodes = edges.select(col("src").as("node")).distinct()
     // Edges plus self-loops: label(node) = min over {self} ∪ neighbors of
     // the previous labels — ONE join + ONE agg per round, with `labels`
     // referenced once, so the plan grows LINEARLY in rounds (a
     // labels-join-labels formulation doubles the plan per round and chokes
-    // the optimizer long before execution).
-    val edgesPlus = edges
-      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+    // the optimizer long before execution).  The lineage cut lands AFTER
+    // the self-loop union: Spark does not share common subplans, so
+    // cutting only the raw edges would re-run the nodes `distinct`
+    // shuffle inside every round's copy of the union — one redundant
+    // shuffle per round, measured at ~40% of d6's runtime.
+    // Two-level cut: edgesDf carries the (expensive) pair-generation tree
+    // and is referenced by both union branches below, so it is cut FIRST —
+    // pair-gen materializes exactly once — and the cheap union+distinct
+    // over the persisted edges is cut second.
+    val edges = lineageCut(s, edgesDf)
+    val nodesDf = edges.select(col("src").as("node")).distinct()
+    val edgesPlus = lineageCut(s, edges
+      .unionByName(nodesDf.select(col("node").as("src"), col("node").as("dst"))))
+    val nodes = edgesPlus.filter(col("src") === col("dst"))
+      .select(col("src").as("node"))
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
       labels = edgesPlus.join(labels, edgesPlus("dst") === labels("node"))
@@ -224,11 +234,12 @@ object Dedup {
     // propagation chain.
     val labelsCut = lineageCut(s, labels)
     // Fixpoint guard: at a true fixpoint every edge's endpoints share a
-    // label.  assert_true is non-foldable, and the filter on its (null)
+    // label (self-loops hold trivially, so edgesPlus serves as-is).
+    // assert_true is non-foldable, and the join condition on its (null)
     // result keeps the guard subtree alive through column pruning; the
     // 1-row guard side joins as a BroadcastNestedLoopJoin (not a
     // CartesianProduct) at negligible cost.
-    val guard = edges
+    val guard = edgesPlus
       .join(labelsCut.select(col("node").as("src"), col("label").as("label_a")), "src")
       .join(labelsCut.select(col("node").as("dst"), col("label").as("label_b")), "dst")
       .filter(col("label_a") =!= col("label_b"))
@@ -243,11 +254,13 @@ object Dedup {
   }
 
   /** Default hop bound for [[propagateLabels]].  Near-dup components are
-    * near-cliques (diameter ≤ 2–3 in every measured corpus), so 6 carries
-    * real margin; a corpus with a similarity CHAIN longer than 6 hops
-    * trips the fixpoint guard at execution (a loud error naming
-    * `spark.graft.cc.rounds`) rather than silently mislabeling. */
-  private val DefaultCcRounds = 6
+    * near-cliques (diameter ≤ 2–3 in every measured corpus), so 4 carries
+    * margin — and the bound is SAFE at any value: a corpus with a
+    * similarity CHAIN longer than the bound trips the fixpoint guard at
+    * execution (a loud error naming `spark.graft.cc.rounds`) rather than
+    * silently mislabeling, so extra default rounds would buy only latency
+    * (~0.25 s/round at sf0.1), not correctness. */
+  private val DefaultCcRounds = 4
 
   /** Unordered (doc_id, cluster_id) component labels over the ≥0.5 exact
     * global Jaccard graph — the d6 query body, reusable by composed

@@ -481,6 +481,60 @@ object Similarity {
       ORDER BY vec_a, vec_b"""),
     doc = "embedding-cosine near-dup pairs (threshold 0.4), oracle-checked")
 
+  // ---------------------------------------------------------------- s6
+  /** Int8 scalar quantization + quantized-cosine top-k — the production
+    * memory/bandwidth path for ANN at 100 TB (4× smaller vectors than
+    * float32, 8× smaller than the double pipeline; SIMD-able integer
+    * dot products).  Per-vector symmetric quantization:
+    * `q_i = floor(e_i·127/scale + 0.5)` with `scale = max|e_i|` — the
+    * `floor(x+0.5)` form has no round-half tie mode, so Spark and DuckDB
+    * agree bit-for-bit, and every quantized value and dot product is a
+    * small integer represented EXACTLY in a double, which makes this the
+    * rare ANN variant whose entire pipeline is value-oracled.  Recall vs
+    * the exact s1 baseline is additionally pinned in QueryPacksSpec. */
+  val s6AnnQuantized = NamedQuery(
+    "s6_ann_quantized",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("scale",
+          greatest(array_max(transform(col("emb"), x => abs(x))), lit(1e-30)))
+        .withColumn("qd",
+          transform(col("emb"), x => floor(x * lit(127.0) / col("scale") + lit(0.5)))
+            .cast("array<double>"))
+        .withColumn("qn", sqrt(dot(col("qd"), col("qd"))))
+        .select(col("vec_id"), col("qd"), col("qn"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qd").as("qa"), col("qn").as("qna"))
+      val sims = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("qcos", round(dot(col("qa"), col("qd")) / (col("qna") * col("qn")), 4))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("qcos"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        sc AS (SELECT vec_id, emb,
+                 greatest(list_max(list_transform(emb, x -> abs(x))), 1e-30) AS scale
+               FROM e),
+        qv AS (SELECT vec_id,
+                 list_transform(emb, x -> CAST(floor(x * 127.0 / scale + 0.5) AS DOUBLE)) AS qd
+               FROM sc),
+        n AS (SELECT vec_id, qd, sqrt(list_dot_product(qd, qd)) AS qn FROM qv),
+        q AS (SELECT vec_id AS q_id, qd AS qa, qn AS qna FROM n WHERE vec_id < 5),
+        sims AS (SELECT q_id, n.vec_id AS nn_id,
+                   round(list_dot_product(qa, n.qd) / (qna * n.qn), 4) AS qcos
+                 FROM q, n WHERE n.vec_id <> q_id)
+      SELECT q_id, rn, nn_id, qcos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY qcos DESC, nn_id) AS rn
+        FROM sims) t
+      WHERE rn <= 10 ORDER BY q_id, rn"""),
+    doc = "int8 scalar-quantized ANN top-10 (exact integer dot products), oracle-checked")
+
   // ---------------------------------------------------------------- s3
   val s3LabelCentroids = NamedQuery(
     "s3_label_centroids",
@@ -500,6 +554,6 @@ object Similarity {
     doc = "per-label centroids via posexplode (first 8 dims)")
 
   def all: Seq[NamedQuery] =
-    Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe,
+    Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       d5EmbeddingNearDup, s3LabelCentroids)
 }

@@ -507,6 +507,64 @@ object TextOps {
     doc = "distinctive terms (rare-across-docs, frequent overall) — integer-exact TF-IDF " +
       "rank; on the 31-term synthetic corpus this surfaces exactly the planted dup marker")
 
+  // ---------------------------------------------------------------- t10
+  /** Gopher-style repetition signals (Rae et al. 2021, public literature —
+    * the "repetitious text" quality filters): per-doc duplicate-word
+    * fraction and most-frequent-bigram fraction, thresholded in EXACT
+    * integer cross-multiplication (`dups·10⁴ ≥ 2000·n_words` ⟺ fraction
+    * ≥ 0.2) so the oracle never touches a float, and rolled up per source.
+    * At scale: the per-doc bigram mode is one explode + one
+    * (doc_id, bigram) count with map-side combine + one max per doc —
+    * shuffles proportional to distinct bigrams, the standard shape; the
+    * word-level signals are pure per-row column math. */
+  val t10Repetition = NamedQuery(
+    "t10_repetition",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+        .withColumn("bg", expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .withColumn("n_bg", size(col("bg")).cast("long"))
+      val topBigram = docs.select(col("doc_id"), explode(col("bg")).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bg"))
+      docs.join(topBigram, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when((col("n_words") - col("n_distinct")) * 10000 >= col("n_words") * 2000, 1L)
+            .otherwise(0L)).as("n_rep_words"),
+          sum(when(col("top_bg") * 10000 >= col("n_bg") * 1800, 1L)
+            .otherwise(0L)).as("n_rep_bigrams"))
+        .orderBy(col("source"))
+    },
+    Some(raw"""WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      base AS (
+        SELECT doc_id, source, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+        FROM tok WHERE len(w) >= 2),
+      bgc AS (SELECT doc_id, max(c) AS top_bg FROM (
+                SELECT doc_id, b, count(*) AS c FROM (
+                  SELECT doc_id, unnest(bg) AS b FROM base) u
+                GROUP BY doc_id, b) g
+              GROUP BY doc_id),
+      j AS (SELECT base.source, base.n_words, base.n_distinct,
+                   len(base.bg) AS n_bg, bgc.top_bg
+            FROM base JOIN bgc USING (doc_id))
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN (n_words - n_distinct) * 10000 >= n_words * 2000
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_words,
+        CAST(sum(CASE WHEN top_bg * 10000 >= n_bg * 1800
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_bigrams
+      FROM j GROUP BY source ORDER BY source"""),
+    doc = "Gopher-style repetition filters (dup-word + top-bigram fractions), " +
+      "integer-exact thresholds, per-source rollup; oracle-checked")
+
   // ---------------------------------------------------------------- c1
   /** The flagship training-data curation pipeline, composed end-to-end from
     * the pack's tiers: quality-filter (t3's score ≥ 0.5) → language-filter
@@ -603,5 +661,6 @@ object TextOps {
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
+    t10Repetition,
     d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination)
 }

@@ -133,13 +133,13 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
-  test("cc propagation converges on a 7-node chain at default rounds; guard trips when bounded") {
+  test("cc propagation converges on a chain of 5 at default rounds; guard trips when bounded") {
     import spark.implicits._
-    // chain 10–11–…–16: diameter 6 — exactly the default hop bound
-    val pairs = (10L to 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.propagateLabels(spark, pairs, 6)
+    // chain 10–11–12–13–14: diameter 4 — exactly the default hop bound
+    val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(spark, pairs, 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 7, s"expected 7 labeled nodes, got $labels")
+    assert(labels.size == 5, s"expected 5 labeled nodes, got $labels")
     assert(labels.values.forall(_ == 10L), s"chain not fully converged: $labels")
     // insufficient rounds must FAIL LOUDLY at execution (fixpoint guard),
     // never silently return partial labels
@@ -336,6 +336,21 @@ class QueryPacksSpec extends SparkSpec {
       ivf.get(q).exists(_.exists(r => r.getLong(2) == nn))
     }
     assert(recalled * 2 >= bfTop.size, s"IVF recalled only $recalled/${bfTop.size} top-1s")
+  }
+
+  test("int8-quantized ANN recalls most exact top-1 neighbors (quantization error is small)") {
+    val bfTop = Similarity.s1AnnBruteForce.fn(spark, sf())
+      .filter(col("rn") === 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quant = Similarity.s6AnnQuantized.fn(spark, sf())
+      .select("q_id", "nn_id")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert(quant.nonEmpty)
+    // int8 keeps ~7 bits of precision per component: the exact top-1 must
+    // survive into the quantized top-10 for the large majority of queries
+    val recalled = bfTop.count { case (q, nn) => quant.get(q).exists(_.contains(nn)) }
+    assert(recalled * 2 >= bfTop.size,
+      s"quantized ANN recalled only $recalled/${bfTop.size} exact top-1s")
   }
 
   test("multi-probe LSH recall dominates single-probe (bucket superset)") {
