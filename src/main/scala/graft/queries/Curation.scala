@@ -122,5 +122,72 @@ object Curation {
     doc = "data-mixture plan: per-source acceptance rate (basis points) for an " +
       "equal-share half-corpus token budget, no upsampling")
 
-  def all: Seq[NamedQuery] = Seq(c3SequencePacking, c4SourceMixing)
+  // ---------------------------------------------------------------- c5
+  /** Stratified sampling — EXECUTES c4's mixing plan: each document is
+    * accepted iff its deterministic 16-bit md5 bucket falls under the
+    * source's basis-point rate, scaled to 65536 and compared as
+    * fixed-width hex strings (hex digits sort numerically, and both
+    * engines render `hex(int)` without tie ambiguity — no float, no RNG).
+    * Deterministic ⟹ reproducible corpus builds and a full value oracle;
+    * the sampled token mass matches c4's `planned_tokens` in expectation,
+    * which the spec pins within binomial tolerance.
+    *
+    * At 100 TB: the rate table is one tiny broadcast; acceptance is a
+    * per-row hash compare fused into the scan, so the sample costs one
+    * pass with no shuffle beyond the final per-source rollup. */
+  val c5StratifiedSample = NamedQuery(
+    "c5_stratified_sample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val all = Window.partitionBy()
+      val rates = docs.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("avail_tokens"))
+        .withColumn("budget", expr("sum(avail_tokens) OVER () div 2"))
+        .withColumn("n_sources", count(lit(1)).over(all))
+        .withColumn("target_tokens", expr("budget div n_sources"))
+        .withColumn("rate_bp",
+          least(expr("(target_tokens * 10000) div avail_tokens"), lit(10000L)))
+        .select(col("source"), col("avail_tokens"), col("rate_bp"))
+      val h4 = substring(md5(concat(col("doc_id").cast("string"), lit(":sample"))), 1, 4)
+      val thr = lower(lpad(hex(expr("(rate_bp * 65536) div 10000")), 4, "0"))
+      docs.join(broadcast(rates), "source")
+        .withColumn("accept", col("rate_bp") === 10000L || h4 < thr)
+        .groupBy(col("source"))
+        .agg(max(col("rate_bp")).as("rate_bp"),
+          sum(when(col("accept"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("accept"), col("n_tokens")).otherwise(0L)).as("sampled_tokens"),
+          max(col("avail_tokens")).as("avail_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      per_source AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+        FROM d GROUP BY source),
+      rates AS (
+        SELECT source, avail_tokens,
+          least(((CAST(sum(avail_tokens) OVER () AS BIGINT) // 2
+                  // (count(*) OVER ())) * 10000) // avail_tokens,
+                10000) AS rate_bp
+        FROM per_source),
+      acc AS (
+        SELECT d.source, d.n_tokens, r.rate_bp, r.avail_tokens,
+          (r.rate_bp = 10000 OR
+           substr(md5(CAST(d.doc_id AS VARCHAR) || ':sample'), 1, 4) <
+             lower(lpad(hex((r.rate_bp * 65536) // 10000), 4, '0'))) AS accept
+        FROM d JOIN rates r USING (source))
+      SELECT source, CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+        CAST(sum(CASE WHEN accept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(sum(CASE WHEN accept THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens,
+        CAST(max(avail_tokens) AS BIGINT) AS avail_tokens
+      FROM acc GROUP BY source ORDER BY source"""),
+    doc = "stratified sampling executing c4's mixing plan: deterministic md5-bucket " +
+      "acceptance at per-source basis-point rates; oracle-checked")
+
+  def all: Seq[NamedQuery] = Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample)
 }

@@ -238,6 +238,36 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("c5 sample tracks c4's plan within binomial tolerance and is deterministic") {
+    val plan = Curation.c4SourceMixing.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap // bp, planned
+    val sample = Curation.c5StratifiedSample.fn(spark, sf()).collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val (source, bp, nSampled, tokens, avail) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (planBp, planned) = plan(source)
+      assert(bp == planBp, s"$source: rate drifted from the c4 plan")
+      assert(tokens <= avail && nSampled >= 0)
+      if (bp == 10000L) assert(tokens == avail, s"$source: rate 1.0 must keep everything")
+      else {
+        // per-source doc counts at sf0.001 are tiny (~12 docs), so the
+        // binomial spread is wide; the loose per-source band still catches
+        // a broken threshold (which lands at ~0 or ~avail, 10–100× off)
+        assert(tokens >= planned / 3 && tokens <= planned * 2,
+          s"$source: sampled $tokens vs planned $planned")
+      }
+    }
+    // across all sources the binomial noise averages out: the sampled mass
+    // must track the planned mass within ±15%
+    val totalSampled = sample.map(_.getLong(3)).sum.toDouble
+    val totalPlanned = plan.values.map(_._2).sum.toDouble
+    assert(math.abs(totalSampled - totalPlanned) / totalPlanned < 0.15,
+      s"total sampled $totalSampled vs planned $totalPlanned")
+    val again = Curation.c5StratifiedSample.fn(spark, sf()).collect()
+    assert(sample.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("sketch accuracy: approx_percentile within 5% of exact, HLL within 10% of exact") {
     // q26 (t-digest-style sketch) vs q16 (exact percentiles), same grouping
     val exactP = Relational.q16Percentiles.fn(spark, sf()).collect()
