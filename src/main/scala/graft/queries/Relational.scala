@@ -414,6 +414,32 @@ object Relational {
       ORDER BY gid, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST"""),
     doc = "GROUPING SETS + grouping_id (subtotal disambiguation)")
 
+  /** CUBE completes the subtotal family (ROLLUP q17, GROUPING SETS q19):
+    * all 2ᵏ grouping combinations in one pass — Spark plans it as a
+    * single Expand + hash aggregate, so the input is scanned once however
+    * many subtotal levels are requested.  grouping_id disambiguates
+    * subtotal NULLs from data NULLs; NULLS FIRST pinned on both engines. */
+  val q29Cube = NamedQuery(
+    "q29_cube",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    Some("""SELECT c_mktsegment, o_orderpriority,
+      grouping(c_mktsegment) * 2 + grouping(o_orderpriority) AS gid,
+      count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"""),
+    doc = "CUBE over (segment, priority): all 4 grouping combinations, one Expand pass")
+
   /** Exact percentiles (median / p90) per group — continuous interpolation,
     * same definition as DuckDB's quantile_cont.  (percentile_approx is the
     * sketch-based scale path; exact keeps the oracle meaningful.) */
@@ -764,7 +790,7 @@ object Relational {
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
-    q28HoppingWindow,
+    q28HoppingWindow, q29Cube,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

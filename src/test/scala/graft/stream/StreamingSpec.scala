@@ -225,6 +225,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows("u2").isEmpty) // left join keeps unmatched platforms
   }
 
+  test("stream-stream interval join: clicks attribute to views within 5 minutes") {
+    // The last Structured Streaming join shape: BOTH sides unbounded, state
+    // bounded by watermarks + the join's time interval (Spark derives the
+    // state eviction bound from the interval condition).  Attribution —
+    // click joins its preceding view within 5 minutes — is the canonical
+    // use.  Batch parity is asserted on the same rows.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(String, java.sql.Timestamp)]
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val v = views.toDF().toDF("v_user", "view_ts").withWatermark("view_ts", "10 minutes")
+    val c = clicks.toDF().toDF("c_user", "click_ts").withWatermark("click_ts", "10 minutes")
+    val cond = col("v_user") === col("c_user") &&
+      col("click_ts") >= col("view_ts") &&
+      col("click_ts") <= col("view_ts") + expr("INTERVAL 5 MINUTES")
+    val q = v.join(c, cond)
+      .select(col("v_user").as("user"), col("view_ts"), col("click_ts"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(("u1", ts("2024-01-01 12:00:00")), ("u2", ts("2024-01-01 12:00:00")),
+        ("u3", ts("2024-01-01 12:02:00")))
+      clicks.addData(("u1", ts("2024-01-01 12:03:00")), // 3 min after view → match
+        ("u2", ts("2024-01-01 12:09:00")),              // 9 min after → outside interval
+        ("u3", ts("2024-01-01 12:01:00")))              // BEFORE the view → no match
+      q.processAllAvailable()
+      val streamed = spark.table("ssj").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(streamed.map(_._1) == Set("u1"), s"expected only u1, got $streamed")
+      // batch parity: the same join over the same static rows
+      val vb = Seq(("u1", ts("2024-01-01 12:00:00")), ("u2", ts("2024-01-01 12:00:00")),
+        ("u3", ts("2024-01-01 12:02:00"))).toDF("v_user", "view_ts")
+      val cb = Seq(("u1", ts("2024-01-01 12:03:00")), ("u2", ts("2024-01-01 12:09:00")),
+        ("u3", ts("2024-01-01 12:01:00"))).toDF("c_user", "click_ts")
+      val batch = vb.join(cb, cond)
+        .select(col("v_user"), col("view_ts"), col("click_ts")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("foreachBatch deduped sink drops within-batch and cross-batch duplicates") {
     val in = tmp("graft-din"); val out = tmp("graft-dout"); val cp = tmp("graft-dcp")
     val dup = """{"text": "I love this! #happy", "user": "uA", "platform": "twitter", "timestamp": "2024-01-01 12:00:00"}"""
