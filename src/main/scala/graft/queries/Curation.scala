@@ -189,5 +189,62 @@ object Curation {
     doc = "stratified sampling executing c4's mixing plan: deterministic md5-bucket " +
       "acceptance at per-source basis-point rates; oracle-checked")
 
-  def all: Seq[NamedQuery] = Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample)
+  // ---------------------------------------------------------------- c6
+  /** Document chunking with overlap — the RAG/embedding-prep counterpart
+    * of c3's concat-and-chunk: each document is independently sliced into
+    * windows of [[ChunkSize]] tokens at stride ChunkSize − [[ChunkOverlap]],
+    * so consecutive chunks share [[ChunkOverlap]] tokens of context.
+    * Closed forms in exact BIGINT arithmetic:
+    * `n_chunks = max(1, ceil((n − overlap) / stride))` and
+    * `emitted = n + (n_chunks − 1)·overlap` (each interior boundary
+    * re-emits the overlap once; the clipped last chunk cancels out).
+    * Per-row column math only — embarrassingly parallel, the one shuffle
+    * is the per-source rollup. */
+  private val ChunkSize = 512L
+  private val ChunkOverlap = 64L
+  private val ChunkStride = ChunkSize - ChunkOverlap
+
+  val c6ChunkOverlap = NamedQuery(
+    "c6_chunk_overlap",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("n_chunks",
+          greatest(lit(1L),
+            expr(s"(n_tokens - $ChunkOverlap + ${ChunkStride - 1}) div $ChunkStride")))
+        .withColumn("emitted",
+          col("n_tokens") + (col("n_chunks") - 1L) * ChunkOverlap)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chunks")).as("total_chunks"),
+          sum(col("emitted")).as("emitted_tokens"),
+          sum(col("emitted") - col("n_tokens")).as("overlap_overhead"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+        SELECT source,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      ch AS (
+        SELECT source, n_tokens,
+          greatest(1, (n_tokens - $ChunkOverlap + ${ChunkStride - 1}) // $ChunkStride) AS n_chunks
+        FROM d),
+      em AS (
+        SELECT source, n_tokens, n_chunks,
+          n_tokens + (n_chunks - 1) * $ChunkOverlap AS emitted
+        FROM ch)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+        CAST(sum(emitted) AS BIGINT) AS emitted_tokens,
+        CAST(sum(emitted - n_tokens) AS BIGINT) AS overlap_overhead
+      FROM em GROUP BY source ORDER BY source"""),
+    doc = "per-doc sliding-window chunking (512-token windows, 64 overlap) in " +
+      "closed-form integer arithmetic; oracle-checked")
+
+  def all: Seq[NamedQuery] =
+    Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap)
 }

@@ -189,30 +189,42 @@ object Dedup {
       df.schema)
   }
 
-  /** Min-label propagation over an undirected pair list — the reusable CC
-    * core.  `rounds` bounds the hop distance a label can travel; the
-    * returned plan carries a FIXPOINT GUARD: one extra (tiny) aggregate
-    * that re-checks every edge has equal endpoint labels and
-    * `raise_error`s at EXECUTION time if not.  A convergence LOOP
-    * ("repeat until no label changes") needs an action per round, and
-    * query construction in this library is action-free by contract (the
-    * zero-jobs spec) — so instead of silently returning wrong labels on a
-    * component whose diameter exceeds `rounds`, the query fails loudly
-    * with the conf to raise.  That turns the round bound from a footgun
-    * into a checked precondition. */
+  /** Connected components over an undirected pair list — the reusable CC
+    * core, with two propagation strategies selected by the graph's
+    * expected shape:
+    *
+    *  - `hashToMin = false` (default): one-hop min-label propagation —
+    *    ONE join + ONE agg per round, the cheapest per-round form, but
+    *    needing diameter-many rounds.  Right for TIGHT similarity
+    *    thresholds (Jaccard ≥ 0.5), whose dup components are
+    *    near-cliques of diameter ≤ 3 at every measured SF.
+    *  - `hashToMin = true`: HASH-TO-MIN (Rastogi et al., "Finding
+    *    Connected Components in Map-Reduce in Logarithmic Rounds",
+    *    ICDE 2013 — public literature).  State is a (node, member)
+    *    cluster relation; each round every node sends its cluster's min
+    *    to all members and its members to the min.  Rounds are
+    *    LOGARITHMIC in diameter (measured: 6 on the sf0.1 cosine-0.4
+    *    graph, diameter 16; ≤ 9 on 127-node shuffled chains) at ~3×
+    *    the per-round cost.  Right for LOOSE thresholds whose graphs
+    *    chain — at 100 TB chain lengths grow with the corpus and
+    *    one-hop propagation cannot keep up.  The component min ends up
+    *    holding the member list (the output's information content);
+    *    every other node's state shrinks to ~2 rows.
+    *
+    * Either way the returned plan carries a FIXPOINT GUARD: one extra
+    * (tiny) aggregate that re-checks every edge has equal endpoint
+    * labels and `raise_error`s at EXECUTION time if not.  A convergence
+    * LOOP ("repeat until no label changes") needs an action per round,
+    * and query construction in this library is action-free by contract
+    * (the zero-jobs spec) — so instead of silently returning wrong
+    * labels on a component needing more rounds, the query fails loudly
+    * with the conf to raise.  Overshooting rounds is safe (the fixpoint
+    * is stable), so defaults carry margin. */
   def propagateLabels(s: org.apache.spark.sql.SparkSession,
-      pairs: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+      pairs: org.apache.spark.sql.DataFrame,
+      rounds: Int, hashToMin: Boolean = false): org.apache.spark.sql.DataFrame = {
     val edgesDf = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // Edges plus self-loops: label(node) = min over {self} ∪ neighbors of
-    // the previous labels — ONE join + ONE agg per round, with `labels`
-    // referenced once, so the plan grows LINEARLY in rounds (a
-    // labels-join-labels formulation doubles the plan per round and chokes
-    // the optimizer long before execution).  The lineage cut lands AFTER
-    // the self-loop union: Spark does not share common subplans, so
-    // cutting only the raw edges would re-run the nodes `distinct`
-    // shuffle inside every round's copy of the union — one redundant
-    // shuffle per round, measured at ~40% of d6's runtime.
     // Two-level cut: edgesDf carries the (expensive) pair-generation tree
     // and is referenced by both union branches below, so it is cut FIRST —
     // pair-gen materializes exactly once — and the cheap union+distinct
@@ -221,16 +233,39 @@ object Dedup {
     val nodesDf = edges.select(col("src").as("node")).distinct()
     val edgesPlus = lineageCut(s, edges
       .unionByName(nodesDf.select(col("node").as("src"), col("node").as("dst"))))
-    val nodes = edgesPlus.filter(col("src") === col("dst"))
-      .select(col("src").as("node"))
-    var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      labels = edgesPlus.join(labels, edgesPlus("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("label"))
-        .select(col("src").as("node"), col("label"))
-    }
-    // Second cut: the final labels feed BOTH the output and the fixpoint
-    // guard below; without it each reference would recompute the whole
+    val labels =
+      if (hashToMin) {
+        // self-loop rows keep every node present in the state relation
+        // even in rounds where no peer happens to send to it (totality)
+        val selfRows = edgesPlus.filter(col("src") === col("dst"))
+          .select(col("src").as("node"), col("dst").as("member"))
+        var state = edgesPlus.select(col("src").as("node"), col("dst").as("member"))
+        for (_ <- 1 to rounds) {
+          val st = lineageCut(s, state)
+          val mins = st.groupBy(col("node")).agg(min(col("member")).as("mn"))
+          val withMin = st.join(mins, "node")
+          state = withMin.select(col("member").as("node"), col("mn").as("member"))
+            .unionByName(withMin.select(col("mn").as("node"), col("member")))
+            .unionByName(selfRows)
+            .distinct()
+        }
+        state.groupBy(col("node")).agg(min(col("member")).as("label"))
+      } else {
+        // one-hop min-label propagation: ONE join + ONE agg per round
+        // (cheapest per round; needs diameter-many rounds, so reserve it
+        // for tight-threshold near-clique graphs)
+        val nodes = edgesPlus.filter(col("src") === col("dst"))
+          .select(col("src").as("node"))
+        var lbl = nodes.withColumn("label", col("node"))
+        for (_ <- 1 to rounds) {
+          lbl = edgesPlus.join(lbl, edgesPlus("dst") === lbl("node"))
+            .groupBy(col("src")).agg(min(col("label")).as("label"))
+            .select(col("src").as("node"), col("label"))
+        }
+        lbl
+      }
+    // Final cut: the labels feed BOTH the output and the fixpoint guard
+    // below; without it each reference would recompute the whole
     // propagation chain.
     val labelsCut = lineageCut(s, labels)
     // Fixpoint guard: at a true fixpoint every edge's endpoints share a
@@ -246,20 +281,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_bad"))
       .select(assert_true(col("n_bad") === 0,
         concat(lit("graft: connected-components did not reach a fixpoint in "),
-          lit(rounds), lit(" rounds ("), col("n_bad"),
-          lit(" unconverged edges); raise spark.graft.cc.rounds to the "),
-          lit("component diameter"))).as("ok"))
+          lit(rounds),
+          lit(if (hashToMin) " hash-to-min rounds (" else " propagation rounds ("),
+          col("n_bad"),
+          lit(" unconverged edges); raise spark.graft.cc.rounds"))).as("ok"))
     labelsCut.join(broadcast(guard), col("ok").isNull, "inner")
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Default hop bound for [[propagateLabels]].  Near-dup components are
-    * near-cliques (diameter ≤ 2–3 in every measured corpus), so 4 carries
-    * margin — and the bound is SAFE at any value: a corpus with a
-    * similarity CHAIN longer than the bound trips the fixpoint guard at
-    * execution (a loud error naming `spark.graft.cc.rounds`) rather than
-    * silently mislabeling, so extra default rounds would buy only latency
-    * (~0.25 s/round at sf0.1), not correctness. */
+  /** Default one-hop round count for the tight-threshold Jaccard graph
+    * (near-cliques, diameter ≤ 2–3 everywhere measured): 4 carries
+    * margin, and insufficient rounds error loudly via the guard instead
+    * of mislabeling, so extra defaults would buy only latency. */
   private val DefaultCcRounds = 4
 
   /** Unordered (doc_id, cluster_id) component labels over the ≥0.5 exact

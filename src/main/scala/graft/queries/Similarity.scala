@@ -452,7 +452,10 @@ object Similarity {
         out.iterator
       }
       .toDF("vec_a", "vec_b", "cosine")
-    pairs.orderBy(col("vec_a"), col("vec_b"))
+    // no ORDER BY here: callers that feed the pairs into a lineage cut
+    // (d7) must not carry a range exchange, whose boundary sampling runs
+    // a job at RDD-DAG build time — the d5 query sorts at its own top
+    pairs
   }
 
   /** [[embeddingPairsOf]] over the `embeddings` table. */
@@ -471,7 +474,7 @@ object Similarity {
 
   val d5EmbeddingNearDup = NamedQuery(
     "d5_embedding_neardup",
-    (s, dir) => embeddingPairs(s, dir),
+    (s, dir) => embeddingPairs(s, dir).orderBy(col("vec_a"), col("vec_b")),
     Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         round(list_cosine_similarity(a.emb, b.emb), 4) AS cosine
@@ -535,6 +538,46 @@ object Similarity {
       WHERE rn <= 10 ORDER BY q_id, rn"""),
     doc = "int8 scalar-quantized ANN top-10 (exact integer dot products), oracle-checked")
 
+  // ---------------------------------------------------------------- d7
+  /** Duplicate-cluster assignment over the EMBEDDING near-dup graph — the
+    * d6 composition applied to d5's cosine pairs instead of the Jaccard
+    * graph, labeling each vector with its component's minimum vec_id.
+    * Pure reuse: the pair kernel is [[embeddingPairsOf]] (ball-pruned,
+    * exact) and the propagation core is [[Dedup.propagateLabels]]
+    * (lineage-cut rounds + runtime fixpoint guard), proving both are
+    * generic over their graph.  The oracle restates the fixpoint as a
+    * recursive CTE over the same pair predicate. */
+  val d7EmbeddingClusters = NamedQuery(
+    "d7_embedding_clusters",
+    (s, dir) => {
+      // loose cosine threshold ⟹ chaining graph (diameter 16 at sf0.1):
+      // hash-to-min's log-round propagation, 8 rounds of margin
+      val rounds = s.conf.getOption("spark.graft.cc.rounds").map(_.toInt).getOrElse(8)
+      val pairs = embeddingPairs(s, dir)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.propagateLabels(s, pairs, rounds, hashToMin = true)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node),
+      labels AS (SELECT node AS vec_id, min(label) AS cluster_id
+                 FROM reach GROUP BY node)
+      SELECT vec_id, cluster_id FROM labels ORDER BY vec_id"""),
+    doc = "connected components over the embedding near-dup graph (d5 pairs + " +
+      "d6's propagation core) vs a recursive-CTE oracle")
+
   // ---------------------------------------------------------------- s3
   val s3LabelCentroids = NamedQuery(
     "s3_label_centroids",
@@ -555,5 +598,5 @@ object Similarity {
 
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
-      d5EmbeddingNearDup, s3LabelCentroids)
+      d5EmbeddingNearDup, d7EmbeddingClusters, s3LabelCentroids)
 }

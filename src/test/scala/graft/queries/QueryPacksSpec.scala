@@ -133,19 +133,33 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
-  test("cc propagation converges on a chain of 5 at default rounds; guard trips when bounded") {
+  test("cc hash-to-min: 30-hop shuffled-id chain converges in 10 rounds; guard trips when bounded") {
     import spark.implicits._
-    // chain 10–11–12–13–14: diameter 4 — exactly the default hop bound
-    val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.propagateLabels(spark, pairs, 4)
+    // chain of 31 nodes whose ids are SCRAMBLED along the path (i ↦
+    // 17i mod 31 is a permutation): the adversarial case for one-hop
+    // propagation (diameter 30) and for naive pointer jumping (many
+    // local minima); hash-to-min converges in O(log 30) rounds
+    def id(i: Long): Long = (i * 17) % 31 + 10
+    val long = (0L until 30L).map(i => (id(i), id(i + 1))).toDF("doc_a", "doc_b")
+    val labels = Dedup.propagateLabels(spark, long, 10, hashToMin = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 5, s"expected 5 labeled nodes, got $labels")
+    assert(labels.size == 31, s"expected 31 labeled nodes, got ${labels.size}")
     assert(labels.values.forall(_ == 10L), s"chain not fully converged: $labels")
+    // the one-hop strategy converges the same chain given diameter-many
+    // rounds (and is the cheap default for near-clique graphs)
+    val linear = Dedup.propagateLabels(spark, long, 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(linear == labels, "strategies disagree on the chain")
     // insufficient rounds must FAIL LOUDLY at execution (fixpoint guard),
-    // never silently return partial labels
+    // never silently return partial labels — in EITHER strategy
     val ex = intercept[Exception] {
-      Dedup.propagateLabels(spark, pairs, 2).collect(): Unit
+      Dedup.propagateLabels(spark, long, 1, hashToMin = true).collect(): Unit
     }
+    val ex2 = intercept[Exception] {
+      Dedup.propagateLabels(spark, long, 3).collect(): Unit
+    }
+    assert(Iterator.iterate(ex2: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("did not reach a fixpoint"))))
     val messages = Iterator.iterate(ex: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(messages.exists(_.contains("did not reach a fixpoint")),
@@ -238,6 +252,34 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("c6 closed-form chunk counts match an explicit chunk enumeration") {
+    val perSource = Curation.c6ChunkOverlap.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(perSource.nonEmpty)
+    val (size, overlap, stride) = (512L, 64L, 448L)
+    val sim = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("source"), org.apache.spark.sql.functions.size(
+        TextOps.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (src, ds) =>
+        var (nDocs, chunks, emitted) = (0L, 0L, 0L)
+        ds.map(_._2).foreach { n =>
+          // walk windows of `size` at `stride` until one covers the doc end
+          var st = 0L
+          var done = false
+          while (!done) {
+            val end = math.min(st + size, n)
+            chunks += 1; emitted += end - st
+            if (st + size >= n) done = true else st += stride
+          }
+          nDocs += 1
+        }
+        src -> ((nDocs, chunks, emitted))
+      }
+    assert(perSource == sim, s"closed form drifted: $perSource vs $sim")
+  }
+
   test("c5 sample tracks c4's plan within binomial tolerance and is deterministic") {
     val plan = Curation.c4SourceMixing.fn(spark, sf()).collect()
       .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap // bp, planned
@@ -319,8 +361,10 @@ class QueryPacksSpec extends SparkSpec {
 
   test("d5 ball pruning ≡ all-pairs kernel (bit-identical rows), clustered AND real corpora") {
     import spark.implicits._
+    // the kernel no longer sorts (d7 lineage-cuts it; a range exchange
+    // would sample at RDD-build time) — sort here for stable comparison
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
     val planted = spark.createDataset(plantedCorpus)
     val pruned = rows(Similarity.embeddingPairsOf(spark, planted, blocks = 4))
     val naive = rows(Similarity.embeddingPairsOf(spark, planted, blocks = 4, prune = false))
