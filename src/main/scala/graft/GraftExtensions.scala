@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.RollingFingerprint].getName, "graft_rolling_fp"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.RollingFingerprint(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TopKAgg(exprs.head, exprs(1))))
     // optimizer rule: derive parquet-pushable raw-nanos bounds from
     // event-time filters on the converted events.ts column
     ext.injectOptimizerRule(_ => graft.plans.NanosFilterPushdown)

@@ -44,6 +44,11 @@ object PlanAudit {
       "query side must broadcast; corpus scanned once"),
     Expect("s6_ann_quantized", "BroadcastNestedLoopJoin",
       "quantized query side must broadcast; corpus scanned once"),
+    Expect("q31_topk_agg", "ObjectHashAggregate",
+      "custom top-k aggregate runs in the object-hash agg path with a " +
+        "partial/final split (map-side combine)"),
+    Expect("q31_topk_agg", ") Window\n",
+      "per-group top-k must not fall back to a window sort", present = false),
     // round-2 additions (VERDICT.md #7)
     Expect("q24_asof_join", "hashpartitioning(",
       "as-of composes over ONE shuffle on the user key", maxCount = 1),

@@ -440,6 +440,77 @@ object Relational {
       ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"""),
     doc = "CUBE over (segment, priority): all 4 grouping combinations, one Expand pass")
 
+  /** FULL OUTER join — the one join type the pack lacked: reconciling two
+    * sets that each have members the other misses (high-balance customers
+    * vs customers-with-orders).  Both null sides are non-vacuous by
+    * construction.  At scale a full outer shuffles both sides on the key
+    * like any fact-fact join; the match-status rollup is a 3-row agg. */
+  val q30FullOuter = NamedQuery(
+    "q30_full_outer",
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("spend"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .withColumn("match_status",
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("c_custkey").isNotNull, "customer_only")
+            .otherwise("orders_only"))
+        .groupBy(col("match_status"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"),
+          round(sum(coalesce(col("spend"), lit(0.0))), 2).as("total_spend"))
+        .orderBy(col("match_status"))
+    },
+    Some("""WITH c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        o AS (SELECT o_custkey, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS spend
+              FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+      SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+                  WHEN c_custkey IS NOT NULL THEN 'customer_only'
+                  ELSE 'orders_only' END AS match_status,
+        count(*) AS n,
+        CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS total_orders,
+        round(sum(coalesce(spend, 0)), 2) AS total_spend
+      FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY match_status"""),
+    doc = "FULL OUTER reconciliation: both / customer_only / orders_only rollup")
+
+  /** Per-group top-k via the custom [[graft.functions.TopKAgg]] typed
+    * aggregate instead of `row_number() OVER (...) <= k`: the window form
+    * sorts every partition of the fact table; the aggregate keeps a
+    * k-element heap per group with MAP-SIDE combine, so only k values per
+    * group per mapper cross the shuffle.  PlanAudit asserts
+    * ObjectHashAggregate and the absence of any Window node. */
+  val q31TopKAgg = NamedQuery(
+    "q31_topk_agg",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(call_function("graft_topk", col("o_totalprice"), lit(3)).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "price")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rank"), col("price"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    },
+    Some("""WITH t AS (
+        SELECT c_mktsegment,
+          (list_sort(list(o_totalprice), 'DESC'))[1:3] AS top
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment)
+      SELECT c_mktsegment, CAST(i AS INT) AS rank, top[CAST(i AS INT)] AS price
+      FROM t, range(1, 4) r(i) WHERE i <= len(top)
+      ORDER BY c_mktsegment, rank"""),
+    doc = "per-group top-3 via a custom TypedImperativeAggregate (bounded heap, " +
+      "map-side combine) — no window sort; oracle replays via sort-and-slice")
+
   /** Exact percentiles (median / p90) per group — continuous interpolation,
     * same definition as DuckDB's quantile_cont.  (percentile_approx is the
     * sketch-based scale path; exact keeps the oracle meaningful.) */
@@ -790,7 +861,7 @@ object Relational {
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
-    q28HoppingWindow, q29Cube,
+    q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

@@ -65,5 +65,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_fp",
       exprs => graft.functions.RollingFingerprint(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => graft.functions.TopKAgg(exprs.head, exprs(1)), "scala_udf")
   }
 }

@@ -412,6 +412,24 @@ class QueryPacksSpec extends SparkSpec {
     assert(recalled * 2 >= bfTop.size, s"IVF recalled only $recalled/${bfTop.size} top-1s")
   }
 
+  test("graft_topk aggregate ≡ window row_number top-k (cross-partition merge correct)") {
+    graft.sentiment.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.tables.Tables.orders(spark, sf())
+      .repartition(7) // force multi-partition partial/merge paths
+    val viaAgg = o.groupBy(col("o_orderstatus"))
+      .agg(call_function("graft_topk", col("o_totalprice"), lit(5)).as("top"))
+      .select(col("o_orderstatus"), explode(col("top")).as("price"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice").desc)
+    val viaWindow = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(viaAgg == viaWindow, s"topk agg diverged: $viaAgg vs $viaWindow")
+  }
+
   test("int8-quantized ANN recalls most exact top-1 neighbors (quantization error is small)") {
     val bfTop = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") === 1).select("q_id", "nn_id")
