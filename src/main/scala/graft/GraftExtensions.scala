@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "graft_topk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.TopKAgg(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bigrams"),
+      new ExpressionInfo(classOf[graft.functions.ArrayBigrams].getName, "graft_bigrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ArrayBigrams(exprs.head)))
     // optimizer rule: derive parquet-pushable raw-nanos bounds from
     // event-time filters on the converted events.ts column
     ext.injectOptimizerRule(_ => graft.plans.NanosFilterPushdown)

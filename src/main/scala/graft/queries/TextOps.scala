@@ -520,19 +520,33 @@ object TextOps {
   val t10Repetition = NamedQuery(
     "t10_repetition",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
+      graft.sentiment.GraftFunctions.register(s)
+      // Single pass, no self-join: the per-doc scalars ride through both
+      // aggregation levels as first() (constant within a doc's group), so
+      // the documents scan + tokenization runs once and nothing re-joins
+      // on doc_id.  Two shuffles total: (doc_id, bigram) then doc_id;
+      // the final per-source rollup rides the doc_id partitioning.
+      val exploded = Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("text") =!= "")
         .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 2)
         .withColumn("n_words", size(col("w")).cast("long"))
         .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
-        .withColumn("bg", expr(
-          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .withColumn("bg", call_function("graft_bigrams", col("w")))
         .withColumn("n_bg", size(col("bg")).cast("long"))
-      val topBigram = docs.select(col("doc_id"), explode(col("bg")).as("b"))
-        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bg"))
-      docs.join(topBigram, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_words"),
+          col("n_distinct"), col("n_bg"), explode(col("bg")).as("b"))
+      exploded
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("c"), first(col("source")).as("source"),
+          first(col("n_words")).as("n_words"),
+          first(col("n_distinct")).as("n_distinct"),
+          first(col("n_bg")).as("n_bg"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bg"), first(col("source")).as("source"),
+          first(col("n_words")).as("n_words"),
+          first(col("n_distinct")).as("n_distinct"),
+          first(col("n_bg")).as("n_bg"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when((col("n_words") - col("n_distinct")) * 10000 >= col("n_words") * 2000, 1L)

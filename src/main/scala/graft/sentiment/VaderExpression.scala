@@ -68,5 +68,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk",
       exprs => graft.functions.TopKAgg(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bigrams",
+      exprs => graft.functions.ArrayBigrams(exprs.head), "scala_udf")
   }
 }
