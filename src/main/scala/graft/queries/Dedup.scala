@@ -242,8 +242,10 @@ object Dedup {
         var state = edgesPlus.select(col("src").as("node"), col("dst").as("member"))
         for (_ <- 1 to rounds) {
           val st = lineageCut(s, state)
-          val mins = st.groupBy(col("node")).agg(min(col("member")).as("mn"))
-          val withMin = st.join(mins, "node")
+          // whole-partition window min instead of groupBy+self-join: the
+          // per-cluster min lands next to each member in ONE shuffle
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+          val withMin = st.withColumn("mn", min(col("member")).over(w))
           state = withMin.select(col("member").as("node"), col("mn").as("member"))
             .unionByName(withMin.select(col("mn").as("node"), col("member")))
             .unionByName(selfRows)
