@@ -74,6 +74,29 @@ class EnrichSpec extends SparkSpec {
     assert(out.filter(col("user") === "user123").select("likes").head().getInt(0) == 25)
   }
 
+  test("malformed and schema-drifted JSON never kills the pipeline (robustness)") {
+    import spark.implicits._
+    // a production stream carries garbage: truncated JSON, wrong types,
+    // missing fields, empty strings.  from_json is PERMISSIVE — bad rows
+    // become null structs / null fields, and the null-text filter (P5)
+    // drops them without failing the batch.
+    val dirty = Seq(
+      """{"text": "a valid post", "user": "ok", "platform": "twitter", "timestamp": "2024-01-01 12:00:00"}""",
+      """{"text": "truncated""",                                    // broken JSON
+      """not json at all""",
+      """{"text": 42, "user": "wrongtype"}""",                      // type drift
+      """{"user": "notext"}""",                                     // missing text
+      """{"text": "", "user": "empty"}""",                          // empty text
+      """{}""").toDF("value")
+    val out = Enrich.fromKafkaValue(dirty)
+    // survivors: the well-formed row, plus the type-drifted one — the
+    // PERMISSIVE parser stringifies scalar drift ("text": 42 → "42")
+    // rather than nulling the row, which is the lenient behavior a lossy
+    // social firehose wants.  Everything unparseable/empty is dropped.
+    val users = out.select("user").collect().map(_.getString(0)).toSet
+    assert(users == Set("ok", "wrongtype"), s"unexpected survivors: $users")
+  }
+
   test("native vader_compound expression ≡ tier-1 UDF on all fixture texts") {
     import graft.sentiment.{GraftFunctions, SentimentFunctions}
     GraftFunctions.register(spark)
