@@ -49,6 +49,16 @@ object PlanAudit {
         "partial/final split (map-side combine)"),
     Expect("q31_topk_agg", ") Window\n",
       "per-group top-k must not fall back to a window sort", present = false),
+    Expect("q29_cube", ") Expand\n",
+      "CUBE explodes grouping combinations map-side in ONE Expand pass",
+      maxCount = 1),
+    Expect("q30_full_outer", "FullOuter",
+      "reconciliation must plan as a real full-outer join"),
+    Expect("c5_stratified_sample", "BroadcastHashJoin",
+      "the per-source rate table must broadcast; acceptance fuses into the scan"),
+    Expect("t10_repetition", "hashpartitioning(",
+      "bigram mode needs (doc_id,b) then doc_id then source — three data " +
+        "shuffles, nothing more", maxCount = 3),
     // round-2 additions (VERDICT.md #7)
     Expect("q24_asof_join", "hashpartitioning(",
       "as-of composes over ONE shuffle on the user key", maxCount = 1),
