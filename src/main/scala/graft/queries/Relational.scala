@@ -511,6 +511,40 @@ object Relational {
     doc = "per-group top-3 via a custom TypedImperativeAggregate (bounded heap, " +
       "map-side combine) — no window sort; oracle replays via sort-and-slice")
 
+  /** Latest-record-per-key compaction — the CDC/upsert pattern every
+    * lakehouse table maintenance job runs: collapse an event log to each
+    * key's most recent row.  ONE `max_by(struct(...), ts)` aggregation
+    * with map-side combine — no window sort, no self-join on max(ts).
+    * (user_id, ts) is unique at micro precision at every SF, so the
+    * ordering is unambiguous; a production variant adds an id tie-break
+    * in the max_by ordering struct. */
+  val q32LatestPerKey = NamedQuery(
+    "q32_latest_per_key",
+    (s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max_by(struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+            col("ts")).as("latest"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("latest.event_id").as("event_id"),
+          col("latest.event_type").as("event_type"),
+          col("latest.value").as("value"),
+          col("latest.ts").as("ts"),
+          col("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+        arg_max(event_id, ts) AS event_id,
+        arg_max(event_type, ts) AS event_type,
+        arg_max(value, ts) AS value,
+        CAST(max(ts) AS TIMESTAMP) AS ts,
+        count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    doc = "latest record per key (CDC compaction) via max_by struct — one " +
+      "shuffle, no window; oracle replays with arg_max")
+
   /** Exact percentiles (median / p90) per group — continuous interpolation,
     * same definition as DuckDB's quantile_cont.  (percentile_approx is the
     * sketch-based scale path; exact keeps the oracle meaningful.) */
@@ -861,7 +895,7 @@ object Relational {
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
-    q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg,
+    q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
