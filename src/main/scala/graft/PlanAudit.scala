@@ -59,6 +59,11 @@ object PlanAudit {
     Expect("t10_repetition", "hashpartitioning(",
       "bigram mode needs (doc_id,b) then doc_id then source — three data " +
         "shuffles, nothing more", maxCount = 3),
+    Expect("q32_latest_per_key", "hashpartitioning(",
+      "CDC compaction is ONE data shuffle on the key (max_by combines " +
+        "map-side); only the ordered output repartitions by range", maxCount = 1),
+    Expect("q32_latest_per_key", ") Window\n",
+      "no window sort in the compaction", present = false),
     // round-2 additions (VERDICT.md #7)
     Expect("q24_asof_join", "hashpartitioning(",
       "as-of composes over ONE shuffle on the user key", maxCount = 1),
