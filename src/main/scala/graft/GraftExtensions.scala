@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ArrayBigrams].getName, "graft_bigrams"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ArrayBigrams(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_charfold"),
+      new ExpressionInfo(classOf[graft.functions.CharFold].getName, "graft_charfold"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.CharFold(exprs.head)))
     // optimizer rule: derive parquet-pushable raw-nanos bounds from
     // event-time filters on the converted events.ts column
     ext.injectOptimizerRule(_ => graft.plans.NanosFilterPushdown)

@@ -21,31 +21,110 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
-  /** MinHash signatures: per doc, 16 independent min-hashes of its distinct
-    * word-trigram shingles (seeded xxhash64 per hash function). */
+  /** splitmix64 — deterministic pseudo-random constants (public mixing
+    * recipe; same generator as the s2 hyperplanes). */
+  private def mix64(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /** Universal-hash MinHash family over the mod-prime base hash
+    * ([[graft.functions.CharFoldKernel]]): `h_i = (a_i·h0 + b_i) mod p`
+    * with fixed pseudo-random (a, b) — the textbook Carter–Wegman family.
+    * Every intermediate fits int64 (a, h0 < p ≈ 2^30 ⟹ a·h0 < 2^60), so
+    * the WHOLE pipeline — base fold, 16 min-hashes, band combination —
+    * replays exactly in DuckDB, which promoted d3 from a rows-only check
+    * to a full value oracle (the round-2 xxhash64 form was JVM-only). */
+  private val P = graft.functions.CharFoldKernel.Prime
+  private val hashA: Seq[Long] =
+    (0 until NumHashes).map(i => math.floorMod(mix64(0xA000L + i), P - 1) + 1)
+  private val hashB: Seq[Long] =
+    (0 until NumHashes).map(i => math.floorMod(mix64(0xB000L + i), P))
+  /** Per-band combination coefficients: band value = (Σ c_r·h_r) mod p —
+    * 4 products < 2^60 each, sum < 2^62, int64-safe in both engines. */
+  private val bandC: Seq[Seq[Long]] = (0 until Bands).map { b =>
+    (0 until RowsPerBand).map(r =>
+      math.floorMod(mix64(0xC000L + b * 16 + r), P - 1) + 1)
+  }
+
+  /** MinHash signatures: per doc, 16 universal-family min-hashes of its
+    * distinct word-trigram shingles. */
   private def signatures(sh: org.apache.spark.sql.DataFrame) = {
     val aggs = count(lit(1)).as("n_sh") +:
       (0 until NumHashes).map(i =>
-        min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+        min((col("h0") * hashA(i) + hashB(i)) % P).as(s"h$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The identical signature pipeline as DuckDB SQL (constants inlined —
+    * the s2-planes technique): h0 fold over shingle chars, 16 min-hashes,
+    * per-band linear combination. */
+  private def d3OracleSql: String = {
+    val h0 = """list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
+           range(1, length(shingle) + 1),
+           i -> CAST(ascii(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007)"""
+    val mins = (0 until NumHashes).map(i =>
+      s"min((${hashA(i)} * h0 + ${hashB(i)}) % $P) AS h$i").mkString(",\n          ")
+    val bandSelects = (0 until Bands).map { b =>
+      val expr = (0 until RowsPerBand).map(r =>
+        s"${bandC(b)(r)} * h${b * RowsPerBand + r}").mkString("(", " + ", s") % $P")
+      s"SELECT doc_id, n_sh, $b AS band, $expr AS bv FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      h AS (SELECT doc_id, $h0 AS h0 FROM sh),
+      sig AS (
+        SELECT doc_id, count(*) AS n_sh,
+          $mins
+        FROM h GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+          l.n_sh AS sa, r.n_sh AS sb
+        FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+        WHERE l.doc_id < r.doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, c.sa, c.sb, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b, c.sa, c.sb)
+      SELECT doc_a, doc_b,
+        round(CAST(n_inter AS DOUBLE) / (sa + sb - n_inter), 4) AS jaccard
+      FROM inter
+      WHERE round(CAST(n_inter AS DOUBLE) / (sa + sb - n_inter), 4) >= 0.5
+      ORDER BY doc_a, doc_b"""
   }
 
   // ---------------------------------------------------------------- d3
   val d3MinHashLsh = NamedQuery(
     "d3_minhash_lsh",
     (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
       // MEMORY_AND_DISK, never MEMORY_ONLY: exploded shingles are ~10× the
       // corpus (see jaccardPairsPrefixFiltered) — they must spill, not OOM.
       val sh = TextOps.shingles(s, dir)
         .select(col("doc_id"), col("shingle"))
+        .withColumn("h0", call_function("graft_charfold", col("shingle")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sig = signatures(sh)
       // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
       // One posexplode over the band-hash array — NOT a 4-way union, which
       // would recompute the signature aggregation once per band.
       val bandArr = array((0 until Bands).map { b =>
-        val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-        xxhash64(lit(1000 + b) +: cols: _*)
+        (0 until RowsPerBand)
+          .map(r => col(s"h${b * RowsPerBand + r}") * bandC(b)(r))
+          .reduce(_ + _) % P
       }: _*)
       val bands = sig
         .select(col("doc_id"), col("n_sh"), posexplode(bandArr).as(Seq("band", "bv")))
@@ -67,52 +146,60 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None,
-    doc = "MinHash(16) + LSH(4 bands) candidate generation, exact-Jaccard verify ≥0.5; rows-only")
+    Some(d3OracleSql),
+    doc = "MinHash(16, Carter–Wegman universal family) + LSH(4 bands), " +
+      "exact-Jaccard verify ≥0.5; FULL value oracle — the band pipeline " +
+      "replays in SQL with inlined constants")
 
   // ---------------------------------------------------------------- d4
-  /** 64-bit SimHash per doc (JVM kernel over the token array — one pass, no
-    * shuffle), then same-source hamming≤16 pairs. */
-  val simhashUdf = udf { tokens: Seq[String] =>
-    val counts = new Array[Int](64)
-    tokens.foreach { t =>
-      var h = t.hashCode.toLong * 0x9E3779B97F4A7C15L // splitmix64-style scramble
-      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
-      h ^= h >>> 27; h *= 0x94D049BB133111EBL
-      h ^= h >>> 31
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
-      }
-    }
-    var fp = 0L
-    var j = 0
-    while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
-    fp
-  }
-
   /** Banded candidate generation à la Manku et al., "Detecting
     * Near-Duplicates for Web Crawling" (WWW 2007, public literature): split
-    * the 64-bit fingerprint into `HamBands` bands; by pigeonhole, any pair
+    * the fingerprint into `HamBands` bands; by pigeonhole, any pair
     * with hamming ≤ HamBands−1 matches exactly on ≥1 band, so an equi-join
     * on (band_idx, band_value) finds every such pair without the quadratic
     * all-pairs join — global scope, scales with band-bucket occupancy. */
   private val HamBands = 5          // guarantees recall for hamming ≤ 4
   private val MaxHamming = HamBands - 1
+  /** 60 fingerprint bits = 5 exact 12-bit bands; bit j is the majority
+    * vote of the j-th one-bit universal hash `((a_j·h0 + b_j) mod p) mod 2`
+    * over the doc's tokens.  60 (not 64) keeps `Σ bit·2^j` int64-safe in
+    * both engines, which is what lets the WHOLE SimHash pipeline replay in
+    * DuckDB — the round-2 String.hashCode/splitmix form was JVM-only, so
+    * d4 was a rows-only check; now it carries a full value oracle. */
+  private val SimBits = 60
+  private val BandWidth = SimBits / HamBands
+  private val simA: Seq[Long] =
+    (0 until SimBits).map(j => math.floorMod(mix64(0xD000L + j), P - 1) + 1)
+  private val simB: Seq[Long] =
+    (0 until SimBits).map(j => math.floorMod(mix64(0xE000L + j), P))
+
+  /** The declarative SimHash fingerprint pipeline (no UDF): explode
+    * tokens, one mod-prime base hash per token, 60 one-bit majority votes
+    * with MAP-SIDE combine, fingerprint assembled from the vote signs.
+    * Shared by the d4 query and the banding-completeness spec. */
+  def simhashFps(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val toks = graft.tables.Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .withColumn("h0", call_function("graft_charfold", col("term")))
+    val votes = (0 until SimBits).map(j =>
+      sum(when(((col("h0") * simA(j) + simB(j)) % P) % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"v$j"))
+    val fpExpr = (0 until SimBits)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
+  }
 
   val d4SimHash = NamedQuery(
     "d4_simhash",
     (s, dir) => {
-      val docs = graft.tables.Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "")
-        .withColumn("fp", simhashUdf(split(trim(col("text")), "\\s+")))
-        .select(col("doc_id"), col("fp"))
-      val width = 64 / HamBands + 1 // 13 bits; last band takes the remainder
+      val docs = simhashFps(s, dir)
       val bandVals = array((0 until HamBands).map { b =>
-        val off = b * width
-        val w = math.min(width, 64 - off)
-        shiftright(col("fp"), off).bitwiseAND(lit((1L << w) - 1))
+        shiftright(col("fp"), b * BandWidth).bitwiseAND(lit((1L << BandWidth) - 1))
       }: _*)
       val banded = docs.select(col("doc_id"), col("fp"),
         posexplode(bandVals).as(Seq("band", "bv")))
@@ -128,8 +215,45 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
     },
-    None,
-    doc = "SimHash-64 + banded candidates (recall-guaranteed for hamming ≤ 4); rows-only")
+    Some(d4OracleSql),
+    doc = "SimHash-60 (one-bit universal hashes, majority vote) + banded " +
+      "candidates, recall-guaranteed for hamming ≤ 4; FULL value oracle")
+
+  /** The identical SimHash pipeline as DuckDB SQL (constants inlined). */
+  private def d4OracleSql: String = {
+    val h0 = """list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
+           range(1, length(term) + 1),
+           i -> CAST(ascii(substr(term, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007)"""
+    val votes = (0 until SimBits).map(j =>
+      s"sum(CASE WHEN ((${simA(j)} * h0 + ${simB(j)}) % $P) % 2 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n          ")
+    val fp = (0 until SimBits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val bandRows = (0 until HamBands).map(b =>
+      s"SELECT doc_id, fp, $b AS band, (fp // ${1L << (b * BandWidth)}) % ${1L << BandWidth} AS bv FROM fps")
+      .mkString("\n        UNION ALL ")
+    s"""WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      h AS (SELECT doc_id, $h0 AS h0 FROM tok),
+      votes AS (
+        SELECT doc_id,
+          $votes
+        FROM h GROUP BY doc_id),
+      fps AS (SELECT doc_id, $fp AS fp FROM votes),
+      bands AS (
+        $bandRows),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+          l.fp AS fp_a, r.fp AS fp_b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv
+        WHERE l.doc_id < r.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $MaxHamming
+      ORDER BY hamming, doc_a, doc_b"""
+  }
 
   // ---------------------------------------------------------------- d6
   /** Duplicate-cluster assignment — the step after pair detection in a

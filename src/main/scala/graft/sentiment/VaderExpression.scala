@@ -71,5 +71,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bigrams",
       exprs => graft.functions.ArrayBigrams(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_charfold",
+      exprs => graft.functions.CharFold(exprs.head), "scala_udf")
   }
 }

@@ -89,14 +89,27 @@ class QueryPacksSpec extends SparkSpec {
     assert(lsh.nonEmpty, "no near-dup pairs found at sf0.001")
   }
 
-  test("banded simhash finds the planted near-dup pairs (recall guarantee)") {
-    val exact = TextOps.shingleJaccardPairs(spark, sf())
-      .filter(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("banded simhash is COMPLETE for hamming ≤ 4 (the pigeonhole guarantee)") {
+    // The banding guarantee is about HAMMING, not Jaccard: any pair whose
+    // fingerprints differ in ≤ HamBands−1 bits matches on ≥1 band.  (A
+    // Jaccard-0.5 trigram pair can legitimately sit at hamming 10 —
+    // SimHash approximates token-multiset cosine; d3 is the
+    // Jaccard-recall path.)  Ground truth: brute-force hamming over every
+    // fingerprint pair.
+    val fps = Dedup.simhashFps(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      i <- fps.indices.iterator; j <- (i + 1) until fps.length
+      h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2) if h <= 4
+    } yield {
+      val (a, b) = (fps(i)._1, fps(j)._1)
+      (math.min(a, b), math.max(a, b), h)
+    }).toSet
     val pairs = Dedup.d4SimHash.fn(spark, sf()).collect()
-    assert(pairs.nonEmpty)
-    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.subsetOf(got), s"banded simhash missed ${exact.diff(got)}")
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth,
+      s"banding missed ${truth.diff(got)} / invented ${got.diff(truth)}")
+    assert(got.nonEmpty, "no hamming≤4 pairs at sf0.001")
     // hamming must be non-decreasing in the ordered output
     val hs = pairs.map(_.getInt(2))
     assert(hs.sameElements(hs.sorted))
