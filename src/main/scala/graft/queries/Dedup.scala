@@ -3,17 +3,19 @@ package graft.queries
 import graft.NamedQuery
 import org.apache.spark.sql.functions._
 
-/** Fuzzy-dedup pack: MinHash+LSH and SimHash over `documents`.
+/** Fuzzy-dedup pack: MinHash+LSH, SimHash and connected components over
+  * `documents`.
   *
   * These are the 100 TB-scale near-dup paths: d2 (TextOps) computes exact
   * shingle Jaccard via a shingle join — correct but O(pairs-sharing-a-
   * shingle); MinHash banding bounds the candidate set (only docs colliding
   * in ≥1 of 4 bands are compared), and SimHash reduces each doc to one
-  * 64-bit fingerprint compared by hamming distance.  Hash functions are
-  * Spark-native (xxhash64) or JVM-local (splitmix64), so neither query is
-  * DuckDB-expressible → rows-only gate; correctness is pinned by DedupSpec
-  * (the planted near-dup pair must surface) and cross-checked against the
-  * oracle-verified exact-Jaccard query d2.
+  * 60-bit fingerprint compared by hamming distance.  All hashing runs
+  * through mod-prime universal families over [[graft.functions.CharFold]]
+  * (every intermediate < 2^63), so BOTH pipelines replay exactly in
+  * DuckDB and carry full value oracles; the banding guarantees are
+  * additionally spec-pinned (d3: exact-Jaccard recall vs d2; d4:
+  * brute-force hamming≤4 completeness).
   */
 object Dedup {
 
