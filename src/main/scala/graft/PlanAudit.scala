@@ -49,6 +49,12 @@ object PlanAudit {
         "partial/final split (map-side combine)"),
     Expect("q31_topk_agg", ") Window\n",
       "per-group top-k must not fall back to a window sort", present = false),
+    Expect("a6_approx_distinct", "ObjectHashAggregate",
+      "KMV sketch runs in the object-hash agg path with a partial/final " +
+        "split — shuffle volume is ≤ k longs per group per mapper"),
+    Expect("a6_approx_distinct", "hashpartitioning(",
+      "ONE data shuffle on the group key; the sketch dedups internally " +
+        "(no pre-shuffle DISTINCT)", maxCount = 1),
     Expect("q29_cube", ") Expand\n",
       "CUBE explodes grouping combinations map-side in ONE Expand pass",
       maxCount = 1),

@@ -180,19 +180,49 @@ object Analytics {
             FROM (SELECT round((value - 245.0) / 245.0, 6) AS score FROM events) t) m"""),
     doc = "avg-sentiment emoji bucketing at ±0.1 (DSA:281–283, A2 parity)")
 
-  /** Approximate distinct (HLL) — the 100 TB-scale path for unique-user counts.
-    * HLL estimates are engine-specific, so no DuckDB oracle: the driver records
-    * a rows-only check; exactness is covered by q8_distinct_users. */
+  /** Approximate distinct — the 100 TB-scale path for unique-user counts:
+    * a bounded-memory, map-side-combined KMV sketch
+    * ([[graft.functions.KmvDistinct]]) over a Carter–Wegman universal hash
+    * of `user_id`. Unlike round-2's `approx_count_distinct` (HLL,
+    * JVM-only estimate ⇒ rows-only check), every step here — mod-prime
+    * hash, k-th order statistic, `(k−1)·m div h_k` — is exact int64
+    * arithmetic, so DuckDB replays the estimate bit-for-bit: FULL value
+    * oracle. Accuracy vs the exact count and partition-invariance of the
+    * merge are spec-pinned (KmvSpec); exactness is covered by
+    * q8_distinct_users, and the built-in HLL path remains spec-covered
+    * alongside. */
+  private val KmvK = 64
+  private val KmvP = graft.functions.CharFoldKernel.Prime
+  // splitmix64(0xA600/0xB600)-derived universal-hash constants (same
+  // recipe as the d3 MinHash family): a ∈ [1, p−1], b ∈ [0, p).
+  private val KmvA = 464054921L
+  private val KmvB = 327776542L
+
   val aApproxDistinct = NamedQuery(
     "a6_approx_distinct",
     (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val h = ((col("user_id") % KmvP) * KmvA + KmvB) % KmvP
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(call_function("graft_kmv", h, lit(KmvK), lit(KmvP)).as("approx_users"))
         .orderBy(col("event_type"))
     },
-    None,
-    doc = "approx_count_distinct (HLL); scale path for q8 — rows-only check")
+    Some(s"""WITH h AS (
+        SELECT DISTINCT event_type, ((user_id % $KmvP) * $KmvA + $KmvB) % $KmvP AS hv
+        FROM events),
+      r AS (
+        SELECT event_type, hv,
+          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS nd
+        FROM h)
+      SELECT event_type,
+        CAST(CASE WHEN max(nd) < $KmvK THEN max(nd)
+             ELSE CAST(${(KmvK - 1).toLong} AS BIGINT) * $KmvP // max(CASE WHEN rn = $KmvK THEN hv END)
+             END AS BIGINT) AS approx_users
+      FROM r GROUP BY event_type ORDER BY event_type"""),
+    doc = "KMV(64) distinct sketch (custom TypedImperativeAggregate, " +
+      "integer-exact estimator); FULL value oracle — scale path for q8")
 
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,

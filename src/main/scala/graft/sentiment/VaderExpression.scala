@@ -74,5 +74,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_charfold",
       exprs => graft.functions.CharFold(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv",
+      exprs => graft.functions.KmvDistinct(exprs.head, exprs(1), exprs(2)), "scala_udf")
   }
 }

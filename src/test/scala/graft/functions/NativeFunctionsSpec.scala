@@ -66,4 +66,30 @@ class NativeFunctionsSpec extends SparkSpec {
       .head().getSeq[Double](0)
     assert(top == Seq(5.0, 5.0, 5.0), s"tie handling broke: $top")
   }
+
+  test("graft_kmv: exact below k, dedups, matches the reference estimator above k, partition-invariant") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val P = 1000000007L
+    def kmv(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(call_function("graft_kmv", col("h"), lit(64), lit(P)).as("e"))
+        .head().getLong(0)
+    // below k the sketch holds every distinct value: exact, and duplicate
+    // input rows must not inflate the count
+    val small = (0L until 50L).map(i => (i * 937L) % P).toDF("h")
+    assert(kmv(small) == 50L)
+    assert(kmv(small.union(small)) == 50L)
+    // above k: the estimate must equal an independently computed
+    // (k−1)·m div h_k over the same hash multiset
+    val hashes = (0L until 5000L).map(i => (i * 464054921L + 327776542L) % P)
+    val expected = { val s = hashes.distinct.sorted; 63L * P / s(63) }
+    val big = hashes.toDF("h")
+    assert(kmv(big) == expected)
+    // the estimator is a function of the value SET: merge order / partition
+    // layout must not change it (pins the map-side combine path)
+    assert(kmv(big.repartition(13)) == expected)
+    assert(kmv(big.repartition(1)) == expected)
+    // and the estimate is in the right ballpark (k=64 ⇒ σ ≈ 12.5%)
+    assert(math.abs(expected - 5000.0) / 5000.0 < 0.3, s"estimator off: $expected")
+  }
 }

@@ -323,7 +323,7 @@ class QueryPacksSpec extends SparkSpec {
     assert(sample.map(_.toString).sameElements(again.map(_.toString)))
   }
 
-  test("sketch accuracy: approx_percentile within 5% of exact, HLL within 10% of exact") {
+  test("sketch accuracy: approx_percentile within 5% of exact, KMV within 10% of exact") {
     // q26 (t-digest-style sketch) vs q16 (exact percentiles), same grouping
     val exactP = Relational.q16Percentiles.fn(spark, sf()).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
@@ -334,13 +334,13 @@ class QueryPacksSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - p90) / p90 < 0.05,
         s"${r.getString(0)} p90 sketch ${r.getDouble(3)} vs exact $p90")
     }
-    // a6 (HyperLogLog) vs q8 (exact COUNT DISTINCT), same grouping
+    // a6 (KMV sketch) vs q8 (exact COUNT DISTINCT), same grouping
     val exactD = Relational.q8Distinct.fn(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     Analytics.aApproxDistinct.fn(spark, sf()).collect().foreach { r =>
       val exact = exactD(r.getString(0)).toDouble
       assert(math.abs(r.getLong(1) - exact) / exact < 0.10,
-        s"${r.getString(0)} HLL ${r.getLong(1)} vs exact $exact")
+        s"${r.getString(0)} KMV ${r.getLong(1)} vs exact $exact")
     }
   }
 
