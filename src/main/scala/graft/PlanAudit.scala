@@ -113,7 +113,15 @@ object PlanAudit {
       "sliding windows explode map-side (Expand), partial-agg before the shuffle"),
     Expect("q28_hopping_window", "hashpartitioning(",
       "one shuffle on (window, event_type); the final sort repartitions by range",
-      maxCount = 1))
+      maxCount = 1),
+    Expect("t11_pii_scrub", "hashpartitioning(",
+      "the scrub is scan-side and embarrassingly parallel — zero data " +
+        "shuffles (only the ordered output range-partitions)", present = false),
+    Expect("t12_url_domains", "TakeOrderedAndProject",
+      "domain top-10 must not global-sort"),
+    Expect("q33_rank_family", ") Window\n",
+      "ntile/percent_rank/cume_dist share ONE window (same partition+order " +
+        "spec ⇒ one sort, one shuffle)", maxCount = 1))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -469,6 +469,75 @@ object Dedup {
       labels AS (SELECT node AS doc_id, min(label) AS cluster_id
                  FROM reach GROUP BY node)"""
 
+  // ---------------------------------------------------------------- d8
+  /** Cross-document repeated-SPAN detection — the Spark-shaped
+    * approximation of exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022, public
+    * literature, use suffix arrays; the distributed equivalent hashes
+    * fixed-length token windows): every 8-token rolling window is
+    * fingerprinted, a window whose fingerprint occurs in ≥ 2 DISTINCT
+    * documents is a duplicated span, and each document reports its
+    * duplicated-position fraction (the drop criterion upstream pipelines
+    * threshold at ~0.5).
+    *
+    * Differs from d1 (whole-doc), d2/d3 (set-of-shingles Jaccard) and t10
+    * (within-doc repetition): d8 finds verbatim CROSS-doc span reuse at
+    * sub-document granularity.  Spans are keyed by (mod-prime fold,
+    * length) — 8-byte + 4-byte keys through the shuffle instead of ~50-byte
+    * strings, the standard large-scale trade (a fold collision could only
+    * add a false duplicate, identically in both engines).  Plan: one
+    * shuffle on the span key (count-distinct-docs + rejoin co-partition),
+    * one on doc_id. */
+  val d8SpanDedup = NamedQuery(
+    "d8_span_dedup",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val spans = graft.tables.Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))")).as("span"))
+        .select(col("doc_id"),
+          call_function("graft_charfold", col("span")).as("h"),
+          length(col("span")).as("ln"))
+      val dupKeys = spans.groupBy(col("h"), col("ln"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      spans.join(dupKeys, Seq("h", "ln"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          floor(col("n_dup").cast("double") / col("n_spans") * 10000) / 10000.0)
+        .select(col("doc_id"), col("n_spans"), col("n_dup"), col("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sp AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 6),
+                 i -> array_to_string(w[i:i+7], ' '))) AS span
+        FROM tok WHERE len(w) >= 8),
+      k AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
+              range(1, length(span) + 1),
+              i -> CAST(ascii(substr(span, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+          length(span) AS ln
+        FROM sp),
+      dk AS (SELECT h, ln, count(DISTINCT doc_id) AS nd FROM k GROUP BY h, ln),
+      per AS (
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM k JOIN dk USING (h, ln) GROUP BY doc_id)
+      SELECT doc_id, n_spans, n_dup,
+        floor(CAST(n_dup AS DOUBLE) / n_spans * 10000) / 10000.0 AS dup_frac
+      FROM per ORDER BY doc_id"""),
+    doc = "cross-doc repeated 8-token spans (hashed exact-substring dedup); " +
+      "per-doc duplicated-position fraction; FULL value oracle")
+
   val d6DupClusters = NamedQuery(
     "d6_dup_clusters",
     (s, dir) => clusterLabels(s, dir).orderBy(col("doc_id")),
@@ -477,5 +546,5 @@ object Dedup {
     doc = "connected components over the near-dup graph (canonical-keeper labels); " +
       "bounded min-label propagation vs a recursive-CTE oracle")
 
-  def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash, d6DupClusters)
+  def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash, d6DupClusters, d8SpanDedup)
 }

@@ -891,11 +891,55 @@ object Relational {
       GROUP BY event_type ORDER BY event_type"""),
     doc = "event-time range scan; optimizer rule derives parquet-pushable raw-nanos bounds")
 
+  /** Rank-family windows (ntile / percent_rank / cume_dist) — the
+    * remaining §2.7 "window-like" forms q7/q7b/q15/q20 don't cover.
+    * Quartile assignment and both rank ratios ride ONE window (one
+    * shuffle on the partition key); the summary agg then reduces each
+    * (priority, quartile) cell.  percent_rank/cume_dist are exact
+    * rationals `k/(n−1)`, `k/n` — a single IEEE division, identical in
+    * both engines; max() of them is order-free, and the 6-dp floor (never
+    * round — round's .5 tie rule differs across engines) keeps the
+    * comparison bit-stable. */
+  val q33RankFamily = NamedQuery(
+    "q33_rank_family",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          (floor(max(col("pr")) * 1000000) / 1000000.0).as("max_pr"),
+          (floor(max(col("cd")) * 1000000) / 1000000.0).as("max_cd"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
+    },
+    Some("""SELECT o_orderpriority, quartile, count(*) AS n,
+        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        floor(max(pr) * 1000000) / 1000000.0 AS max_pr,
+        floor(max(cd) * 1000000) / 1000000.0 AS max_cd
+      FROM (SELECT o_orderpriority, o_totalprice,
+              ntile(4) OVER w AS quartile,
+              percent_rank() OVER w AS pr,
+              cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey)) t
+      GROUP BY o_orderpriority, quartile
+      ORDER BY o_orderpriority, quartile"""),
+    doc = "ntile/percent_rank/cume_dist in one window pass; quartile summary per priority")
+
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
+    q33RankFamily,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

@@ -672,9 +672,127 @@ object TextOps {
       ORDER BY h.split"""),
     doc = "train/eval decontamination: held-out docs sharing a train fingerprint")
 
+  // ------------------------------------------------------------------
+  // t11 / t12 — PII scrub and URL/domain extraction.  The corpus tables
+  // are synthetic and clean, so (the a7 null-repair pattern) the fixture
+  // PLANTS the dirt deterministically from existing columns, then the
+  // operator under test removes/extracts it.  Patterns avoid \b and
+  // lookaround so the Java-regex and RE2 (DuckDB) dialects match
+  // identically; replacement runs email → phone → IP so no later pattern
+  // can match inside an earlier placeholder.
+  // ------------------------------------------------------------------
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private[queries] val Ipv4Re  = "(\\d{1,3}\\.){3}\\d{1,3}"
+
+  /** Deterministically planted PII suffix (Spark side); shared with the
+    * residual-scrub spec. */
+  private[queries] def plantPii(): Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@"), col("source"), lit(".example.com"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" call 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((id * 7919) % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" from 10."),
+        (id % 256).cast("string"), lit("."),
+        ((id * 31) % 256).cast("string"), lit("."),
+        ((id * 17) % 256).cast("string"))).otherwise(lit("")))
+  }
+
+  /** The identical planted suffix as DuckDB SQL. */
+  private val plantPiiSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@' || source || '.example.com' ELSE '' END ||
+       CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+             || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST((doc_id * 31) % 256 AS VARCHAR) || '.'
+             || CAST((doc_id * 17) % 256 AS VARCHAR) ELSE '' END"""
+
+  /** PII redaction — a first-class training-data curation step: count and
+    * scrub emails / phone numbers / IPv4s.  Pure `regexp_*` builtins, so
+    * the whole scrub stays inside whole-stage codegen and is
+    * embarrassingly parallel (no shuffle at all before the ordered
+    * output).  The scrubbed text is compared by md5 (lowercase hex in
+    * both engines), which pins EVERY byte of the redaction, not just the
+    * counts; a spec additionally asserts no pattern survives the scrub. */
+  val t11PiiScrub = NamedQuery(
+    "t11_pii_scrub",
+    (s, dir) => {
+      val dirty = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), concat(col("text"), plantPii()).as("t"))
+      dirty.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(Ipv4Re), lit(0))).as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH dirty AS (
+        SELECT doc_id, text || $plantPiiSql AS t
+        FROM documents WHERE text IS NOT NULL AND text <> '')
+      SELECT doc_id,
+        len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+        len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
+        len(regexp_extract_all(t, '$Ipv4Re')) AS n_ips,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '$EmailRe', '<EMAIL>', 'g'),
+          '$PhoneRe', '<PHONE>', 'g'),
+          '$Ipv4Re', '<IP>', 'g')) AS scrub_md5
+      FROM dirty ORDER BY doc_id"""),
+    doc = "PII redaction (emails/phones/IPv4): counts + byte-exact scrubbed-text " +
+      "md5; planted deterministically, zero-shuffle scan-side scrub")
+
+  /** URL → domain extraction + top-k domain ranking — the link-graph /
+    * source-attribution step of a web-corpus pipeline.  Group-1 regexp
+    * extraction (scheme stripped in the match itself), explode, hash-agg,
+    * TakeOrderedAndProject. */
+  val t12UrlDomains = NamedQuery(
+    "t12_url_domains",
+    (s, dir) => {
+      val id = col("doc_id")
+      val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+        (id % 3).cast("int") + 1)
+      val planted = concat(
+        when(id % 2 === 0, concat(lit(" see https://"), col("source"),
+          lit("."), tld, lit("/p/"), id.cast("string"))).otherwise(lit("")),
+        when(id % 7 === 0, concat(lit(" via http://cdn"),
+          (id % 5).cast("string"), lit(".example.net/a/"), id.cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), concat(col("text"), planted).as("t"))
+        .select(explode(regexp_extract_all(col("t"),
+          lit("https?://([^/ ]+)"), lit(1))).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("domain"))
+        .limit(10)
+    },
+    Some("""WITH dirty AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 2 = 0 THEN ' see https://' || source || '.' ||
+            (['com', 'org', 'net'])[CAST(doc_id % 3 AS INT) + 1] || '/p/' || CAST(doc_id AS VARCHAR)
+            ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' via http://cdn' || CAST(doc_id % 5 AS VARCHAR)
+            || '.example.net/a/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+        FROM documents WHERE text IS NOT NULL AND text <> '')
+      SELECT domain, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(t, 'https?://([^/ ]+)', 1)) AS domain
+            FROM dirty) d
+      GROUP BY domain ORDER BY n DESC, domain LIMIT 10"""),
+    doc = "URL domain extraction + top-10 (group-1 regexp, explode → hash-agg → top-k)")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
-    t10Repetition,
+    t10Repetition, t11PiiScrub, t12UrlDomains,
     d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination)
 }

@@ -475,6 +475,90 @@ class QueryPacksSpec extends SparkSpec {
     assert(multi >= single, s"multi-probe recalled $multi < single-probe $single")
   }
 
+  test("t11 scrub leaves no residual PII and counts match the planted arithmetic") {
+    // the oracle pins byte-exact equality with DuckDB; this pins the
+    // SEMANTICS: nothing matching any pattern survives, and the counts
+    // are exactly what the deterministic planting implies (corpus text
+    // contains no digits/@, so only planted PII can match)
+    val rows = TextOps.t11PiiScrub.fn(spark, sf()).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 3 == 0) 1 else 0), s"doc $id emails")
+      assert(r.getInt(2) == (if (id % 4 == 0) 1 else 0), s"doc $id phones")
+      assert(r.getInt(3) == (if (id % 5 == 0) 1 else 0), s"doc $id ips")
+    }
+    // residual check on the actual scrubbed TEXT (the query only exports
+    // its md5): rebuild the same dirty column, scrub with the same
+    // patterns, and demand zero remaining matches of any pattern
+    val residual = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(concat(col("text"), TextOps.plantPii()).as("t"))
+      .select(regexp_replace(regexp_replace(regexp_replace(col("t"),
+        TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>"),
+        TextOps.Ipv4Re, "<IP>").as("clean"))
+      .select(
+        sum(size(regexp_extract_all(col("clean"), lit(TextOps.EmailRe), lit(0)))).as("e"),
+        sum(size(regexp_extract_all(col("clean"), lit(TextOps.PhoneRe), lit(0)))).as("p"),
+        sum(size(regexp_extract_all(col("clean"), lit(TextOps.Ipv4Re), lit(0)))).as("i"))
+      .head()
+    assert(residual.getLong(0) == 0 && residual.getLong(1) == 0 && residual.getLong(2) == 0,
+      s"residual PII after scrub: $residual")
+  }
+
+  test("d8 matches a plain-Scala recount of cross-doc repeated spans") {
+    // independent simulation: same 8-token windows, same (fold, len) key,
+    // dup = key seen in >= 2 distinct docs — computed with Scala
+    // collections, no Spark
+    def fold(s: String): Long = {
+      var h = 7L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xFF)) % 1000000007L)
+      h
+    }
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .filter(_._2.length >= 8)
+    val spansByDoc = docs.map { case (id, w) =>
+      id -> w.sliding(8).map(g => { val s = g.mkString(" "); (fold(s), s.length) }).toSeq
+    }
+    val docsPerKey = spansByDoc.flatMap { case (id, ks) => ks.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+    val expected = spansByDoc.map { case (id, ks) =>
+      val nDup = ks.count(docsPerKey(_) >= 2)
+      id -> ((ks.size.toLong, nDup.toLong,
+        math.floor(nDup.toDouble / ks.size * 10000) / 10000.0))
+    }.toMap
+    val rows = Dedup.d8SpanDedup.fn(spark, sf()).collect()
+    assert(rows.length == expected.size, s"${rows.length} docs vs ${expected.size}")
+    var anyDup = false
+    rows.foreach { r =>
+      val (id, got) = (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got == expected(id), s"doc $id: query $got vs recount ${expected(id)}")
+      if (r.getLong(2) > 0) anyDup = true
+    }
+    assert(anyDup, "corpus near-dups should share at least one 8-token span")
+  }
+
+  test("q33: quartiles partition each priority group; cume_dist tops out at 1") {
+    val rows = Relational.q33RankFamily.fn(spark, sf()).collect()
+    val byPriority = rows.groupBy(_.getString(0))
+    val orderCounts = graft.tables.Tables.orders(spark, sf())
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byPriority.foreach { case (prio, cells) =>
+      assert(cells.map(_.getInt(1)).sorted.sameElements(Seq(1, 2, 3, 4)), s"$prio quartiles")
+      assert(cells.map(_.getLong(2)).sum == orderCounts(prio), s"$prio counts")
+      val q4 = cells.find(_.getInt(1) == 4).get
+      assert(q4.getDouble(6) == 1.0, s"$prio max cume_dist")
+      // quartile value ranges must not overlap: max(q_i) <= min(q_{i+1})
+      val sorted = cells.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getDouble(4) <= b.getDouble(3), s"$prio quartile ranges overlap")
+      }
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
