@@ -488,31 +488,24 @@ object Dedup {
     * add a false duplicate, identically in both engines).  Plan: one
     * shuffle on the span key (count-distinct-docs + rejoin co-partition),
     * one on doc_id. */
-  val d8SpanDedup = NamedQuery(
-    "d8_span_dedup",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      val spans = graft.tables.Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))")).as("span"))
-        .select(col("doc_id"),
-          call_function("graft_charfold", col("span")).as("h"),
-          length(col("span")).as("ln"))
-      val dupKeys = spans.groupBy(col("h"), col("ln"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      spans.join(dupKeys, Seq("h", "ln"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
-        .withColumn("dup_frac",
-          floor(col("n_dup").cast("double") / col("n_spans") * 10000) / 10000.0)
-        .select(col("doc_id"), col("n_spans"), col("n_dup"), col("dup_frac"))
-        .orderBy(col("doc_id"))
-    },
-    Some("""WITH tok AS (
+  /** (doc_id, h, ln) for every 8-token rolling span of every document —
+    * the shared span-fingerprint relation under d8 (cross-doc span dedup)
+    * and c7 (n-gram-level eval decontamination). */
+  private[queries] def spanKeys(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    graft.tables.Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))")).as("span"))
+      .select(col("doc_id"),
+        call_function("graft_charfold", col("span")).as("h"),
+        length(col("span")).as("ln"))
+  }
+
+  /** The same relation as DuckDB CTEs ending in `k(doc_id, h, ln)`. */
+  private[queries] val spanKeyCteSql: String = """tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''),
       sp AS (
@@ -526,7 +519,24 @@ object Dedup {
               i -> CAST(ascii(substr(span, CAST(i AS INT), 1)) AS BIGINT))),
             (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
           length(span) AS ln
-        FROM sp),
+        FROM sp)"""
+
+  val d8SpanDedup = NamedQuery(
+    "d8_span_dedup",
+    (s, dir) => {
+      val spans = spanKeys(s, dir)
+      val dupKeys = spans.groupBy(col("h"), col("ln"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      spans.join(dupKeys, Seq("h", "ln"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          floor(col("n_dup").cast("double") / col("n_spans") * 10000) / 10000.0)
+        .select(col("doc_id"), col("n_spans"), col("n_dup"), col("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $spanKeyCteSql,
       dk AS (SELECT h, ln, count(DISTINCT doc_id) AS nd FROM k GROUP BY h, ln),
       per AS (
         SELECT doc_id, count(*) AS n_spans,

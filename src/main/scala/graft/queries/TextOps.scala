@@ -633,6 +633,43 @@ object TextOps {
     * 100 TB the train side reduces to distinct md5s (32 bytes/doc) before
     * the join, and the join key is the fingerprint, so this is a single
     * hash-shuffle over hashes, never over text. */
+  /** N-gram-level train/eval decontamination — the finer-grained sibling
+    * of c2: c2 catches VERBATIM document reuse (whole-doc fingerprints);
+    * this catches PARTIAL leakage, where a training document contains an
+    * 8-token span that also appears in a held-out document (the n-gram
+    * contamination check from the public LLM-eval literature, e.g. the
+    * 13-gram overlap scans in GPT-3/PaLM-style decontamination —
+    * re-expressed over [[Dedup.spanKeys]]'s shared span relation).  For
+    * each eval split: how many train docs leak into it, and through how
+    * many distinct spans.  Scale shape: both sides pre-distinct, one
+    * equi-join on the 8-byte span key, one aggregate — never a join on
+    * text. */
+  val c7NgramDecontamination = NamedQuery(
+    "c7_ngram_decontamination",
+    (s, dir) => {
+      val ks = Dedup.spanKeys(s, dir).withColumn("split", splitCol)
+      val evalK = ks.filter(col("split") =!= "train")
+        .select(col("split"), col("h"), col("ln")).distinct()
+      val trainK = ks.filter(col("split") === "train")
+        .select(col("doc_id"), col("h"), col("ln")).distinct()
+      trainK.join(evalK, Seq("h", "ln"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("doc_id")).as("n_leaky_train_docs"),
+          countDistinct(concat_ws(":", col("h"), col("ln"))).as("n_shared_spans"))
+        .orderBy(col("split"))
+    },
+    Some(s"""WITH ${Dedup.spanKeyCteSql},
+      ks AS (SELECT doc_id, h, ln, $splitCaseSql AS split FROM k),
+      ev AS (SELECT DISTINCT split, h, ln FROM ks WHERE split <> 'train'),
+      tr AS (SELECT DISTINCT doc_id, h, ln FROM ks WHERE split = 'train'),
+      hit AS (SELECT ev.split, tr.doc_id, ev.h, ev.ln
+              FROM tr JOIN ev USING (h, ln))
+      SELECT split, count(DISTINCT doc_id) AS n_leaky_train_docs,
+        count(DISTINCT CAST(h AS VARCHAR) || ':' || CAST(ln AS VARCHAR)) AS n_shared_spans
+      FROM hit GROUP BY split ORDER BY split"""),
+    doc = "n-gram-level eval decontamination: train docs sharing an 8-token span " +
+      "with a held-out split; span-key join, never text")
+
   val c2Contamination = NamedQuery(
     "c2_contamination",
     (s, dir) => {
@@ -794,5 +831,6 @@ object TextOps {
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains,
-    d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination)
+    d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination,
+    c7NgramDecontamination)
 }

@@ -540,6 +540,41 @@ class QueryPacksSpec extends SparkSpec {
     assert(anyDup, "corpus near-dups should share at least one 8-token span")
   }
 
+  test("c7 matches a plain-Scala recount of cross-split span leakage") {
+    def fold(s: String): Long = {
+      var h = 7L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xFF)) % 1000000007L)
+      h
+    }
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:split".getBytes("UTF-8"))
+      val h1 = "%02x".format(md(0) & 0xFF).charAt(0)
+      if (h1 < 'd') "train" else if (h1 < 'f') "valid" else "test"
+    }
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .filter(_._2.length >= 8)
+    val spanKeys = docs.map { case (id, w) =>
+      (id, split(id), w.sliding(8).map(g => { val s = g.mkString(" "); (fold(s), s.length) }).toSet)
+    }
+    val evalKeys = spanKeys.filter(_._2 != "train")
+      .flatMap { case (_, sp, ks) => ks.map(_ -> sp) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val expected = spanKeys.filter(_._2 == "train").flatMap { case (id, _, ks) =>
+      ks.flatMap(k => evalKeys.getOrElse(k, Set.empty).map(sp => (sp, id, k)))
+    }
+    val byEval = expected.groupBy(_._1).map { case (sp, v) =>
+      sp -> ((v.map(_._2).distinct.length.toLong, v.map(_._3).distinct.length.toLong))
+    }
+    val rows = TextOps.c7NgramDecontamination.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows == byEval, s"query $rows vs recount $byEval")
+    assert(rows.nonEmpty, "corpus should contain cross-split span leakage")
+  }
+
   test("q33: quartiles partition each priority group; cume_dist tops out at 1") {
     val rows = Relational.q33RankFamily.fn(spark, sf()).collect()
     val byPriority = rows.groupBy(_.getString(0))
