@@ -119,6 +119,9 @@ object PlanAudit {
         "shuffles (only the ordered output range-partitions)", present = false),
     Expect("t12_url_domains", "TakeOrderedAndProject",
       "domain top-10 must not global-sort"),
+    Expect("t13_vocab_oov", "BroadcastHashJoin",
+      "the induced vocabulary must broadcast to the token stream — OOV " +
+        "membership never shuffles the corpus"),
     Expect("q33_rank_family", ") Window\n",
       "ntile/percent_rank/cume_dist share ONE window (same partition+order " +
         "spec ⇒ one sort, one shuffle)", maxCount = 1))

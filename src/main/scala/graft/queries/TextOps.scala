@@ -633,6 +633,57 @@ object TextOps {
     * 100 TB the train side reduces to distinct md5s (32 bytes/doc) before
     * the join, and the join key is the fingerprint, so this is a single
     * hash-shuffle over hashes, never over text. */
+  /** Tokenizer-vocabulary coverage / OOV analysis — after inducing a
+    * vocabulary from the train split (top-K tokens by frequency), what
+    * fraction of each language's token stream falls outside it?  The
+    * production question behind tokenizer sizing and language balance.
+    * K is deliberately below the synthetic corpus's 31-token vocabulary
+    * so the OOV path is exercised (on real data K would be 32k–256k;
+    * the shape is identical).  Scale: vocab is a TakeOrderedAndProject
+    * over token counts, then BROADCAST to the token stream (a vocab is
+    * small by construction) — no shuffle of the corpus for membership;
+    * OOV rate in exact integer basis points. */
+  private val VocabK = 24
+
+  val t13VocabOov = NamedQuery(
+    "t13_vocab_oov",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(lower(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = toks.withColumn("split", splitCol)
+        .filter(col("split") === "train")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(VocabK)
+        .select(col("term"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (count(lit(1)) - count(col("in_v"))).as("n_oov"))
+        .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      tok2 AS (SELECT * FROM tok WHERE term <> ''),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, count(*) AS n FROM tok2
+          WHERE $splitCaseSql = 'train'
+          GROUP BY term ORDER BY n DESC, term LIMIT $VocabK) v),
+      j AS (
+        SELECT t.lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok2 t LEFT JOIN vocab v ON t.term = v.term)
+      SELECT lang, count(*) AS n_tokens,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        (CAST(sum(oov) AS BIGINT) * 10000) // count(*) AS oov_bp
+      FROM j GROUP BY lang ORDER BY lang"""),
+    doc = "train-split top-K vocabulary induction + per-language OOV rate " +
+      "(integer basis points); broadcast membership join")
+
   /** N-gram-level train/eval decontamination — the finer-grained sibling
     * of c2: c2 catches VERBATIM document reuse (whole-doc fingerprints);
     * this catches PARTIAL leakage, where a training document contains an
@@ -830,7 +881,7 @@ object TextOps {
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
-    t10Repetition, t11PiiScrub, t12UrlDomains,
+    t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov,
     d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination,
     c7NgramDecontamination)
 }
