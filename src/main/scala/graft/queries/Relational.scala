@@ -891,6 +891,36 @@ object Relational {
       GROUP BY event_type ORDER BY event_type"""),
     doc = "event-time range scan; optimizer rule derives parquet-pushable raw-nanos bounds")
 
+  /** Percentiles over a DETERMINISTIC hash sample — the oracle-checkable
+    * scale path for percentile estimation (q26's t-digest sketch is the
+    * built-in path, but its estimate is JVM-only; a fixed-rate md5-bucket
+    * sample is engine-reproducible, so the whole estimate replays).  The
+    * c5 acceptance technique: accept o_orderkey when the first 4 md5 hex
+    * digits fall below 0x1999 (6553/65536 ≈ 10.0%) — one fused scan-side
+    * predicate, no shuffle beyond the group agg, stable under
+    * repartitioning and appends.  Sampled-vs-exact accuracy is pinned in
+    * QueryPacksSpec against q16. */
+  val q34SampledPercentiles = NamedQuery(
+    "q34_sampled_percentiles",
+    (s, dir) => {
+      val h4 = substring(md5(concat(col("o_orderkey").cast("string"), lit(":q34"))), 1, 4)
+      Tables.orders(s, dir)
+        .filter(h4 < "1999")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_sampled,
+        round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || ':q34'), 1, 4) < '1999'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "percentiles over a deterministic 10% md5-bucket sample — the " +
+      "replayable approximate-percentile scale path (accuracy pinned vs q16)")
+
   /** Rank-family windows (ntile / percent_rank / cume_dist) — the
     * remaining §2.7 "window-like" forms q7/q7b/q15/q20 don't cover.
     * Quartile assignment and both rank ratios ride ONE window (one
@@ -939,7 +969,7 @@ object Relational {
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
-    q33RankFamily,
+    q33RankFamily, q34SampledPercentiles,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

@@ -191,10 +191,26 @@ object Similarity {
     * iteration (seeds = the first `IvfLists` vectors) builds inverted lists;
     * a query ranks centroids, probes the nearest `IvfProbe` lists, and scans
     * only those — at scale the list id is a partition key and each query
-    * touches ~nprobe/k of the corpus.  Rows-only (float centroid pipeline);
-    * recall vs the s1 brute-force truth is asserted in QueryPacksSpec. */
+    * touches ~nprobe/k of the corpus.
+    *
+    * The quantizer runs in EXACT INTEGER arithmetic (the a6/d3/d4/m2
+    * promotion technique): embeddings are floor-quantized to an integer
+    * grid, assignment minimizes the integer L2 distance `v·v − 2v·c + c·c`
+    * (the standard FAISS IVF metric — no norms, no division), and the
+    * k-means update is the per-dimension floored integer mean, so
+    * centroids STAY integer vectors.  Every value fits a double's 53-bit
+    * mantissa exactly, so the whole pipeline — quantize, assign, update,
+    * re-assign, probe — replays bit-for-bit in DuckDB: s4 carries a FULL
+    * value oracle (the round-2/3 float-centroid form was rows-only: float
+    * means are summation-order-dependent).  Only the FINAL candidate
+    * scoring touches floats — the same round-4 cosine as s1, already
+    * oracle-proven.  Recall vs the s1 brute-force truth stays asserted in
+    * QueryPacksSpec. */
   private val IvfLists = 10
   private val IvfProbe = 3
+  /** Quantization grid: `floor(x · 64)` (floor, never round — round's .5
+    * tie rule differs across engines; floor is tie-free). */
+  private val QuantScale = 64
 
   val s4AnnIvf = NamedQuery(
     "s4_ann_ivf",
@@ -203,53 +219,60 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .withColumn("nrm", norm(col("emb")))
+        // quantized vector as array<double> holding exact small integers:
+        // graft_dot then does EXACT integer arithmetic in double registers
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+        .withColumn("vv", dot(col("qv"), col("qv")))
 
-      // Argmax over the broadcast centroid set via ONE aggregate: map-side
+      // Argmin over the broadcast centroid set via ONE aggregate: map-side
       // combine collapses the k×-exploded rows back to one per vector
-      // before the shuffle, and no Window sort is involved (the round-1
-      // row_number() form forced a full shuffle+sort of the exploded
-      // corpus).  max_by over struct(c_sim, -list_id) reproduces the
-      // rank-1 tie-break of ORDER BY c_sim DESC, list_id ASC exactly.
-      def nearest(points: DataFrame, cents: DataFrame, label: String): DataFrame =
+      // before the shuffle, no Window sort.  min_by over struct(dist,
+      // list_id) reproduces ORDER BY dist, list_id rank-1 exactly — and
+      // because every dist is an exact integer, the argmin is
+      // partition-order-free.
+      def nearest(points: DataFrame, cents: DataFrame): DataFrame =
         points.crossJoin(broadcast(cents))
-          .withColumn("c_sim", dot(col("emb"), col("centroid")) / (col("nrm") * col("c_nrm")))
+          .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
           .groupBy(col("vec_id"))
           .agg(
-            max_by(col("list_id"),
-              struct(col("c_sim"), (-col("list_id")).as("neg_list"))).as(label),
+            min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
             first(col("emb")).as("emb"),
-            first(col("nrm")).as("nrm"))
-          .select(col("vec_id"), col("emb"), col("nrm"), col(label))
-      // seeds → assign → recompute centroids (one k-means step, deterministic)
+            first(col("qv")).as("qv"),
+            first(col("vv")).as("vv"))
+      // seeds → assign → integer-mean centroids → re-assign (one k-means
+      // step, deterministic at any partitioning)
       val seeds = e.filter(col("vec_id") < IvfLists)
         .select(col("vec_id").cast("int").as("list_id"),
-          col("emb").as("centroid"), col("nrm").as("c_nrm"))
-      val assigned0 = nearest(e, seeds, "list_id")
+          col("qv").as("cent"), col("vv").as("cc"))
+      val assigned0 = nearest(e, seeds)
       val centroids = assigned0
-        .select(col("list_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("v")).as("c"))
+        // exact integer sum / count, floored: centroids stay on the grid
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
         .groupBy(col("list_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
         .select(col("list_id"),
-          transform(col("pc"), x => x.getField("c")).as("centroid"))
-        .withColumn("c_nrm", norm(col("centroid")))
-      val lists = nearest(e, centroids, "list_id")
+          transform(col("pc"), x => x.getField("c")).as("cent"))
+        .withColumn("cc", dot(col("cent"), col("cent")))
+      val lists = nearest(e, centroids)
 
-      // query side: probe the IvfProbe nearest lists
+      // query side: probe the IvfProbe nearest lists by the same metric
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
-      val wq = Window.partitionBy(col("q_id"))
-        .orderBy(col("c_sim").desc, col("list_id"))
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          norm(col("emb")).as("qn"), col("qv").as("qqv"), col("vv").as("qvv"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("list_id"))
       val probed = q.crossJoin(broadcast(centroids))
-        .withColumn("c_sim", dot(col("qe"), col("centroid")) / (col("qn") * col("c_nrm")))
+        .withColumn("dist", col("qvv") - lit(2) * dot(col("qqv"), col("cent")) + col("cc"))
         .withColumn("c_rank", row_number().over(wq))
         .filter(col("c_rank") <= IvfProbe)
         .select(col("q_id"), col("qe"), col("qn"), col("list_id"))
 
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-      lists.join(broadcast(probed), Seq("list_id"))
+      lists
+        .withColumn("nrm", norm(col("emb")))
+        .join(broadcast(probed), Seq("list_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cosine", round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 4))
         .withColumn("rn", row_number().over(w))
@@ -257,8 +280,69 @@ object Similarity {
         .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cosine"))
         .orderBy(col("q_id"), col("rn"))
     },
-    None,
-    doc = "IVF ANN: k-means(1-step) coarse quantizer, nprobe=3, top-5; rows-only")
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      qz AS (
+        SELECT vec_id, emb, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
+        FROM e),
+      qz2 AS (SELECT vec_id, emb, qv, list_dot_product(qv, qv) AS vv FROM qz),
+      seeds AS (
+        SELECT CAST(vec_id AS INT) AS list_id, qv AS cent, vv AS cc
+        FROM qz2 WHERE vec_id < $IvfLists),
+      d0 AS (
+        SELECT v.vec_id, s.list_id,
+               v.vv - 2 * list_dot_product(v.qv, s.cent) + s.cc AS dist
+        FROM qz2 v, seeds s),
+      a0 AS (
+        SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d0) r WHERE rn = 1),
+      cdim AS (
+        SELECT a0.list_id, i, floor(sum(qv[i]) / count(*)) AS c
+        FROM a0 JOIN qz2 USING (vec_id), range(1, 65) t(i)
+        GROUP BY a0.list_id, i),
+      cent1 AS (
+        SELECT list_id, list(c ORDER BY i) AS cent FROM cdim GROUP BY list_id),
+      cent2 AS (
+        SELECT list_id, cent, list_dot_product(cent, cent) AS cc FROM cent1),
+      d1 AS (
+        SELECT v.vec_id, c.list_id,
+               v.vv - 2 * list_dot_product(v.qv, c.cent) + c.cc AS dist
+        FROM qz2 v, cent2 c),
+      a1 AS (
+        SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d1) r WHERE rn = 1),
+      qs AS (
+        SELECT vec_id AS q_id, emb AS qe, qv AS qqv, vv AS qvv
+        FROM qz2 WHERE vec_id < 5),
+      pd AS (
+        SELECT q_id, c.list_id,
+               qvv - 2 * list_dot_product(qqv, c.cent) + c.cc AS dist
+        FROM qs, cent2 c),
+      probe AS (
+        SELECT q_id, list_id FROM (
+          SELECT q_id, list_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY dist, list_id) AS rn
+          FROM pd) r WHERE rn <= $IvfProbe),
+      sims AS (
+        SELECT p.q_id, a1.vec_id AS nn_id,
+               round(list_cosine_similarity(q.qe, e2.emb), 4) AS cosine
+        FROM probe p
+        JOIN a1 USING (list_id)
+        JOIN qs q ON q.q_id = p.q_id
+        JOIN e e2 ON e2.vec_id = a1.vec_id
+        WHERE a1.vec_id <> p.q_id)
+      SELECT q_id, rn, nn_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, nn_id) AS rn
+        FROM sims) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    doc = "IVF ANN: integer-L2 k-means(1-step) coarse quantizer, nprobe=3, " +
+      "top-5; FULL value oracle — the quantizer replays in exact integer " +
+      "arithmetic, only the final cosine touches floats (s1's proven form)")
 
   // ---------------------------------------------------------------- d5
   /** Spark-side round() parity: Catalyst's Round is

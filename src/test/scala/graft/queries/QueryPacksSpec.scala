@@ -334,6 +334,17 @@ class QueryPacksSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - p90) / p90 < 0.05,
         s"${r.getString(0)} p90 sketch ${r.getDouble(3)} vs exact $p90")
     }
+    // q34 (deterministic 10% sample) vs q16 (exact), same grouping: at
+    // sf0.001 each priority has ~300 orders → ~30 sampled; binomial noise
+    // on p50/p90 stays well under 15%
+    Relational.q34SampledPercentiles.fn(spark, sf()).collect().foreach { r =>
+      val (p50, p90) = exactP(r.getString(0))
+      assert(r.getLong(1) > 0, s"${r.getString(0)} empty sample")
+      assert(math.abs(r.getDouble(2) - p50) / p50 < 0.15,
+        s"${r.getString(0)} sampled p50 ${r.getDouble(2)} vs exact $p50")
+      assert(math.abs(r.getDouble(3) - p90) / p90 < 0.15,
+        s"${r.getString(0)} sampled p90 ${r.getDouble(3)} vs exact $p90")
+    }
     // a6 (KMV sketch) vs q8 (exact COUNT DISTINCT), same grouping
     val exactD = Relational.q8Distinct.fn(spark, sf()).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap

@@ -203,6 +203,44 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming KMV sketch aggregation equals the batch sketch (state-store merge path)") {
+    // the custom TypedImperativeAggregate must survive the STREAMING agg
+    // path too: partial buffers serialize into the state store and merge
+    // across micro-batches; with Complete output the final estimate must
+    // equal the batch run on the same data — pinning that graft_kmv's
+    // serialize/merge/eval cycle is state-store-safe, not just
+    // shuffle-safe.  maxFilesPerTrigger=1 keeps multiple micro-batches
+    // only when several files exist; either way the buffer round-trips
+    // through the store between trigger executions.
+    import org.apache.spark.sql.types._
+    graft.sentiment.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val P = 1000000007L
+    def kmvAgg(df: org.apache.spark.sql.DataFrame) = {
+      val h = ((col("user_id") % P) * 464054921L + 327776542L) % P
+      df.groupBy(col("event_type"))
+        .agg(call_function("graft_kmv", h, lit(64), lit(P)).as("approx_users"))
+    }
+    val stream = kmvAgg(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf()))
+    val q = stream.writeStream.format("memory").queryName("kmvstream")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("kmvstream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = kmvAgg(spark.read.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf()))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streaming KMV diverged: $streamed vs $batch")
+    assert(batch.nonEmpty && batch.values.forall(_ > 0))
+  }
+
   test("stream-static join enriches the stream with a dimension table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
