@@ -119,6 +119,10 @@ object PlanAudit {
         "shuffles (only the ordered output range-partitions)", present = false),
     Expect("t12_url_domains", "TakeOrderedAndProject",
       "domain top-10 must not global-sort"),
+    Expect("q35_scd2_intervals", ") Window\n",
+      "validity intervals ride ONE lead() window on the key", maxCount = 1),
+    Expect("q36_retention_cohorts", "CartesianProduct",
+      "cohort join must be an equi-join on user_id", present = false),
     Expect("t13_vocab_oov", "BroadcastHashJoin",
       "the induced vocabulary must broadcast to the token stream — OOV " +
         "membership never shuffles the corpus"),

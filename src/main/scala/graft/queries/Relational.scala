@@ -921,6 +921,78 @@ object Relational {
     doc = "percentiles over a deterministic 10% md5-bucket sample — the " +
       "replayable approximate-percentile scale path (accuracy pinned vs q16)")
 
+  /** SCD2-style validity intervals — the warehouse change-log pattern:
+    * each record of a key's history is valid from its own timestamp until
+    * the NEXT record's (lead window), open-ended on the latest.  Interval
+    * arithmetic in exact integer microseconds (the q7b rule); per-type
+    * rollup keeps the output small while exercising both the interval
+    * construction and the open-tail accounting.  One shuffle on the key
+    * for the window, one for the rollup. */
+  val q35Scd2Intervals = NamedQuery(
+    "q35_scd2_intervals",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+        .withColumn("dur_us", col("valid_to_us") - col("us"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to_us").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(coalesce(col("dur_us"), lit(0L))).as("closed_dur_us"))
+        .withColumn("closed_dur_sec", expr("closed_dur_us DIV 1000000"))
+        .select(col("event_type"), col("n_versions"), col("n_open"), col("closed_dur_sec"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_versions,
+        CAST(sum(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        CAST(sum(coalesce(valid_to_us - us, 0)) AS BIGINT) // 1000000 AS closed_dur_sec
+      FROM (
+        SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               lead(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+                 (PARTITION BY user_id
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS valid_to_us
+        FROM events) t
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "SCD2 validity intervals via lead(): per-key history versions with " +
+      "open-tail accounting, exact integer-microsecond durations")
+
+  /** Weekly retention cohorts — the canonical product-analytics rollup:
+    * cohort = a user's first active week, retention cell (cohort, offset)
+    * = users from that cohort active `offset` weeks later.  Week ids in
+    * exact integer arithmetic (`epoch µs DIV one week`).  Scale shape:
+    * one agg on user_id for cohorts (map-side combined), the distinct
+    * (user, week) activity relation joins the (small) cohort relation on
+    * the user key, then one rollup — the textbook two-shuffle cohort
+    * plan. */
+  val q36RetentionCohorts = NamedQuery(
+    "q36_retention_cohorts",
+    (s, dir) => {
+      val WeekUs = 7L * 86400L * 1000000L
+      val ue = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) DIV $WeekUs").as("week"))
+        .distinct()
+      val cohorts = ue.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ue.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH ue AS (
+        SELECT DISTINCT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        FROM events),
+      cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM ue GROUP BY user_id)
+      SELECT cohort_week, week - cohort_week AS week_offset,
+        count(DISTINCT ue.user_id) AS n_users
+      FROM ue JOIN cohorts ON ue.user_id = cohorts.user_id
+      GROUP BY cohort_week, week_offset
+      ORDER BY cohort_week, week_offset"""),
+    doc = "weekly retention cohorts (first-active-week × offset), integer week ids")
+
   /** Rank-family windows (ntile / percent_rank / cume_dist) — the
     * remaining §2.7 "window-like" forms q7/q7b/q15/q20 don't cover.
     * Quartile assignment and both rank ratios ride ONE window (one
@@ -969,7 +1041,7 @@ object Relational {
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
-    q33RankFamily, q34SampledPercentiles,
+    q33RankFamily, q34SampledPercentiles, q35Scd2Intervals, q36RetentionCohorts,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
