@@ -128,7 +128,29 @@ object PlanAudit {
         "membership never shuffles the corpus"),
     Expect("q33_rank_family", ") Window\n",
       "ntile/percent_rank/cume_dist share ONE window (same partition+order " +
-        "spec ⇒ one sort, one shuffle)", maxCount = 1))
+        "spec ⇒ one sort, one shuffle)", maxCount = 1),
+    // round-3 additions
+    Expect("q37_gaps_islands", "hashpartitioning(",
+      "three shrinking shuffles — map-side-deduped (user,day) pairs, the " +
+        "user_id window, the streak_len rollup — each stage's volume is a " +
+        "fraction of the last (collapsing the first two would forfeit " +
+        "map-side dedup of the raw event stream)", maxCount = 3),
+    Expect("q38_max_concurrent", ") Window\n",
+      "the sweep is ONE running-sum window on the group key", maxCount = 1),
+    Expect("q38_max_concurrent", "hashpartitioning(",
+      "boundary points shuffle ONCE on o_orderpriority; the rollup reuses " +
+        "the window's partitioning", maxCount = 1),
+    Expect("t14_freq_spectrum", "hashpartitioning(",
+      "token counts (map-side combined) then the tiny band rollup — two " +
+        "data shuffles, nothing more", maxCount = 2),
+    Expect("d9_cluster_canonical", ") Window\n",
+      "representative selection is a min_by aggregate, not a window sort",
+      present = false),
+    Expect("s7_ann_pq", "BroadcastHashJoin",
+      "codebooks, ADC tables and the query side all broadcast — the codes " +
+        "relation never shuffles full-width vectors"),
+    Expect("s7_ann_pq", "CartesianProduct",
+      "ADC candidates come from the (m, code) equi-join", present = false))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

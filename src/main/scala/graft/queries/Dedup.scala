@@ -556,5 +556,44 @@ object Dedup {
     doc = "connected components over the near-dup graph (canonical-keeper labels); " +
       "bounded min-label propagation vs a recursive-CTE oracle")
 
-  def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash, d6DupClusters, d8SpanDedup)
+  // ---------------------------------------------------------------- d9
+  /** Canonical-representative selection per duplicate cluster — the step
+    * every dedup pipeline runs AFTER clustering (d6): keep exactly one
+    * document per component, chosen by an explicit quality criterion
+    * (here: longest text, ties to the smallest doc_id), and account for
+    * what the cluster sheds.  One `min_by` aggregate over the labeled
+    * docs — the argmin rides the same shuffle as the member counts
+    * (map-side combined), no window, no second pass.  The comparator
+    * struct `(-n_chars, doc_id)` is total and collision-free (doc_id is
+    * unique), so the representative is deterministic at any partitioning.
+    * At 100 TB this is the compaction join: labels ⋈ docs co-partition on
+    * doc_id, then one agg on cluster_id. */
+  val d9ClusterCanonical = NamedQuery(
+    "d9_cluster_canonical",
+    (s, dir) => {
+      val docs = graft.tables.Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+      clusterLabels(s, dir)
+        .join(docs, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          min_by(col("doc_id"), struct((-col("n_chars")).as("neg"), col("doc_id"))).as("rep_doc"),
+          count(lit(1)).as("n_members"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""WITH RECURSIVE $dupGraphCteSql,
+      members AS (
+        SELECT l.cluster_id, l.doc_id, d.n_chars
+        FROM labels l JOIN documents d USING (doc_id))
+      SELECT cluster_id,
+        (list(doc_id ORDER BY n_chars DESC, doc_id))[1] AS rep_doc,
+        count(*) AS n_members,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM members GROUP BY cluster_id ORDER BY cluster_id"""),
+    doc = "one canonical doc per dup cluster (longest text, ties to min " +
+      "doc_id) via a single min_by aggregate over d6's labels")
+
+  def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash, d6DupClusters, d8SpanDedup,
+    d9ClusterCanonical)
 }

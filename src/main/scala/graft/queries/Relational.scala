@@ -1036,12 +1036,108 @@ object Relational {
       ORDER BY o_orderpriority, quartile"""),
     doc = "ntile/percent_rank/cume_dist in one window pass; quartile summary per priority")
 
+  /** Gaps-and-islands — maximal runs of consecutive active DAYS per user
+    * (activity streaks), the classic sequential-grouping pattern SQL
+    * can't express with plain GROUP BY: island id = day − row_number,
+    * constant exactly while days are consecutive.  Day ids in exact
+    * integer arithmetic (`epoch µs DIV one day`, the q36 rule).  Scale
+    * shape: the distinct and the window share ONE shuffle on user_id
+    * (distinct keys (user, day) hash-partition by user prefix only after
+    * an explicit repartition — here the window's user_id partitioning
+    * subsumes it), then one small rollup on streak length. */
+  val q37GapsIslands = NamedQuery(
+    "q37_gaps_islands",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak_len"))
+        .groupBy(col("streak_len"))
+        .agg(count(lit(1)).as("n_streaks"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("streak_len"))
+    },
+    Some("""WITH ud AS (
+        SELECT DISTINCT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        FROM events),
+      isl AS (
+        SELECT user_id,
+          day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM ud),
+      streaks AS (
+        SELECT user_id, grp, count(*) AS streak_len
+        FROM isl GROUP BY user_id, grp)
+      SELECT streak_len, count(*) AS n_streaks,
+        count(DISTINCT user_id) AS n_users
+      FROM streaks GROUP BY streak_len ORDER BY streak_len"""),
+    doc = "gaps-and-islands: consecutive-day activity streaks per user " +
+      "(island id = day - row_number), streak-length distribution")
+
+  /** Sweep-line maximum concurrency — peak simultaneously-open intervals
+    * per group, the event-boundary counting pattern (unpivot each
+    * interval to a +1 start / −1 end point, running-sum the deltas in
+    * time order, take the max).  Intervals are half-open 30-day order
+    * fulfillment windows `[orderdate, orderdate+30d)` in integer days, so
+    * an order ending on day X never overlaps one starting on day X — the
+    * `ORDER BY day, delta` tie rule (−1 sorts first) encodes exactly
+    * that.  The running sum's default RANGE frame includes all peers of
+    * the current (day, delta), making the cumulative value — and its max
+    * — independent of intra-tie processing order in both engines.  Scale
+    * shape: one window shuffle on the (low-cardinality) group key; at
+    * 100 TB the same sweep runs per finer-grained key (user, region) with
+    * identical plan shape. */
+  val q38MaxConcurrent = NamedQuery(
+    "q38_max_concurrent",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400L * 1000000L
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          // o_orderdate is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session)
+          expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $DayUs").as("d0"))
+      val points = o.select(col("o_orderpriority"), col("d0").as("day"), lit(1).as("delta"))
+        .unionAll(o.select(col("o_orderpriority"), (col("d0") + 30).as("day"), lit(-1).as("delta")))
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"), col("delta"))
+      points
+        .withColumn("open_now", sum(col("delta")).over(w))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("open_now")).as("max_in_flight"),
+          (count(lit(1)) / 2).cast("long").as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderpriority,
+          epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d0
+        FROM orders),
+      points AS (
+        SELECT o_orderpriority, d0 AS day, 1 AS delta FROM o
+        UNION ALL
+        SELECT o_orderpriority, d0 + 30 AS day, -1 AS delta FROM o),
+      sweep AS (
+        SELECT o_orderpriority,
+          sum(delta) OVER (PARTITION BY o_orderpriority
+                           ORDER BY day, delta) AS open_now
+        FROM points)
+      SELECT o_orderpriority,
+        CAST(max(open_now) AS BIGINT) AS max_in_flight,
+        CAST(count(*) / 2 AS BIGINT) AS n_orders
+      FROM sweep GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    doc = "sweep-line peak concurrency: max simultaneously-open 30-day order " +
+      "windows per priority (+1/-1 boundary deltas, running sum, max)")
+
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
     q33RankFamily, q34SampledPercentiles, q35Scd2Intervals, q36RetentionCohorts,
+    q37GapsIslands, q38MaxConcurrent,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

@@ -622,6 +622,176 @@ object Similarity {
       WHERE rn <= 10 ORDER BY q_id, rn"""),
     doc = "int8 scalar-quantized ANN top-10 (exact integer dot products), oracle-checked")
 
+  // ---------------------------------------------------------------- s7
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011, public literature) — the
+    * memory-bound scale path beyond s6's scalar quantization: the 64-dim
+    * vector is split into [[PqM]] 8-dim subspaces, each quantized to one
+    * of [[PqK]] codebook entries, so a corpus vector compresses to 8
+    * bytes of codes and query-to-vector distance is computed by
+    * Asymmetric Distance Computation — [[PqM]] lookups into a per-query
+    * table of query-subvector→centroid distances, never touching the
+    * vector itself.  At 100 TB the codes relation (vec_id + 8 bytes) is
+    * ~1% of the raw embeddings and the ADC scan is a broadcast-hash-join
+    * + sum — no full-width vector shuffle anywhere.
+    *
+    * Codebooks are trained per subspace by the s4 recipe (one k-means
+    * step, seeds = first [[PqK]] subvectors) in EXACT INTEGER arithmetic
+    * on the floor(x·64) grid: assignment minimizes `v·v − 2v·c + c·c`,
+    * the update is the floored integer mean, so codebooks, codes, ADC
+    * tables and approximate distances all replay bit-for-bit in DuckDB —
+    * a FULL value oracle.  The top-20 ADC candidates are re-ranked by the
+    * exact round-4 cosine (s1's proven form) for the final top-5; recall
+    * vs the s1 brute-force truth is pinned in QueryPacksSpec. */
+  private val PqM = 8  // subspaces
+  private val PqD = 8  // dims per subspace
+  private val PqK = 16 // codebook entries per subspace
+  private val PqCand = 20 // ADC candidates re-ranked exactly
+
+  val s7AnnPq = NamedQuery(
+    "s7_ann_pq",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+      // the m-th subvector of every grid vector: (vec_id, m, sv, svv)
+      val sub = e
+        .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
+        .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
+        .withColumn("svv", dot(col("sv"), col("sv")))
+        .select(col("vec_id"), col("m"), col("sv"), col("svv"))
+      // per-subspace argmin assignment via ONE min_by aggregate (the s4
+      // plan shape: map-side combine collapses the K-fold join fan-out)
+      def nearestCode(points: DataFrame, cents: DataFrame): DataFrame =
+        points.join(broadcast(cents), Seq("m"))
+          .withColumn("dist",
+            col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+            first(col("sv")).as("sv"), first(col("svv")).as("svv"))
+      val seeds = sub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").cast("int").as("code"),
+          col("sv").as("cent"), col("svv").as("cc"))
+      val a0 = nearestCode(sub, seeds)
+      // floored-integer-mean update: codebooks stay on the grid
+      val cents1 = a0
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("m"), col("code"),
+          transform(col("pc"), x => x.getField("c")).as("cent"))
+        .withColumn("cc", dot(col("cent"), col("cent")))
+      val codes = nearestCode(sub, cents1)
+        .select(col("vec_id"), col("m"), col("code"))
+      // ADC: per-query distance table over all (m, code) centroids
+      val qsub = sub.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("m"),
+          col("sv").as("qsv"), col("svv").as("qvv"))
+      val dtab = qsub.join(broadcast(cents1), Seq("m"))
+        .withColumn("d",
+          col("qvv") - lit(2) * dot(col("qsv"), col("cent")) + col("cc"))
+        .select(col("q_id"), col("m"), col("code"), col("d"))
+      // approximate distance = Σ_m table[m, code_m(v)] — exact integers,
+      // so the candidate cut is partition-order-free
+      val approx = codes.join(broadcast(dtab), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("d")).as("adist"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+      val cand = approx.withColumn("crn", row_number().over(wq))
+        .filter(col("crn") <= PqCand)
+        .select(col("q_id"), col("vec_id"))
+      // exact re-rank of the ADC candidates (s1's round-4 cosine)
+      val raw = e.withColumn("nrm", norm(col("emb")))
+        .select(col("vec_id"), col("emb"), col("nrm"))
+      val q = raw.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      cand.join(raw, "vec_id").join(broadcast(q), "q_id")
+        .withColumn("cosine",
+          round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      qz AS (
+        SELECT vec_id, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
+        FROM e),
+      sub AS (
+        SELECT vec_id, CAST(t.m AS INT) AS m,
+               qv[(CAST(t.m AS INT) * $PqD + 1):(CAST(t.m AS INT) * $PqD + $PqD)] AS sv
+        FROM qz, range(0, $PqM) t(m)),
+      sub2 AS (
+        SELECT vec_id, m, sv, list_dot_product(sv, sv) AS svv FROM sub),
+      seeds AS (
+        SELECT m, CAST(vec_id AS INT) AS code, sv AS cent, svv AS cc
+        FROM sub2 WHERE vec_id < $PqK),
+      d0 AS (
+        SELECT v.vec_id, v.m, s.code,
+               v.svv - 2 * list_dot_product(v.sv, s.cent) + s.cc AS dist
+        FROM sub2 v JOIN seeds s ON s.m = v.m),
+      a0 AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          FROM d0) r WHERE rn = 1),
+      cdim AS (
+        SELECT a0.m, a0.code, i, floor(sum(sv[i]) / count(*)) AS c
+        FROM a0 JOIN sub2 USING (vec_id, m), range(1, ${PqD + 1}) t(i)
+        GROUP BY a0.m, a0.code, i),
+      cent1 AS (
+        SELECT m, code, list(c ORDER BY i) AS cent FROM cdim GROUP BY m, code),
+      cent2 AS (
+        SELECT m, code, cent, list_dot_product(cent, cent) AS cc FROM cent1),
+      d1 AS (
+        SELECT v.vec_id, v.m, c.code,
+               v.svv - 2 * list_dot_product(v.sv, c.cent) + c.cc AS dist
+        FROM sub2 v JOIN cent2 c ON c.m = v.m),
+      codes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          FROM d1) r WHERE rn = 1),
+      qsub AS (
+        SELECT vec_id AS q_id, m, sv AS qsv, svv AS qvv
+        FROM sub2 WHERE vec_id < 5),
+      dtab AS (
+        SELECT q.q_id, c.m, c.code,
+               q.qvv - 2 * list_dot_product(q.qsv, c.cent) + c.cc AS d
+        FROM qsub q JOIN cent2 c ON c.m = q.m),
+      approx AS (
+        SELECT t.q_id, codes.vec_id, sum(t.d) AS adist
+        FROM codes JOIN dtab t ON t.m = codes.m AND t.code = codes.code
+        WHERE codes.vec_id <> t.q_id
+        GROUP BY t.q_id, codes.vec_id),
+      cand AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS crn
+          FROM approx) r WHERE crn <= $PqCand),
+      sims AS (
+        SELECT c.q_id, c.vec_id AS nn_id,
+               round(list_cosine_similarity(qe.emb, ce.emb), 4) AS cosine
+        FROM cand c
+        JOIN e qe ON qe.vec_id = c.q_id
+        JOIN e ce ON ce.vec_id = c.vec_id)
+      SELECT q_id, rn, nn_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, nn_id) AS rn
+        FROM sims) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    doc = "product-quantization ANN: 8x8-dim integer codebooks, ADC lookup " +
+      "scan, exact top-20 re-rank to top-5; FULL value oracle (the s4 " +
+      "integer-grid technique applied per subspace)")
+
   // ---------------------------------------------------------------- d7
   /** Duplicate-cluster assignment over the EMBEDDING near-dup graph — the
     * d6 composition applied to d5's cosine pairs instead of the Jaccard
@@ -682,5 +852,5 @@ object Similarity {
 
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
-      d5EmbeddingNearDup, d7EmbeddingClusters, s3LabelCentroids)
+      s7AnnPq, d5EmbeddingNearDup, d7EmbeddingClusters, s3LabelCentroids)
 }

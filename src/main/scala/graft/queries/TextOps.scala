@@ -878,10 +878,46 @@ object TextOps {
       GROUP BY domain ORDER BY n DESC, domain LIMIT 10"""),
     doc = "URL domain extraction + top-10 (group-1 regexp, explode → hash-agg → top-k)")
 
+  // ---------------------------------------------------------------- t14
+  /** Token frequency spectrum in power-of-two bands: how many distinct
+    * corpus types occur 1, 2–3, 4–7, … times — the Zipf/Good-Turing
+    * frequency-of-frequencies table (Gale & Sampson, "Good-Turing
+    * Frequency Estimation Without Tears", 1995, public literature) with
+    * log₂ banding so the output is ~log(max freq) rows at any corpus
+    * size.  The band id is `length(bin(freq))` — the integer's binary
+    * digit count, an EXACT integer in both engines (no log() floats
+    * anywhere).  Scale shape: two hash aggregations — token counts
+    * (map-side combined, the a4 plan) then the tiny band rollup. */
+  val t14FreqSpectrum = NamedQuery(
+    "t14_freq_spectrum",
+    (s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(explode(tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+      tf.select(length(bin(col("freq"))).as("band"), col("freq"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_types"),
+          min(col("freq")).as("lo_freq"),
+          max(col("freq")).as("hi_freq"))
+        .orderBy(col("band"))
+    },
+    Some("""WITH tf AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+              FROM documents WHERE text IS NOT NULL AND text <> '') t
+        GROUP BY tok)
+      SELECT CAST(length(bin(freq)) AS INT) AS band, count(*) AS n_types,
+        min(freq) AS lo_freq, max(freq) AS hi_freq
+      FROM tf GROUP BY band ORDER BY band"""),
+    doc = "Zipf frequency spectrum: distinct types per power-of-two frequency " +
+      "band (band = binary digit count of freq — exact integers, no logs)")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
-    t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov,
+    t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
     d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination,
     c7NgramDecontamination)
 }

@@ -605,6 +605,97 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("PQ ANN recalls most exact top-1s; every hit is a real corpus vector") {
+    val bfTop = Similarity.s1AnnBruteForce.fn(spark, sf())
+      .filter(col("rn") === 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = Similarity.s7AnnPq.fn(spark, sf())
+      .select("q_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(pq.nonEmpty)
+    pq.foreach { case (q, nns) => assert(!nns.contains(q), s"query $q matched itself") }
+    // 8 bytes of codes keep enough geometry that the exact top-1 survives
+    // the 20-candidate ADC cut for the majority of queries; a broken
+    // codebook/ADC path collapses recall to ~0 and fails here
+    val recalled = bfTop.count { case (q, nn) => pq.get(q).exists(_.contains(nn)) }
+    assert(recalled * 2 >= bfTop.size,
+      s"PQ ANN recalled only $recalled/${bfTop.size} exact top-1s")
+  }
+
+  test("q37 streak distribution matches a plain-Scala islands recount") {
+    val DayUs = 86400L * 1000000L
+    val ud = graft.tables.Tables.events(spark, sf())
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ud.groupBy(_._1).toSeq.flatMap { case (u, days) =>
+      // split each user's sorted day set into maximal consecutive runs
+      val ds = days.map(_._2).sorted
+      ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (run :: rest), d) if d == run.head + 1 => (d :: run) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(run => (u, run.length.toLong))
+    }
+    val expDist = expected.groupBy(_._2).view.mapValues { runs =>
+      (runs.size.toLong, runs.map(_._1).distinct.size.toLong)
+    }.toMap
+    val got = Relational.q37GapsIslands.fn(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expDist, s"islands recount diverged: $got vs $expDist")
+  }
+
+  test("q38 peak concurrency matches a plain-Scala sweep recount") {
+    val DayUs = 86400L * 1000000L
+    val o = graft.tables.Tables.orders(spark, sf())
+      .select(col("o_orderpriority"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $DayUs").as("d0"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = o.groupBy(_._1).view.mapValues { os =>
+      val points = os.flatMap { case (_, d) => Seq((d, 1), (d + 30, -1)) }
+        .sortBy(p => (p._1, p._2)) // ends before starts at the same day
+      points.scanLeft(0)((acc, p) => acc + p._2).max.toLong
+    }.toMap
+    val got = Relational.q38MaxConcurrent.fn(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"sweep recount diverged: $got vs $expected")
+  }
+
+  test("d9 representative is a member with maximal n_chars; counts match d6") {
+    val labels = Dedup.clusterLabels(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val chars = graft.tables.Tables.documents(spark, sf())
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Dedup.d9ClusterCanonical.fn(spark, sf()).collect()
+    assert(rows.map(_.getLong(0)).toSet == byCluster.keySet)
+    rows.foreach { r =>
+      val (cid, rep, n, total) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = byCluster(cid)
+      assert(members.contains(rep), s"cluster $cid rep $rep not a member")
+      assert(n == members.size, s"cluster $cid member count")
+      assert(total == members.toSeq.map(chars).sum, s"cluster $cid total chars")
+      val best = members.map(chars).max
+      assert(chars(rep) == best, s"cluster $cid rep is not longest")
+      assert(members.filter(m => chars(m) == best).min == rep, s"cluster $cid tie-break")
+    }
+  }
+
+  test("t14 bands partition the vocabulary and bound their frequencies") {
+    val rows = TextOps.t14FreqSpectrum.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val vocab = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .distinct().count()
+    assert(rows.map(_.getLong(1)).sum == vocab, "band sizes must sum to |vocab|")
+    rows.foreach { r =>
+      val (band, lo, hi) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      assert(lo >= (1L << (band - 1)) && hi < (1L << band),
+        s"band $band frequencies [$lo,$hi] out of [2^${band - 1}, 2^$band)")
+      assert(lo <= hi)
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
