@@ -150,7 +150,13 @@ object PlanAudit {
       "codebooks, ADC tables and the query side all broadcast — the codes " +
         "relation never shuffles full-width vectors"),
     Expect("s7_ann_pq", "CartesianProduct",
-      "ADC candidates come from the (m, code) equi-join", present = false))
+      "ADC candidates come from the (m, code) equi-join", present = false),
+    Expect("q39_moving_avg", ") Window\n",
+      "count and frame-sum share ONE ROWS-frame window (same spec ⇒ one " +
+        "sort, one shuffle)", maxCount = 1),
+    Expect("q39_moving_avg", "hashpartitioning(",
+      "daily rollup on (priority, day) then the window on priority — two " +
+        "data shuffles; the ordered output range-partitions", maxCount = 2))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

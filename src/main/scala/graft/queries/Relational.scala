@@ -1131,13 +1131,59 @@ object Relational {
     doc = "sweep-line peak concurrency: max simultaneously-open 30-day order " +
       "windows per priority (+1/-1 boundary deltas, running sum, max)")
 
+  /** Frame-bounded rolling aggregate — the 7-day moving average over each
+    * priority's daily order-revenue series, via an explicit ROWS frame
+    * (`ROWS BETWEEN 6 PRECEDING AND CURRENT ROW`) — the one §2.7 window
+    * form the other window queries don't exercise (q7/q33 rank frames,
+    * q7b offset frames, q35 lead).  Money stays exact: daily totals are
+    * recovered to integer cents by the Exact.sumGrain recipe, the frame
+    * sum is integer, and only the final display average divides — the
+    * same IEEE ops on the same inputs in both engines, then the tie-free
+    * 4-dp floor.  Scale shape: one shuffle for the daily rollup on
+    * (priority, day), one for the window on priority; day is unique per
+    * partition after the rollup, so the ROWS frame is deterministic. */
+  val q39MovingAvg = NamedQuery(
+    "q39_moving_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400L * 1000000L
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $DayUs").as("day"),
+          col("o_totalprice"))
+        .groupBy(col("o_orderpriority"), col("day"))
+        .agg(Exact.sumGrain(col("o_totalprice"), 2).cast("long").as("day_cents"))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .withColumn("mov_avg",
+          Exact.floorQ(sum(col("day_cents")).over(w) / 100.0 / col("mov_n"), 4))
+        .select(col("o_orderpriority"), col("day"), col("day_cents"),
+          col("mov_n"), col("mov_avg"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    },
+    Some("""WITH daily AS (
+        SELECT o_orderpriority,
+          epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+          CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS day_cents
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderpriority, day, day_cents,
+        count(*) OVER w AS mov_n,
+        floor(sum(day_cents) OVER w / 100.0 / count(*) OVER w * 10000) / 10000.0 AS mov_avg
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderpriority, day"""),
+    doc = "7-day moving average of daily revenue per priority via an explicit " +
+      "ROWS frame; integer-cent arithmetic until the final tie-free display division")
+
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
     q33RankFamily, q34SampledPercentiles, q35Scd2Intervals, q36RetentionCohorts,
-    q37GapsIslands, q38MaxConcurrent,
+    q37GapsIslands, q38MaxConcurrent, q39MovingAvg,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

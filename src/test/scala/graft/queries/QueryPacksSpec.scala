@@ -696,6 +696,23 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("q39 moving average matches a plain-Scala sliding-frame recount") {
+    val rows = Relational.q39MovingAvg.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (prio, series) =>
+      val s = series.sortBy(_._2)
+      s.indices.foreach { i =>
+        val frame = s.slice(math.max(0, i - 6), i + 1)
+        val (_, _, _, n, avg) = s(i)
+        assert(n == frame.length, s"$prio day ${s(i)._2} frame size")
+        val cents = frame.map(_._3).sum
+        val expect = math.floor(cents / 100.0 / frame.length * 10000) / 10000
+        assert(avg == expect, s"$prio day ${s(i)._2} avg $avg != $expect")
+      }
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
