@@ -156,7 +156,12 @@ object PlanAudit {
         "sort, one shuffle)", maxCount = 1),
     Expect("q39_moving_avg", "hashpartitioning(",
       "daily rollup on (priority, day) then the window on priority — two " +
-        "data shuffles; the ordered output range-partitions", maxCount = 2))
+        "data shuffles; the ordered output range-partitions", maxCount = 2),
+    Expect("m4_resize_batches", "hashpartitioning(",
+      "id-range batching needs ONE shuffle on the batch key (no row_number " +
+        "window, no global sort)", maxCount = 1),
+    Expect("m4_resize_batches", ") Window\n",
+      "batching is id-range arithmetic, not a window", present = false))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

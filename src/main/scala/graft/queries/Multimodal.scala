@@ -160,5 +160,63 @@ object Multimodal {
       ORDER BY doc_id"""),
     doc = "video frame slicing + every-Nth sampling (array ops), oracle-checked")
 
-  def all: Seq[NamedQuery] = Seq(m1BlobMetadata, m2DecodeFeatures, m3FrameSample)
+  // ---------------------------------------------------------------- m4
+  /** Resize planning + batch padding accounting for "image" blobs — the
+    * preprocessing arithmetic a vision-training pipeline runs before the
+    * actual pixel kernel: aspect-preserving fit into a 224×224 target
+    * (`out = dim·224 DIV max(w,h)`, all integer — floor semantics match
+    * in both engines), then fixed id-range batching (`doc_id DIV 96` ≈ 32
+    * images/batch at the 1-in-3 image rate) and the per-batch padded-
+    * tensor waste: a batch materializes as n·max_w·max_h pixels, of which
+    * everything beyond Σ out_w·out_h is letterbox padding.  Id-range
+    * batching instead of a row_number window is deliberate — it needs no
+    * global sort, so the same plan holds at 100 TB (one shuffle on the
+    * batch key, map-side combined).  The resize itself stays a stub (no
+    * codecs in this container, see the pack doc); the PLAN — dims, batch
+    * shape, waste — is the real, oracle-checked product. */
+  val m4ResizeBatches = NamedQuery(
+    "m4_resize_batches",
+    (s, dir) => {
+      val fit = blobs(s, dir)
+        .filter(col("media_type") === "image")
+        .withColumn("n_bytes", length(col("bytes")))
+        // stub dims (+16 keeps them nonzero); a real decoder fills these
+        .withColumn("w0", col("n_bytes") % 640 + 16)
+        .withColumn("h0", col("n_bytes") % 480 + 16)
+        // long dims: DuckDB's octet_length arithmetic is BIGINT (schema parity)
+        .withColumn("out_w", expr("(w0 * 224) DIV greatest(w0, h0)").cast("long"))
+        .withColumn("out_h", expr("(h0 * 224) DIV greatest(w0, h0)").cast("long"))
+        .withColumn("batch", expr("doc_id DIV 96"))
+      fit.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_imgs"),
+          max(col("out_w")).as("max_w"),
+          max(col("out_h")).as("max_h"),
+          sum(col("out_w") * col("out_h")).as("content_px"))
+        .withColumn("pad_waste_px",
+          col("n_imgs") * col("max_w") * col("max_h") - col("content_px"))
+        .select(col("batch"), col("n_imgs"), col("max_w"), col("max_h"),
+          col("content_px"), col("pad_waste_px"))
+        .orderBy(col("batch"))
+    },
+    Some("""WITH fit AS (
+        SELECT doc_id // 96 AS batch,
+          (w0 * 224) // greatest(w0, h0) AS out_w,
+          (h0 * 224) // greatest(w0, h0) AS out_h
+        FROM (SELECT doc_id,
+                octet_length(CAST(text AS BLOB)) % 640 + 16 AS w0,
+                octet_length(CAST(text AS BLOB)) % 480 + 16 AS h0
+              FROM documents
+              WHERE text IS NOT NULL AND text <> ''
+                AND CAST(doc_id % 3 AS INT) = 0) t)
+      SELECT batch, count(*) AS n_imgs,
+        max(out_w) AS max_w, max(out_h) AS max_h,
+        CAST(sum(out_w * out_h) AS BIGINT) AS content_px,
+        CAST(count(*) * max(out_w) * max(out_h) - sum(out_w * out_h) AS BIGINT)
+          AS pad_waste_px
+      FROM fit GROUP BY batch ORDER BY batch"""),
+    doc = "aspect-preserving 224-fit resize plan + id-range batch padding " +
+      "waste (integer arithmetic end to end), oracle-checked")
+
+  def all: Seq[NamedQuery] = Seq(m1BlobMetadata, m2DecodeFeatures, m3FrameSample,
+    m4ResizeBatches)
 }

@@ -713,6 +713,19 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("m4 batches: padded tensor accounting is internally consistent") {
+    val rows = Multimodal.m4ResizeBatches.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mw, mh, content, waste) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(mw <= 224 && mh <= 224, "fit must stay inside the 224 target")
+      assert(mw == 224 || mh == 224, "the larger dim must hit the target exactly")
+      assert(waste == n * mw * mh - content, "padding identity")
+      assert(waste >= 0 && content <= n * mw * mh)
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
