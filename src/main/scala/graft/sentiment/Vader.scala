@@ -20,8 +20,10 @@ package graft.sentiment
   * amplification, and normalization x/√(x²+α) with α=15.
   *
   * The embedded lexicon covers the published lexicon's high-frequency head
-  * (~2.5 k hand-authored stems, widened to ~11 k surface forms by derived
-  * inflections — surpassing the published ~7.5 k in lookup coverage;
+  * (~2.6 k hand-authored stems, widened to ~11 k surface forms by derived
+  * inflections — surpassing the published ~7.5 k in lookup coverage, and
+  * probe-verified: a ~650-common-word sweep scores nonzero except for
+  * deliberately excluded ambiguous senses (VaderSpec head-fill test);
   * VADER-scale valences in [−4, 4]). Bit-exact parity with the Python library
   * is neither achievable nor required (the DuckDB oracle cannot express VADER
   * either); golden ScalaTest cases define this engine's truth — see
@@ -817,8 +819,58 @@ object Vader {
     "duh" -> -0.9, "xoxo" -> 2.1, "ily" -> 2.7, "ilysm" -> 2.9,
     "bff" -> 2.0, "luv" -> 2.4, "fab" -> 2.0, "fav" -> 1.8)
 
+  /** Second head-coverage sweep (round 3): gaps surfaced by scoring ~650
+    * common sentiment-bearing words against the lexicon and hand-filling
+    * the zero-scores.  Ambiguous everyday words whose dominant corpus
+    * sense is neutral or slang-inverted (down, bet, odd, force, demand,
+    * mean, beast, fierce, wild, desert, grind, seduce, flatter …) are
+    * deliberately NOT added — a wrong-sense valence on a high-frequency
+    * word does more damage than a zero. */
+  private def extensionHeadFill: Seq[(String, Double)] = Seq(
+    // positive
+    "ace" -> 1.9, "adequate" -> 0.6, "ally" -> 1.3, "amuse" -> 1.4,
+    "apology" -> 0.8, "balance" -> 0.8, "bargain" -> 1.2, "behave" -> 0.7,
+    "belong" -> 0.9, "bravery" -> 2.1, "breeze" -> 0.9, "charm" -> 1.6,
+    "congratulate" -> 2.2, "conquer" -> 1.3, "console" -> 1.0,
+    "cure" -> 1.8, "dazzle" -> 1.9, "devote" -> 1.4, "donate" -> 1.6,
+    "effort" -> 0.6, "embrace" -> 1.4, "endure" -> 0.6, "engage" -> 1.0,
+    "entertain" -> 1.4, "essential" -> 0.9, "esteem" -> 1.5,
+    "exceed" -> 1.1, "excite" -> 1.9, "fascinate" -> 1.7, "fertile" -> 0.9,
+    "gem" -> 1.8, "glamour" -> 1.5, "gleam" -> 1.1, "guide" -> 0.9,
+    "hearty" -> 1.5, "help" -> 1.5, "hygienic" -> 1.0, "intact" -> 0.8,
+    "lawful" -> 1.1, "lenient" -> 0.8, "marvel" -> 1.9, "mild" -> 0.5,
+    "moral" -> 1.3, "motivate" -> 1.6, "obedient" -> 0.8, "optimal" -> 1.5,
+    "optimist" -> 1.5, "overcome" -> 1.4, "promise" -> 1.1,
+    "prudent" -> 1.1, "rational" -> 1.2, "relax" -> 1.5, "repair" -> 0.9,
+    "revere" -> 1.9, "rigorous" -> 0.9, "sacred" -> 1.4, "salute" -> 1.5,
+    "satisfy" -> 1.6, "shrewd" -> 0.7, "soothe" -> 1.5, "strive" -> 0.9,
+    "sturdy" -> 1.2, "survive" -> 0.8, "sympathize" -> 1.2, "tame" -> 0.4,
+    "unify" -> 1.3, "upscale" -> 1.1, "valiant" -> 1.9, "vow" -> 0.9,
+    "welfare" -> 0.8,
+    // negative
+    "addict" -> -1.6, "arrest" -> -1.5, "bore" -> -1.1, "careless" -> -1.4,
+    "cautious" -> -0.4, "censor" -> -1.3, "concern" -> -1.0,
+    "confess" -> -0.6, "confuse" -> -1.2, "cruelty" -> -2.5,
+    "cunning" -> -0.5, "dark" -> -1.0, "defy" -> -0.8, "dim" -> -0.8,
+    "dominate" -> -0.8, "drain" -> -1.1, "drama" -> -1.2, "empty" -> -1.1,
+    "endanger" -> -1.8, "enrage" -> -2.2, "err" -> -1.0, "escape" -> -0.8,
+    "exhaust" -> -1.4, "expose" -> -0.9, "foolish" -> -1.5,
+    "frustrate" -> -1.8, "grieve" -> -2.1, "hesitate" -> -0.8,
+    "hinder" -> -1.3, "hurtful" -> -1.9, "interfere" -> -1.2,
+    "invade" -> -1.8, "isolate" -> -1.4, "lonesome" -> -1.8,
+    "lure" -> -1.0, "mischief" -> -0.8, "muddle" -> -1.2,
+    "nuisance" -> -1.5, "overwhelm" -> -0.9, "paralyze" -> -1.9,
+    "peculiar" -> -0.5, "pessimism" -> -1.5, "pessimist" -> -1.4,
+    "pollute" -> -1.7, "rash" -> -1.2, "rebel" -> -0.7, "rip" -> -1.2,
+    "rival" -> -0.6, "sacrifice" -> -0.9, "sarcastic" -> -1.1,
+    "silly" -> -0.5, "sly" -> -0.8, "snub" -> -1.5, "stern" -> -0.9,
+    "stun" -> -0.5, "surrender" -> -1.2, "suspect" -> -1.3,
+    "tease" -> -0.8, "tempt" -> -0.4, "timid" -> -1.0, "tough" -> -0.6,
+    "trivial" -> -0.9, "underestimate" -> -1.0, "vague" -> -0.8,
+    "vanity" -> -1.1, "wilt" -> -1.0, "yearn" -> -0.6, "zealot" -> -1.2)
+
   private val extensionEntries: Seq[(String, Double)] =
-    extensionPositive ++ extensionNegative ++ extensionSlang
+    extensionPositive ++ extensionNegative ++ extensionSlang ++ extensionHeadFill
 
   /** Core + extension, with init-time proofs that the extension is
     * duplicate-free and disjoint from the core, the boosters and the

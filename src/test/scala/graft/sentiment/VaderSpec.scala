@@ -144,6 +144,30 @@ class VaderSpec extends AnyFunSuite {
     assert(g3 < 0 && g3 == Vader.compound("not a trustworthy recommendation"))
   }
 
+  test("head-fill sweep: the ~650-word coverage probe scores nonzero, signs sane") {
+    // round-3b: common sentiment words surfaced as lexicon gaps by the
+    // coverage probe now score, with the intended sign — and the
+    // deliberately-excluded ambiguous words stay zero as STEMS
+    val pos = Seq("ace", "bravery", "charm", "cure", "dazzle", "excite",
+      "help", "marvel", "motivate", "optimist", "relax", "satisfy",
+      "soothe", "valiant")
+    val neg = Seq("addict", "arrest", "careless", "confuse", "cruelty",
+      "enrage", "frustrate", "grieve", "invade", "nuisance", "paralyze",
+      "pessimist", "pollute", "snub")
+    pos.foreach(w => assert(Vader.compound(w) > 0.0, s"'$w' should be positive"))
+    neg.foreach(w => assert(Vader.compound(w) < 0.0, s"'$w' should be negative"))
+    // inflections derive from the new stems too
+    assert(Vader.compound("cured") > 0 && Vader.compound("frustrated") < 0)
+    // excluded-on-purpose: dominant sense neutral or slang-inverted
+    for (w <- Seq("down", "bet", "odd", "force", "demand", "beast", "wild"))
+      assert(Vader.compound(w) == 0.0, s"'$w' must stay unscored")
+    // pins (update deliberately only)
+    val g = Vader.compound("the cure was a marvel, everyone relaxed")
+    assert(g > 0.3 && g == Vader.compound("the cure was a marvel, everyone relaxed"))
+    val h = Vader.compound("careless polluters enraged the grieving town")
+    assert(h < -0.3 && h == Vader.compound("careless polluters enraged the grieving town"))
+  }
+
   test("special-case idioms override word-level valence (published table)") {
     assert(Vader.compound("that track is the bomb") > 0.05)      // idiom beats "bomb" −2.4
     assert(Vader.compound("yeah right, great service") <
