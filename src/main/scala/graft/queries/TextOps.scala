@@ -914,10 +914,83 @@ object TextOps {
     doc = "Zipf frequency spectrum: distinct types per power-of-two frequency " +
       "band (band = binary digit count of freq — exact integers, no logs)")
 
+  // ---------------------------------------------------------------- t15
+  /** Edit-distance-1 token pairs via the SymSpell deletion-neighborhood
+    * join (Garbe, public algorithm; same family as the spelling-
+    * correction indexes behind search engines): every vocabulary token
+    * emits itself plus its single-character deletions as join keys, and
+    * any two tokens within edit distance 1 provably share a key — so the
+    * candidate set comes from an EQUI-join on short strings, never an
+    * all-pairs scan, and an exact `levenshtein ≤ 1` filter removes the
+    * (rare) distance-2 collisions.  The typo-pair relation is what a
+    * corpus-cleaning pipeline feeds into token canonicalization (OCR
+    * noise, misspellings).  At 100 TB: |keys| ≈ (avg_len+1)·|vocab|,
+    * shuffled on the key — linear, like d3's banding.  The corpus
+    * carries no natural typos at any SF, so they are PLANTED
+    * deterministically (the t11/t12 recipe): docs with doc_id % 7 == 0
+    * append their first token with its head character swapped to 'x',
+    * identically in both engines. */
+  val t15TypoPairs = NamedQuery(
+    "t15_typo_pairs",
+    (s, dir) => {
+      val dirty = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(concat(trim(lower(col("text"))),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" x"),
+              expr("substring(element_at(split(trim(lower(text)), '\\\\s+'), 1), 2)")))
+            .otherwise(lit(""))).as("t"))
+      val vocab = dirty
+        .select(explode(split(col("t"), "\\s+")).as("tok"))
+        .filter(length(col("tok")) >= 4)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"))
+      val keys = vocab.select(col("tok"), col("freq"),
+        explode(array_distinct(concat(array(col("tok")), expr(
+          "transform(sequence(1, length(tok)), p -> concat(left(tok, p - 1), substring(tok, p + 1)))"))))
+          .as("k"))
+      val a = keys.select(col("k"), col("tok").as("tok_a"), col("freq").as("freq_a"))
+      val b = keys.select(col("k"), col("tok").as("tok_b"), col("freq").as("freq_b"))
+      a.join(b, Seq("k"))
+        .filter(col("tok_a") < col("tok_b"))
+        .select(col("tok_a"), col("tok_b"), col("freq_a"), col("freq_b"))
+        .distinct()
+        .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+        .select(col("tok_a"), col("tok_b"), col("dist"), col("freq_a"), col("freq_b"))
+        .orderBy(col("tok_a"), col("tok_b"))
+    },
+    Some("""WITH dirty AS (
+        SELECT lower(trim(text)) ||
+          CASE WHEN doc_id % 7 = 0
+            THEN ' x' || substr(regexp_split_to_array(trim(lower(text)), '\s+')[1], 2)
+            ELSE '' END AS t
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      vocab AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(t, '\s+')) AS tok FROM dirty) u
+        WHERE length(tok) >= 4 GROUP BY tok),
+      keys AS (
+        SELECT tok, freq, unnest(list_distinct(list_prepend(tok, list_transform(
+          range(1, length(tok) + 1),
+          p -> left(tok, CAST(p AS INT) - 1) || substr(tok, CAST(p AS INT) + 1))))) AS k
+        FROM vocab),
+      cand AS (
+        SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b,
+          a.freq AS freq_a, b.freq AS freq_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.tok < b.tok)
+      SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist,
+        freq_a, freq_b
+      FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+      ORDER BY tok_a, tok_b"""),
+    doc = "SymSpell deletion-neighborhood join: edit-distance-1 token pairs " +
+      "from an equi-join on deletion keys + exact levenshtein verify")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
+    t15TypoPairs,
     d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination,
     c7NgramDecontamination)
 }

@@ -726,6 +726,41 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("t15 deletion-key join ≡ brute-force all-pairs levenshtein (exactness)") {
+    // replicate the planting + vocab, then compare the SymSpell join's
+    // pair set against an O(V²) exact scan — the join must be complete
+    // (no distance-1 pair missed) and sound (no distance-2 survivor)
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select("doc_id", "text").collect()
+    val vocab = docs.flatMap { r =>
+      val lowered = r.getString(1).trim.toLowerCase
+      val planted = if (r.getLong(0) % 7 == 0)
+        Seq("x" + lowered.split("\\s+").head.drop(1)) else Seq.empty
+      lowered.split("\\s+") ++ planted
+    }.filter(_.length >= 4).toSet
+    def lev1(x: String, y: String): Boolean = {
+      if (math.abs(x.length - y.length) > 1) false
+      else if (x.length == y.length) x.zip(y).count { case (p, q) => p != q } <= 1
+      else {
+        val (a, b) = if (x.length < y.length) (x, y) else (y, x)
+        var i = 0; var j = 0; var diff = 0
+        while (i < a.length && j < b.length && diff <= 1) {
+          if (a(i) == b(j)) { i += 1; j += 1 } else { diff += 1; j += 1 }
+        }
+        diff + (b.length - j) <= 1
+      }
+    }
+    val expected = (for {
+      a <- vocab; b <- vocab if a < b && lev1(a, b)
+    } yield (a, b)).toSet
+    val got = TextOps.t15TypoPairs.fn(spark, sf())
+      .select("tok_a", "tok_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected, s"typo join diverged: extra=${got.diff(expected)} missing=${expected.diff(got)}")
+    assert(got.nonEmpty, "planting must surface at least one pair")
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
