@@ -161,7 +161,12 @@ object PlanAudit {
       "id-range batching needs ONE shuffle on the batch key (no row_number " +
         "window, no global sort)", maxCount = 1),
     Expect("m4_resize_batches", ") Window\n",
-      "batching is id-range arithmetic, not a window", present = false))
+      "batching is id-range arithmetic, not a window", present = false),
+    Expect("c8_curriculum_tiers", ") Window\n",
+      "quartile tiering must not global-sort (broadcast cuts, not ntile)",
+      present = false),
+    Expect("c8_curriculum_tiers", "BroadcastNestedLoopJoin",
+      "the 1-row percentile cuts broadcast back to the scan"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -245,6 +245,63 @@ object Curation {
     doc = "per-doc sliding-window chunking (512-token windows, 64 overlap) in " +
       "closed-form integer arithmetic; oracle-checked")
 
+  // ---------------------------------------------------------------- c8
+  /** Curriculum tiers — split the corpus into quality quartiles and
+    * account tokens per tier, the plan behind quality-ordered training
+    * schedules (low-tier data first or dropped, high-tier data upsampled
+    * or late-stage).  Deliberately NOT an `ntile` window: a global-sort
+    * quantile split would shuffle the whole corpus to rank it.  Instead
+    * the three quartile CUT POINTS come from one exact `percentile`
+    * aggregate (a single 3-double row), broadcast back, and tier
+    * assignment is a scan-side comparison — the plan that holds at
+    * 100 TB (one agg, one broadcast, one rollup; cf. q34's sampled
+    * percentiles for when even the exact percentile agg is too hot).
+    *
+    * Cross-engine float safety: quality values sit on the 1e-4 grid
+    * (t3's floor), so interpolated cuts are ≥ 2.5e-5 away from every
+    * data value — a last-ulp interpolation difference between engines
+    * can never flip a `quality > cut` comparison. */
+  val c8CurriculumTiers = NamedQuery(
+    "c8_curriculum_tiers",
+    (s, dir) => {
+      val q = TextOps.withQualitySignals(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && col("text") =!= ""))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_toks"), col("quality"))
+      val cuts = q.agg(
+        expr("percentile(quality, 0.25)").as("c1"),
+        expr("percentile(quality, 0.5)").as("c2"),
+        expr("percentile(quality, 0.75)").as("c3"))
+      q.crossJoin(broadcast(cuts))
+        .withColumn("tier", lit(1)
+          + (col("quality") > col("c1")).cast("int")
+          + (col("quality") > col("c2")).cast("int")
+          + (col("quality") > col("c3")).cast("int"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          min(col("quality")).as("lo_quality"),
+          max(col("quality")).as("hi_quality"))
+        .orderBy(col("tier"))
+    },
+    Some(s"""WITH q AS (
+        SELECT doc_id, n_tokens AS n_toks, ${TextOps.qualityExprSql} AS quality
+        FROM (${TextOps.qualitySignalsSubSql}) t),
+      cuts AS (
+        SELECT quantile_cont(quality, 0.25) AS c1,
+               quantile_cont(quality, 0.5) AS c2,
+               quantile_cont(quality, 0.75) AS c3
+        FROM q)
+      SELECT 1 + CAST(quality > c1 AS INT) + CAST(quality > c2 AS INT)
+               + CAST(quality > c3 AS INT) AS tier,
+        count(*) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        min(quality) AS lo_quality, max(quality) AS hi_quality
+      FROM q, cuts GROUP BY tier ORDER BY tier"""),
+    doc = "curriculum quality quartiles: broadcast percentile cuts + scan-side " +
+      "tier assignment (no global-sort ntile), tokens accounted per tier")
+
   def all: Seq[NamedQuery] =
-    Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap)
+    Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
+      c8CurriculumTiers)
 }

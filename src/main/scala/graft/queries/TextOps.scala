@@ -87,7 +87,7 @@ object TextOps {
         FROM (SELECT doc_id, lang, $sEnSql AS s_en, $sEsSql AS s_es, $sFrSql AS s_fr
               FROM documents WHERE text IS NOT NULL AND text <> '') x"""
 
-  private val qualityExprSql =
+  private[queries] val qualityExprSql =
     """floor((least(n_tokens / 100.0, 1.0) * 0.5
               + (1.0 - punct_ratio) * 0.3
               + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000) / 10000.0"""

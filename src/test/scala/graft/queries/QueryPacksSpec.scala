@@ -761,6 +761,22 @@ class QueryPacksSpec extends SparkSpec {
     assert(got.nonEmpty, "planting must surface at least one pair")
   }
 
+  test("c8 tiers partition the corpus into non-overlapping quality ranges") {
+    val rows = Curation.c8CurriculumTiers.fn(spark, sf()).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.map(_._1).toSet.subsetOf(Set(1, 2, 3, 4)))
+    val total = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "").count()
+    assert(rows.map(_._2).sum == total, "tier sizes must sum to the corpus")
+    // quartile cuts bound each tier at ~25% ± the mass tied at a cut value
+    rows.foreach { case (_, n, lo, hi) => assert(lo <= hi && n > 0) }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"tier ${a._1}/${b._1} ranges overlap")
+      case _ =>
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
