@@ -166,7 +166,12 @@ object PlanAudit {
       "quartile tiering must not global-sort (broadcast cuts, not ntile)",
       present = false),
     Expect("c8_curriculum_tiers", "BroadcastNestedLoopJoin",
-      "the 1-row percentile cuts broadcast back to the scan"))
+      "the 1-row percentile cuts broadcast back to the scan"),
+    Expect("q40_robust_stats", "BroadcastHashJoin",
+      "per-group medians broadcast back to the scan for the deviation pass"),
+    Expect("q40_robust_stats", ") Window\n",
+      "order statistics come from percentile aggregates, not window sorts",
+      present = false))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -1177,13 +1177,65 @@ object Relational {
     doc = "7-day moving average of daily revenue per priority via an explicit " +
       "ROWS frame; integer-cent arithmetic until the final tie-free display division")
 
+  /** Robust statistics — median, MAD (median absolute deviation) and IQR
+    * per group, the outlier-resistant dispersion measures a data-quality
+    * monitor prefers over mean/stddev.  MAD needs TWO ordered passes
+    * (median first, then deviations from it): the per-group medians are a
+    * tiny aggregate broadcast back to the scan (the c8 pattern), never a
+    * re-sort of the fact table.
+    *
+    * Cross-engine exactness by DYADIC arithmetic: prices are recovered to
+    * exact integer cents, and every percentile interpolation point lands
+    * on rank fractions ∈ {0, ¼, ½, ¾} — so medians are exact multiples
+    * of ½, deviations of ½, MADs of ¼, IQRs of ¼: all binary-exact
+    * doubles, immune to interpolation-formula and summation-order
+    * differences.  No rounding anywhere. */
+  val q40RobustStats = NamedQuery(
+    "q40_robust_stats",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).as("cents"))
+      val med = o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("med_cents"),
+          expr("percentile(cents, 0.25)").as("q1_cents"),
+          expr("percentile(cents, 0.75)").as("q3_cents"))
+      o.join(broadcast(med), "o_orderpriority")
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+        .groupBy(col("o_orderpriority"))
+        .agg(first(col("n")).as("n"),
+          first(col("med_cents")).as("med_cents"),
+          expr("percentile(dev, 0.5)").as("mad_cents"),
+          (first(col("q3_cents")) - first(col("q1_cents"))).as("iqr_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH o AS (
+        SELECT o_orderpriority, round(o_totalprice * 100) AS cents
+        FROM orders),
+      med AS (
+        SELECT o_orderpriority, count(*) AS n,
+          quantile_cont(cents, 0.5) AS med_cents,
+          quantile_cont(cents, 0.25) AS q1_cents,
+          quantile_cont(cents, 0.75) AS q3_cents
+        FROM o GROUP BY o_orderpriority)
+      SELECT o.o_orderpriority, any_value(n) AS n,
+        any_value(med_cents) AS med_cents,
+        quantile_cont(abs(cents - med_cents), 0.5) AS mad_cents,
+        any_value(q3_cents) - any_value(q1_cents) AS iqr_cents
+      FROM o JOIN med USING (o_orderpriority)
+      GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+    doc = "robust stats per group: median / MAD / IQR in dyadic-exact integer-" +
+      "cent arithmetic (broadcast medians back to the scan, no second sort " +
+      "of the fact table)")
+
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
     q33RankFamily, q34SampledPercentiles, q35Scd2Intervals, q36RetentionCohorts,
-    q37GapsIslands, q38MaxConcurrent, q39MovingAvg,
+    q37GapsIslands, q38MaxConcurrent, q39MovingAvg, q40RobustStats,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

@@ -777,6 +777,31 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("q40 median/MAD/IQR match a plain-Scala order-statistics recount") {
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = (s.length - 1) * p
+      val lo = rank.toInt
+      val frac = rank - lo
+      if (lo + 1 < s.length) s(lo) + (s(lo + 1) - s(lo)) * frac else s(lo)
+    }
+    val cents = graft.tables.Tables.orders(spark, sf())
+      .select(col("o_orderpriority"), round(col("o_totalprice") * 100).as("c"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val rows = Relational.q40RobustStats.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (prio, n, med, mad, iqr) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val xs = cents(prio)
+      assert(n == xs.length)
+      assert(med == pct(xs, 0.5), s"$prio median")
+      assert(mad == pct(xs.map(x => math.abs(x - med)), 0.5), s"$prio MAD")
+      assert(iqr == pct(xs, 0.75) - pct(xs, 0.25), s"$prio IQR")
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
