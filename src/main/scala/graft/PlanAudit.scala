@@ -171,7 +171,12 @@ object PlanAudit {
       "per-group medians broadcast back to the scan for the deviation pass"),
     Expect("q40_robust_stats", ") Window\n",
       "order statistics come from percentile aggregates, not window sorts",
-      present = false))
+      present = false),
+    Expect("q41_unpivot", ") Generate\n",
+      "the melt is ONE map-side stack generator", maxCount = 1),
+    Expect("q41_unpivot", "hashpartitioning(",
+      "reshaping shuffles nothing; only the (flag, measure) rollup does",
+      maxCount = 1))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

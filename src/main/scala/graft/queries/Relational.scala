@@ -1229,13 +1229,45 @@ object Relational {
       "cent arithmetic (broadcast medians back to the scan, no second sort " +
       "of the fact table)")
 
+  /** UNPIVOT / melt — the wide→long reshaping inverse of q22's pivot:
+    * lineitem's four measure columns become (measure, value) rows via one
+    * map-side `stack` generator (no shuffle to reshape — the only
+    * exchange is the final rollup's).  The long form is what metric
+    * stores and chart layers consume; at 100 TB the generator multiplies
+    * rows 4× but never widens the shuffle beyond (flag, measure) partial
+    * aggregates. */
+  val q41Unpivot = NamedQuery(
+    "q41_unpivot",
+    (s, dir) => {
+      Tables.lineitem(s, dir)
+        .selectExpr("l_returnflag",
+          """stack(4,
+               'quantity', l_quantity,
+               'extendedprice', l_extendedprice,
+               'discount', l_discount,
+               'tax', l_tax) AS (measure, v)""")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("total"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+    Some("""WITH m AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+        UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+        UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+      SELECT l_returnflag, measure, count(*) AS n, round(sum(v), 2) AS total
+      FROM m GROUP BY l_returnflag, measure
+      ORDER BY l_returnflag, measure"""),
+    doc = "UNPIVOT via one map-side stack generator: wide measure columns to " +
+      "long (measure, value) rows, rolled up per (flag, measure)")
+
   def all: Seq[NamedQuery] = Seq(
     q15Sessionization, q16Percentiles, q17Rollup, q18JsonExtract,
     q19GroupingSets, q20CorrelatedAboveAvg, q22PivotStatus, q23StringAgg,
     q21Funnel, q24AsOfJoin, q25RangeJoin, q26ApproxPercentiles, q27EventTimePushdown,
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
     q33RankFamily, q34SampledPercentiles, q35Scd2Intervals, q36RetentionCohorts,
-    q37GapsIslands, q38MaxConcurrent, q39MovingAvg, q40RobustStats,
+    q37GapsIslands, q38MaxConcurrent, q39MovingAvg, q40RobustStats, q41Unpivot,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,

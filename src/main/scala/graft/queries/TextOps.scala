@@ -986,11 +986,55 @@ object TextOps {
     doc = "SymSpell deletion-neighborhood join: edit-distance-1 token pairs " +
       "from an equi-join on deletion keys + exact levenshtein verify")
 
+  // ---------------------------------------------------------------- d10
+  /** Containment near-dup pairs — the ASYMMETRIC companion to d2's
+    * Jaccard: C(A,B) = |A∩B| / min(|A|,|B|) (max-containment, Broder's
+    * resemblance-vs-containment distinction, public literature).  A short
+    * document copied INSIDE a much longer one scores near 1.0 here while
+    * its symmetric Jaccard stays low (the union is dominated by the long
+    * doc) — exactly the quote/boilerplate/excerpt duplication a
+    * training-corpus pipeline must catch that d2 structurally cannot.
+    * Same banded shingle equi-join and pair aggregation as d2 (shared
+    * code), one extra `least()` — the scale shape is unchanged. */
+  val d10Containment = NamedQuery(
+    "d10_containment",
+    (s, dir) => {
+      shingleJaccardPairs(s, dir, global = true)
+        .withColumn("containment",
+          round(col("n_inter").cast("double") / least(col("sa"), col("sb")), 4))
+        .filter(col("containment") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("containment"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(raw"""WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+        round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment,
+        round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) >= 0.8
+      ORDER BY doc_a, doc_b"""),
+    doc = "asymmetric containment near-dup pairs (|A∩B| / min size ≥ 0.8): " +
+      "catches short-doc-inside-long-doc copies symmetric Jaccard misses")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
     t15TypoPairs,
-    d1DedupExact, d2NgramJaccard, c1CorpusCuration, c2Contamination,
-    c7NgramDecontamination)
+    d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
+    c2Contamination, c7NgramDecontamination)
 }

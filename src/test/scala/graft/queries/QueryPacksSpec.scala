@@ -802,6 +802,38 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("d10 containment dominates jaccard and catches subset-shaped pairs") {
+    val rows = TextOps.d10Containment.fn(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // max-containment ≥ jaccard algebraically (min ≤ union); and the
+    // asymmetric measure must admit pairs the symmetric one rejects
+    rows.foreach { case (a, b, c, j) =>
+      assert(c >= j, s"pair ($a,$b): containment $c < jaccard $j")
+      assert(c >= 0.8 && c <= 1.0)
+    }
+  }
+
+  test("q41 unpivoted totals equal the wide-form column sums") {
+    val wide = graft.tables.Tables.lineitem(spark, sf())
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("quantity"),
+        round(sum(col("l_extendedprice")), 2).as("extendedprice"),
+        round(sum(col("l_discount")), 2).as("discount"),
+        round(sum(col("l_tax")), 2).as("tax"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (Map("quantity" -> r.getDouble(1), "extendedprice" -> r.getDouble(2),
+          "discount" -> r.getDouble(3), "tax" -> r.getDouble(4)), r.getLong(5))).toMap
+    val long = Relational.q41Unpivot.fn(spark, sf()).collect()
+    assert(long.length == wide.size * 4, "4 measures per flag")
+    long.foreach { r =>
+      val (flag, m, n, total) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(n == wide(flag)._2, s"$flag/$m row count")
+      assert(total == wide(flag)._1(m), s"$flag/$m total")
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
