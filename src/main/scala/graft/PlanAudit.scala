@@ -176,7 +176,10 @@ object PlanAudit {
       "the melt is ONE map-side stack generator", maxCount = 1),
     Expect("q41_unpivot", "hashpartitioning(",
       "reshaping shuffles nothing; only the (flag, measure) rollup does",
-      maxCount = 1))
+      maxCount = 1),
+    Expect("s8_series_similarity", "BroadcastHashJoin",
+      "the query-user series and norms broadcast; the corpus joins the " +
+        "inverted day index once"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -832,6 +832,78 @@ object Similarity {
     doc = "connected components over the embedding near-dup graph (d5 pairs + " +
       "d6's propagation core) vs a recursive-CTE oracle")
 
+  // ---------------------------------------------------------------- s8
+  /** Time-series similarity search — top-k most similar users by their
+    * daily activity profile (cf. distributed streaming-series similarity
+    * work, EDBT 2019 family, public literature), the non-text/non-
+    * embedding similarity tier: each user's series is the SPARSE integer
+    * vector {day → event count}, and pair dot products come from an
+    * INVERTED-INDEX equi-join on the day key — each day contributes only
+    * the users active THAT day, never an all-pairs scan (the sparse-
+    * feature analog of the shingle join d2 uses for sets and the bucket
+    * join s2 uses for dense vectors).  At 100 TB the day key is the
+    * partition key and the join volume is Σ_day |active|·|query-active|.
+    * Counts, squared norms and dot products are exact integers; only the
+    * final cosine touches floats (s1's proven round-4 form — sqrt is
+    * IEEE-correctly-rounded in both engines). */
+  val s8SeriesSimilarity = NamedQuery(
+    "s8_series_similarity",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400L * 1000000L
+      val series = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val norms = series.groupBy(col("user_id"))
+        .agg(sum(col("n") * col("n")).as("nn"))
+      val q = series.filter(col("user_id") < 5)
+        .select(col("user_id").as("q_id"), col("day"), col("n").as("qn"))
+      val dots = series.join(broadcast(q), Seq("day"))
+        .filter(col("user_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("user_id"))
+        .agg(sum(col("n") * col("qn")).as("dot"))
+      val qNorms = norms.select(col("user_id").as("q_id"), col("nn").as("qnn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("user_id"))
+      dots
+        .join(norms, "user_id")
+        .join(broadcast(qNorms), "q_id")
+        .withColumn("cosine",
+          round(col("dot") / (sqrt(col("nn")) * sqrt(col("qnn"))), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("user_id").as("nn_id"), col("cosine"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some("""WITH series AS (
+        SELECT user_id,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          count(*) AS n
+        FROM events GROUP BY user_id, day),
+      norms AS (
+        SELECT user_id, CAST(sum(n * n) AS BIGINT) AS nn
+        FROM series GROUP BY user_id),
+      q AS (SELECT user_id AS q_id, day, n AS qn FROM series WHERE user_id < 5),
+      dots AS (
+        SELECT q.q_id, s.user_id, CAST(sum(s.n * q.qn) AS BIGINT) AS dot
+        FROM series s JOIN q ON s.day = q.day AND s.user_id <> q.q_id
+        GROUP BY q.q_id, s.user_id),
+      sims AS (
+        SELECT d.q_id, d.user_id AS nn_id,
+          round(CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 4) AS cosine
+        FROM dots d
+        JOIN norms na ON na.user_id = d.user_id
+        JOIN norms nb ON nb.user_id = d.q_id)
+      SELECT q_id, rn, nn_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, nn_id) AS rn
+        FROM sims) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    doc = "time-series similarity: top-5 users by daily-activity-profile " +
+      "cosine via an inverted day-index join (sparse integer vectors, " +
+      "never all-pairs)")
+
   // ---------------------------------------------------------------- s3
   val s3LabelCentroids = NamedQuery(
     "s3_label_centroids",
@@ -852,5 +924,6 @@ object Similarity {
 
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
-      s7AnnPq, d5EmbeddingNearDup, d7EmbeddingClusters, s3LabelCentroids)
+      s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
+      s3LabelCentroids)
 }

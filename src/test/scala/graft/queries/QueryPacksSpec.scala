@@ -834,6 +834,38 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("s8 series cosine matches a plain-Scala sparse-vector recount") {
+    val DayUs = 86400L * 1000000L
+    val series = graft.tables.Tables.events(spark, sf())
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def cos(a: Map[Long, Long], b: Map[Long, Long]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(d => a(d) * b(d)).sum
+      val r = dot / (math.sqrt(a.values.map(v => v * v).sum.toDouble) *
+        math.sqrt(b.values.map(v => v * v).sum.toDouble))
+      new java.math.BigDecimal(java.lang.Double.toString(r))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val rows = Similarity.s8SeriesSimilarity.fn(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, nn, c) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(q != nn)
+      assert(c == cos(series(q), series(nn)), s"cosine($q,$nn)")
+    }
+    // top-1 really is the max-cosine peer among users sharing a day
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      val top = rs.minBy(_.getInt(1))
+      val best = series.keys.filter(u => u != q &&
+        series(u).keySet.intersect(series(q).keySet).nonEmpty)
+        .map(u => cos(series(q), series(u))).max
+      assert(top.getDouble(3) == best, s"query $q top-1 not maximal")
+    }
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
