@@ -723,21 +723,72 @@ object Relational {
     doc = "non-equi range/band join against a broadcast inline table")
 
   /** Sketch-based percentiles — the 100 TB path for q16 (exact percentile
-    * needs a full sort per group; the approx sketch is mergeable and
-    * single-pass). Engine-specific estimates → rows-only gate; exactness is
-    * covered by q16. */
+    * needs a full sort per group; a sketch is mergeable and single-pass).
+    * Spark's built-in `approx_percentile` t-digest would do, but its
+    * estimate is JVM-internal and not engine-replayable, which would leave
+    * this query rows-only at the oracle gate.  Instead: a FIXED-WIDTH
+    * HISTOGRAM quantile sketch — the same sketch contract (one pass,
+    * bounded state of range/W buckets, bucket counts merge by addition
+    * across partitions/executors, error ≤ one bucket width, here $5,000 ≈
+    * 2–4% of p50), but every step is exact integer arithmetic: cents grid
+    * → bucket id (`DIV`), cumulative counts, ceil-rank targets
+    * `(n+1) DIV 2` / `(9n+9) DIV 10`, first bucket whose cumulative count
+    * reaches the rank, midpoint in integer cents.  DuckDB replays the
+    * identical sketch, so the estimate itself is value-oracled — accuracy
+    * vs exact q16 is additionally spec-pinned.  Scale shape: ONE shuffle
+    * on (priority, bucket) with map-side combine; the per-priority window
+    * runs over ~115 bucket rows, not the fact table. */
   val q26ApproxPercentiles = NamedQuery(
     "q26_approx_percentiles",
     (s, dir) => {
-      Tables.orders(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val W = 500000L // bucket width in cents ($5,000)
+      val hist = Tables.orders(s, dir)
+        .select(col("o_orderpriority"),
+          expr(s"CAST(round(o_totalprice * 100) AS BIGINT) DIV $W").as("b"))
+        .groupBy(col("o_orderpriority"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("o_orderpriority")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("o_orderpriority"))
+      hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
-          round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_approx"))
+        .agg(max(col("n")).as("n"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("b"))).as("b50"),
+          min(when(expr("cum >= (9 * n + 9) DIV 10"), col("b"))).as("b90"))
+        .select(col("o_orderpriority"), col("n"),
+          ((col("b50") * W + W / 2) / 100.0).as("p50_est"),
+          ((col("b90") * W + W / 2) / 100.0).as("p90_est"),
+          (col("b50") * W + W / 2).as("p50_cents"),
+          (col("b90") * W + W / 2).as("p90_cents"))
         .orderBy(col("o_orderpriority"))
     },
-    None,
-    doc = "approx_percentile sketch (mergeable, single-pass); rows-only")
+    Some("""WITH h AS (
+        SELECT o_orderpriority,
+          CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS b,
+          count(*) AS c
+        FROM orders GROUP BY 1, 2),
+      cum AS (
+        SELECT o_orderpriority, b, c,
+          sum(c) OVER (PARTITION BY o_orderpriority ORDER BY b) AS cum,
+          sum(c) OVER (PARTITION BY o_orderpriority) AS n
+        FROM h),
+      pick AS (
+        SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+          min(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS b50,
+          min(CASE WHEN cum >= (9 * n + 9) // 10 THEN b END) AS b90
+        FROM cum GROUP BY o_orderpriority)
+      SELECT o_orderpriority, n,
+        (b50 * 500000 + 250000) / 100.0 AS p50_est,
+        (b90 * 500000 + 250000) / 100.0 AS p90_est,
+        CAST(b50 * 500000 + 250000 AS BIGINT) AS p50_cents,
+        CAST(b90 * 500000 + 250000 AS BIGINT) AS p90_cents
+      FROM pick ORDER BY o_orderpriority"""),
+    doc = "fixed-width histogram quantile sketch (single-pass, mergeable " +
+      "bucket counts, integer rank bounds) — deterministic engine-replayable " +
+      "percentile estimates; accuracy vs exact q16 spec-pinned")
 
   /** Batch sessionization: 30-minute-gap sessions via a cumulative window
     * sum over per-user event time — the batch analog of the streaming
@@ -961,7 +1012,13 @@ object Relational {
   /** Weekly retention cohorts — the canonical product-analytics rollup:
     * cohort = a user's first active week, retention cell (cohort, offset)
     * = users from that cohort active `offset` weeks later.  Week ids in
-    * exact integer arithmetic (`epoch µs DIV one week`).  Scale shape:
+    * exact integer arithmetic (`epoch µs DIV one week`).  NOTE the
+    * cross-engine contract of this rule (shared by q37/q38/q39/s8):
+    * Spark `DIV` truncates toward zero while DuckDB `//` floors, so the
+    * two agree only for NON-NEGATIVE epochs — all graft event/order
+    * timestamps are post-1970 by schema contract (TESTDATA.md, and any
+    * production feed with sub-second event time).  A pre-1970 source
+    * would need `floor(x / unit)` on both sides instead.  Scale shape:
     * one agg on user_id for cohorts (map-side combined), the distinct
     * (user, week) activity relation joins the (small) cohort relation on
     * the user key, then one rollup — the textbook two-shuffle cohort
@@ -1040,7 +1097,8 @@ object Relational {
     * (activity streaks), the classic sequential-grouping pattern SQL
     * can't express with plain GROUP BY: island id = day − row_number,
     * constant exactly while days are consecutive.  Day ids in exact
-    * integer arithmetic (`epoch µs DIV one day`, the q36 rule).  Scale
+    * integer arithmetic (`epoch µs DIV one day`, the q36 rule — which
+    * assumes non-negative epochs; see q36's note).  Scale
     * shape: the distinct and the window share ONE shuffle on user_id
     * (distinct keys (user, day) hash-partition by user prefix only after
     * an explicit repartition — here the window's user_id partitioning
@@ -1247,7 +1305,13 @@ object Relational {
                'discount', l_discount,
                'tax', l_tax) AS (measure, v)""")
         .groupBy(col("l_returnflag"), col("measure"))
-        .agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("total"))
+        .agg(count(lit(1)).as("n"),
+          // All four measures sit on the 2-dp grid, so the sum is recovered
+          // to an exact integer in hundredths (Exact.sumGrain) before the
+          // single display division — summation order can no longer move the
+          // value across a rounding boundary (same recipe as q39/q40).
+          Exact.sumGrain(col("v"), 2).cast("long").as("total_cents"))
+        .withColumn("total", col("total_cents") / 100.0)
         .orderBy(col("l_returnflag"), col("measure"))
     },
     Some("""WITH m AS (
@@ -1255,7 +1319,9 @@ object Relational {
         UNION ALL SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
         UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
         UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
-      SELECT l_returnflag, measure, count(*) AS n, round(sum(v), 2) AS total
+      SELECT l_returnflag, measure, count(*) AS n,
+        CAST(round(sum(v) * 100) AS BIGINT) AS total_cents,
+        CAST(round(sum(v) * 100) AS BIGINT) / 100.0 AS total
       FROM m GROUP BY l_returnflag, measure
       ORDER BY l_returnflag, measure"""),
     doc = "UNPIVOT via one map-side stack generator: wide measure columns to " +

@@ -942,7 +942,13 @@ object TextOps {
             .otherwise(lit(""))).as("t"))
       val vocab = dirty
         .select(explode(split(col("t"), "\\s+")).as("tok"))
-        .filter(length(col("tok")) >= 4)
+        // ASCII-only vocab: the pair orientation below uses string '<',
+        // which Spark resolves in UTF-8 byte order but DuckDB (and the
+        // brute-force spec) compare by code points / UTF-16 units — the
+        // three orderings coincide exactly on printable ASCII, so
+        // supplementary-plane tokens (emoji in fixtures) are excluded
+        // rather than risking a swapped (tok_a, tok_b) across engines.
+        .filter(length(col("tok")) >= 4 && col("tok").rlike("^[!-~]+$"))
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("freq"))
       val keys = vocab.select(col("tok"), col("freq"),
@@ -969,7 +975,7 @@ object TextOps {
       vocab AS (
         SELECT tok, count(*) AS freq
         FROM (SELECT unnest(regexp_split_to_array(t, '\s+')) AS tok FROM dirty) u
-        WHERE length(tok) >= 4 GROUP BY tok),
+        WHERE length(tok) >= 4 AND regexp_matches(tok, '^[!-~]+$') GROUP BY tok),
       keys AS (
         SELECT tok, freq, unnest(list_distinct(list_prepend(tok, list_transform(
           range(1, length(tok) + 1),

@@ -19,9 +19,20 @@ import graft.tables.Tables
   */
 class EmptyCorpusSpec extends SparkSpec {
 
-  /** sf0.001 schemas, zero rows, written once per suite run. */
+  /** sf0.001 schemas, zero rows, written once per suite run; registered
+    * for recursive deletion at JVM exit.  The nanosAsLong conf toggled
+    * for the events write is restored to its prior state (unset if it
+    * was unset) so the suite leaves no session-conf residue. */
   private lazy val emptyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val path = java.nio.file.Files.createTempDirectory("graft-empty")
+    val dir = path.toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(path))
+        Files.walk(path).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p): Unit)
+    }))
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       Tables.load(spark, sf(), t).limit(0)
@@ -30,9 +41,18 @@ class EmptyCorpusSpec extends SparkSpec {
     // events.parquet carries TIMESTAMP(NANOS), which Spark cannot WRITE;
     // reproduce the driver layout by writing the raw long-nanos schema the
     // nanosAsLong reader path consumes.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"${sf()}/events.parquet").limit(0)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try {
+      spark.read.parquet(s"${sf()}/events.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(nanosKey, v)
+        case None    => spark.conf.unset(nanosKey)
+      }
+    }
     dir
   }
 
@@ -51,12 +71,19 @@ class EmptyCorpusSpec extends SparkSpec {
 
   test("non-global queries return zero rows on an all-empty dataset") {
     // global aggregates produce their single null-filled row by SQL
-    // semantics; every other query must be empty-in → empty-out
+    // semantics; every other query must be empty-in → empty-out.
+    // A query that CRASHES here is a hard failure too — the no-crash
+    // property belongs to the previous test, but silently skipping a
+    // crashed query would let this test pass vacuously.
     val globalAgg = Set("a1_metrics", "a2_emoji_mood", "q21_funnel",
       "t7_rolling_fingerprint", "t9_distinctive_terms", "d1_dedup_exact",
       "d2_ngram_jaccard", "c1_corpus_curation", "t13_vocab_oov")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val n = try fn(spark, emptyDir).count() catch { case _: Throwable => -1L }
+      val n = try fn(spark, emptyDir).count() catch {
+        case e: Throwable =>
+          fail(s"$name crashed in the count pass (see the no-crash test): " +
+            s"${e.getClass.getSimpleName} ${e.getMessage}")
+      }
       if (!globalAgg.contains(name) && n > 0)
         fail(s"$name returned $n rows from an empty dataset")
     }

@@ -324,7 +324,11 @@ class QueryPacksSpec extends SparkSpec {
   }
 
   test("sketch accuracy: approx_percentile within 5% of exact, KMV within 10% of exact") {
-    // q26 (t-digest-style sketch) vs q16 (exact percentiles), same grouping
+    // q26 (fixed-width histogram sketch, $5,000 buckets) vs q16 (exact
+    // percentiles), same grouping: the bucket-midpoint estimate must land
+    // within 5% of exact AND within one bucket width of it (the sketch's
+    // structural error bound)
+    val bucketCents = 500000L
     val exactP = Relational.q16Percentiles.fn(spark, sf()).collect()
       .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
     Relational.q26ApproxPercentiles.fn(spark, sf()).collect().foreach { r =>
@@ -333,6 +337,10 @@ class QueryPacksSpec extends SparkSpec {
         s"${r.getString(0)} p50 sketch ${r.getDouble(2)} vs exact $p50")
       assert(math.abs(r.getDouble(3) - p90) / p90 < 0.05,
         s"${r.getString(0)} p90 sketch ${r.getDouble(3)} vs exact $p90")
+      assert(math.abs(r.getLong(4) - p50 * 100) <= bucketCents,
+        s"${r.getString(0)} p50 midpoint ${r.getLong(4)}c not within one bucket of exact $p50")
+      assert(math.abs(r.getLong(5) - p90 * 100) <= bucketCents,
+        s"${r.getString(0)} p90 midpoint ${r.getLong(5)}c not within one bucket of exact $p90")
     }
     // q34 (deterministic 10% sample) vs q16 (exact), same grouping: at
     // sf0.001 each priority has ~300 orders → ~30 sampled; binomial noise
@@ -828,9 +836,13 @@ class QueryPacksSpec extends SparkSpec {
     val long = Relational.q41Unpivot.fn(spark, sf()).collect()
     assert(long.length == wide.size * 4, "4 measures per flag")
     long.foreach { r =>
-      val (flag, m, n, total) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val (flag, m, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      val cents = r.getLong(3)
+      val total = r.getDouble(4)
       assert(n == wide(flag)._2, s"$flag/$m row count")
       assert(total == wide(flag)._1(m), s"$flag/$m total")
+      // the integer-cent recovery and the display value must agree exactly
+      assert(cents / 100.0 == total, s"$flag/$m cents/display mismatch")
     }
   }
 
