@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** `spark.graft.dupgraph.cache` — the opt-in shared-dup-graph production
+  * pattern: c1/d6/d9 each need the same near-dup graph, and at gate time
+  * (per-query isolation) each rebuilds it.  With the conf on, the labels
+  * plan is memoized per (session, dataset dir) so the pair generation +
+  * propagation — the dominant cost of all three queries — materializes
+  * once per session.  This spec proves the cached path is RESULT-IDENTICAL
+  * to the isolated path for all three consumers, and that the memo
+  * actually hits (same plan object back). */
+class DupGraphCacheSpec extends SparkSpec {
+
+  private val consumers = Seq("d6_dup_clusters", "d9_cluster_canonical", "c1_corpus_curation")
+  private val confKey = "spark.graft.dupgraph.cache"
+
+  test("cache on ≡ cache off for d6/d9/c1, and the memo hits") {
+    val off = consumers.map { name =>
+      name -> SparkEntry.queries(name)(spark, sf()).collect().map(_.toString).toSeq
+    }.toMap
+
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try {
+      Dedup.clearDupGraphCache()
+      // memo hit: the second lookup returns the very same plan object
+      val first = Dedup.clusterLabels(spark, sf())
+      assert(Dedup.clusterLabels(spark, sf()) eq first, "dup-graph memo did not hit")
+      consumers.foreach { name =>
+        val on = SparkEntry.queries(name)(spark, sf()).collect().map(_.toString).toSeq
+        assert(on == off(name), s"$name differs with $confKey=true")
+      }
+      // a different dataset dir is a different memo key, not a stale hit
+      assert(!(Dedup.clusterLabels(spark, sf("sf0.01")) eq first))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None    => spark.conf.unset(confKey)
+      }
+      Dedup.clearDupGraphCache()
+    }
+  }
+}
