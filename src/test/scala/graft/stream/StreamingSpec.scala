@@ -326,13 +326,15 @@ class StreamingSpec extends SparkSpec {
     assert(fin.filter(col("user") === "uA").count() == 1)
   }
 
-  test("enrichment sustains ≥100× the reference's ingest envelope (3.3 rec/s)") {
+  test("enrichment sustains ≥300× the reference's ingest envelope (3.3 rec/s)") {
     // BASELINE.md: the reference caps ingest at maxOffsetsPerTrigger=100 /
     // 30 s trigger ≈ 3.3 rec/s, and its enrichment pays a per-row Python
     // UDF round-trip.  This pipeline (JVM VADER expression, codegen'd
-    // chain) must clear 100× that envelope even on the local[4] test
-    // session; at local[32]/cluster parallelism it scales with cores.
-    val src = graft.pipeline.RatePostSource(rowsPerSecond = 2000)
+    // chain) must clear 300× that envelope even on the local[4] test
+    // session (round 3 pinned 100×; measured headroom was ~5× the pin,
+    // so 300× still leaves contention margin); at local[32]/cluster
+    // parallelism it scales with cores.
+    val src = graft.pipeline.RatePostSource(rowsPerSecond = 5000)
     val enriched = Enrich.enrich(src.load(spark))
     val q = enriched.writeStream
       .format("memory").queryName("tput").outputMode(OutputMode.Append)
@@ -347,8 +349,38 @@ class StreamingSpec extends SparkSpec {
     val secs = (System.nanoTime() - t0) / 1e9
     val n = spark.table("tput").count()
     val rate = n / secs
-    assert(rate >= 330.0,
-      f"sustained $rate%.0f rec/s over $secs%.1f s ($n rows) — need ≥330 (100× reference)")
+    assert(rate >= 1000.0,
+      f"sustained $rate%.0f rec/s over $secs%.1f s ($n rows) — need ≥1000 (300× reference)")
+  }
+
+  test("Trigger.AvailableNow drains a backlog through capped micro-batches, then stops (catch-up)") {
+    // The modern batch-drain idiom the reference's restart runbook
+    // approximates by hand (stop the consumer, re-run, hope it catches
+    // up): AvailableNow processes exactly the data available at start —
+    // respecting per-trigger caps, so a big backlog still drains in
+    // bounded micro-batches — then terminates the query itself.
+    val in = tmp("graft-an-in"); val out = tmp("graft-an-out"); val cp = tmp("graft-an-cp")
+    writePosts(in, "b1.json", batch1) // 3 rows, 1 null-text → 2 enriched
+    writePosts(in, "b2.json", batch2) // 1 row
+    writePosts(in, "b3.json", batch1.take(1)) // 1 row
+    // maxFilesPerTrigger=1 forces the drain to take ≥3 micro-batches —
+    // proving AvailableNow composes with the backpressure cap (T4)
+    val src = FileJsonSource(in, maxFilesPerTrigger = 1)
+    val q = Sinks.jsonFiles(Enrich.enrich(src.load(spark)), out, cp,
+      trigger = Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000L), "AvailableNow query did not self-terminate")
+    assert(!q.isActive)
+    assert(readOut(out).count() == 4)
+
+    // downtime catch-up: new data lands while no query runs; a second
+    // AvailableNow run on the same checkpoint processes ONLY the new file
+    // (exactly-once resume) and stops again
+    writePosts(in, "b4.json", batch2)
+    val q2 = Sinks.jsonFiles(Enrich.enrich(src.load(spark)), out, cp,
+      trigger = Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000L), "catch-up AvailableNow did not self-terminate")
+    assert(readOut(out).count() == 5)
+    assert(readOut(out).filter(col("user") === "u4").count() == 2) // b2 + b4, no replays
   }
 
   test("rate-source generator produces schema-conformant enriched posts") {
