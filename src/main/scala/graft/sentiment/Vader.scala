@@ -869,8 +869,145 @@ object Vader {
     "trivial" -> -0.9, "underestimate" -> -1.0, "vague" -> -0.8,
     "vanity" -> -1.1, "wilt" -> -1.0, "yearn" -> -0.6, "zealot" -> -1.2)
 
+  /** Round-4 coverage growth: gaps surfaced by the 2,200+-word probe
+    * sweep (`ProbeWords`/`ProbeSweep`, test scope) after the derivational
+    * inflection widening — hand-authored valences on the published
+    * [−4, 4] scale for the remaining stem gaps.  Deliberately still
+    * excluded (dominant sense neutral or context-inverted, the round-3
+    * policy): mean, cold, object, critic, moving, stirring, rare, new,
+    * novel, modern, advanced, progressive, futuristic, weapon, mortal,
+    * learned, royal, just, power. */
+  private def extensionR4Positive: Seq[(String, Double)] = Seq(
+    // joy / affection / celebration
+    "cheery" -> 1.9, "pleasurable" -> 1.8, "grinning" -> 1.6,
+    "exuberant" -> 2.2, "exhilarate" -> 2.2, "mirth" -> 2.0,
+    "rapture" -> 2.5, "giddy" -> 1.7, "chirpy" -> 1.7, "jovial" -> 1.9,
+    "frolic" -> 1.6, "jubilation" -> 2.6, "affectionate" -> 1.9,
+    "fonder" -> 1.9, "romance" -> 1.7, "devotion" -> 1.7, "kiss" -> 1.8,
+    "smitten" -> 1.9, "companion" -> 1.4, "soulmate" -> 2.3, "amour" -> 1.7,
+    "festivity" -> 1.7, "party" -> 1.2, "feast" -> 1.5, "holiday" -> 1.5,
+    "vacation" -> 1.6, "utopia" -> 2.0, "wonderland" -> 1.8,
+    "carnival" -> 1.5, "jubilee" -> 1.7, "hurrah" -> 2.0, "encore" -> 1.5,
+    "cheerio" -> 1.3, "apologize" -> 0.8, "funfair" -> 1.5,
+    "trailblazing" -> 1.6,
+    // taste / aesthetics
+    "wondrous" -> 2.2, "scrumptious" -> 2.2, "yummy" -> 1.9, "savory" -> 1.5,
+    "luscious" -> 1.9, "flavorful" -> 1.6, "sleek" -> 1.4, "dapper" -> 1.5,
+    "glamorous" -> 1.6, "splendor" -> 1.9, "purity" -> 1.4,
+    "cleanliness" -> 1.3, "cutest" -> 2.0, "cherubic" -> 1.6,
+    // achievement / success
+    "attain" -> 1.3, "victor" -> 1.9, "conquest" -> 1.3, "milestone" -> 1.5,
+    "breakthrough" -> 1.9, "advancement" -> 1.4, "skyrocket" -> 1.6,
+    "masterful" -> 2.0, "windfall" -> 1.9, "boon" -> 1.7,
+    "praiseworthy" -> 2.1, "applause" -> 1.9, "reverence" -> 1.8,
+    "acclaim" -> 1.9, "accolade" -> 1.8, "determination" -> 1.5,
+    "perseverance" -> 1.5, "steadfast" -> 1.4, "unwavering" -> 1.5,
+    "resilience" -> 1.6, "tenacity" -> 1.4, "persistent" -> 1.2,
+    "aspire" -> 1.4, "exhilaration" -> 2.3, "anticipation" -> 1.2,
+    "vitality" -> 1.6, "animated" -> 1.5, "prestigious" -> 1.7,
+    "illustrious" -> 1.8, "iconic" -> 1.6, "notable" -> 1.2,
+    "noteworthy" -> 1.3, "historic" -> 1.3, "monumental" -> 1.5,
+    "glorify" -> 1.7, "exalted" -> 1.8, "majesty" -> 1.6, "prominent" -> 1.3,
+    // character / social
+    "merciful" -> 1.7, "humility" -> 1.3, "upright" -> 1.2,
+    "principled" -> 1.5, "brainy" -> 1.5, "perceptive" -> 1.4,
+    "creativity" -> 1.5, "knowledgeable" -> 1.4, "scholarly" -> 1.2,
+    "heroine" -> 1.9, "gallantry" -> 1.6, "intrepid" -> 1.6,
+    "dauntless" -> 1.7, "hospitality" -> 1.7, "cordial" -> 1.5,
+    "approachable" -> 1.4, "idolize" -> 1.8, "worship" -> 1.6,
+    "appreciative" -> 1.7, "mentor" -> 1.3, "guidance" -> 1.1,
+    "partnership" -> 1.2, "cooperative" -> 1.3, "cooperate" -> 1.3,
+    "collaborate" -> 1.2, "harmonious" -> 1.7, "equality" -> 1.5,
+    "independence" -> 1.3, "independent" -> 1.2,
+    // comfort / security / health
+    "snug" -> 1.4, "security" -> 1.0, "safety" -> 1.2, "sheltered" -> 1.1,
+    "haven" -> 1.4, "health" -> 1.2, "curative" -> 1.4, "revitalize" -> 1.6,
+    "renewal" -> 1.2, "restorative" -> 1.3, "invigorate" -> 1.7,
+    "abundance" -> 1.5, "plenty" -> 1.2, "affluent" -> 1.4,
+    "profitable" -> 1.5, "savings" -> 1.0, "thrifty" -> 1.1, "frugal" -> 0.9,
+    "practical" -> 0.9, "flexible" -> 1.1, "adaptable" -> 1.2,
+    // engagement / humor
+    "intrigue" -> 1.2, "engrossing" -> 1.4, "absorbing" -> 1.2,
+    "riveting" -> 1.7, "captivate" -> 2.0, "mesmerize" -> 2.0,
+    "enthrall" -> 1.9, "hilarity" -> 1.9, "comical" -> 1.5, "comedy" -> 1.4,
+    "wit" -> 1.5, "jest" -> 1.2, "banter" -> 1.2, "chuckle" -> 1.5,
+    "giggle" -> 1.6, "poignant" -> 1.2, "priceless" -> 2.0,
+    "favorable" -> 1.5, "favourite" -> 1.8, "prefer" -> 1.0,
+    "liberation" -> 1.6)
+
+  private def extensionR4Negative: Seq[(String, Double)] = Seq(
+    // sadness / despair
+    "tearful" -> -1.8, "tears" -> -1.2, "wept" -> -1.8,
+    "inconsolable" -> -2.4, "crestfallen" -> -1.9, "dispirited" -> -1.8,
+    "downhearted" -> -1.9, "heavyhearted" -> -1.9, "madden" -> -1.9,
+    "fury" -> -2.3, "incensed" -> -2.1, "exasperate" -> -1.8,
+    "vengeful" -> -1.9, "worrisome" -> -1.4, "unease" -> -1.3,
+    "spooked" -> -1.4, "startled" -> -1.1, "foreboding" -> -1.6,
+    "frighten" -> -1.8, "terrify" -> -2.4, "panicking" -> -1.7,
+    // disgust / contempt
+    "abhorrent" -> -2.5, "detestable" -> -2.2, "contemptible" -> -2.2,
+    "contemptuous" -> -2.1, "unsavory" -> -1.5, "putrid" -> -2.2,
+    "rancid" -> -2.0, "squalid" -> -1.9, "grotesque" -> -1.9,
+    "repel" -> -1.5, "repellent" -> -1.7,
+    "disfigured" -> -1.8, "macabre" -> -1.7, "grime" -> -1.2,
+    "contaminate" -> -1.6,
+    // harm / crime
+    "murderous" -> -2.8, "assassin" -> -2.2, "injurious" -> -1.8,
+    "ruinous" -> -2.0, "crush" -> -1.0, "carnage" -> -2.6,
+    "pointless" -> -1.6, "futility" -> -1.5, "calamity" -> -2.2,
+    "calamitous" -> -2.2, "stole" -> -1.7, "burglary" -> -1.8,
+    "abduct" -> -2.2, "smuggle" -> -1.4, "trafficking" -> -2.0,
+    "vandal" -> -1.6, "convict" -> -1.5, "felon" -> -1.8, "indicted" -> -1.6,
+    "penalty" -> -1.2, "penalize" -> -1.3, "outlawed" -> -1.4,
+    "illicit" -> -1.5, "casualty" -> -1.9, "graveyard" -> -1.2,
+    "funeral" -> -1.4, "corpse" -> -1.9, "tumor" -> -1.8,
+    // deceit / hostility
+    "fraudster" -> -2.2, "deceptive" -> -1.8, "dishonesty" -> -1.9,
+    "treachery" -> -2.3, "hypocritical" -> -1.9, "conned" -> -1.7,
+    "sneaky" -> -1.2, "underhanded" -> -1.7, "devious" -> -1.5,
+    "duplicitous" -> -1.9, "unfaithful" -> -1.9, "infidelity" -> -2.0,
+    "mockery" -> -1.6, "taunt" -> -1.6, "jeer" -> -1.6, "sneer" -> -1.6,
+    "libel" -> -1.8, "defame" -> -2.0, "malign" -> -1.9, "fought" -> -1.1,
+    "argumentative" -> -1.3, "discord" -> -1.5, "friction" -> -1.1,
+    "antagonism" -> -1.6, "confrontational" -> -1.4, "combative" -> -1.3,
+    "belligerent" -> -1.7, "militant" -> -1.3, "meanness" -> -1.7,
+    "coldhearted" -> -2.0, "callous" -> -1.8, "conceited" -> -1.6,
+    "pompous" -> -1.5, "patronizing" -> -1.5, "uncivil" -> -1.4,
+    "crass" -> -1.4, "profane" -> -1.6,
+    // incompetence / failure
+    "crummy" -> -1.6, "deficiency" -> -1.3, "letdown" -> -1.6,
+    "underwhelming" -> -1.3, "dunce" -> -1.5, "dimwit" -> -1.6,
+    "halfwit" -> -1.7, "brainless" -> -1.6, "mindless" -> -1.4,
+    "laughable" -> -1.4, "illogical" -> -1.2, "ineptitude" -> -1.6,
+    "bumbling" -> -1.3, "amateurish" -> -1.2, "botched" -> -1.6,
+    "bungled" -> -1.5, "hapless" -> -1.3, "troublesome" -> -1.5,
+    "mayhem" -> -1.9, "complicated" -> -1.1, "bewildered" -> -1.2,
+    "perplexed" -> -1.1, "disoriented" -> -1.3,
+    // suffering / weakness
+    "agonize" -> -2.2, "debilitate" -> -1.8, "exhaustion" -> -1.5,
+    "impoverished" -> -1.7, "penniless" -> -1.6, "beggar" -> -1.3,
+    "meager" -> -1.1, "brittle" -> -1.0, "defenseless" -> -1.5,
+    "impotent" -> -1.4, "unable" -> -1.1, "cowardice" -> -1.7,
+    "spineless" -> -1.6, "forsaken" -> -1.8, "deserted" -> -1.5,
+    "exclusion" -> -1.3, "estranged" -> -1.5, "unloved" -> -2.0,
+    "dismissed" -> -1.2, "boredom" -> -1.3, "uninteresting" -> -1.2,
+    "wearisome" -> -1.3, "humdrum" -> -1.0, "covet" -> -0.9,
+    "inferiority" -> -1.4, "skepticism" -> -0.9, "suspicion" -> -1.3,
+    "cynicism" -> -1.3, "burdensome" -> -1.4, "overload" -> -1.2,
+    "swamped" -> -1.2, "quagmire" -> -1.4, "grueling" -> -1.5,
+    "arduous" -> -1.2, "shadowy" -> -1.0, "murky" -> -1.1,
+    // decline / objection
+    "regress" -> -1.2, "regression" -> -1.2, "erosion" -> -1.1,
+    "stagnate" -> -1.2, "shrink" -> -0.9, "dwindle" -> -1.2, "slump" -> -1.3,
+    "plunge" -> -1.2, "tumble" -> -1.1, "sank" -> -1.2, "sink" -> -1.0,
+    "freefall" -> -1.5, "berate" -> -1.6, "censure" -> -1.5,
+    "disapproval" -> -1.5, "opposition" -> -0.9, "veto" -> -1.0,
+    "restrict" -> -1.0, "restriction" -> -1.0, "deplore" -> -1.9,
+    "lamentable" -> -1.7, "rue" -> -1.3, "rueful" -> -1.4)
+
   private val extensionEntries: Seq[(String, Double)] =
-    extensionPositive ++ extensionNegative ++ extensionSlang ++ extensionHeadFill
+    extensionPositive ++ extensionNegative ++ extensionSlang ++
+      extensionHeadFill ++ extensionR4Positive ++ extensionR4Negative
 
   /** Core + extension, with init-time proofs that the extension is
     * duplicate-free and disjoint from the core, the boosters and the
@@ -906,7 +1043,23 @@ object Vader {
     "hyper",    // overexcited ≠ hype (slang praise)
     "primer", "primes", // paint/book, math ≠ prime (quality)
     "franks",   // hot dogs / name ≠ frank (candor)
-    "suss")     // "suss out" (neutral) ≠ sus (slang)
+    "suss",     // "suss out" (neutral) ≠ sus (slang)
+    // round-4 derivational collisions (-ly/-ness/-ment/-ation): real
+    // words whose dominant sense departs from the sentiment stem
+    "likely",   // probability adverb ≠ like (affection)
+    "lately",   // temporal adverb ≠ late
+    "shortly",  // temporal adverb ≠ short
+    "business", // commerce ≠ busy
+    "treatment", // medical/processing ≠ treat
+    "formation", // arrangement ≠ form
+    "relation", "relations", // kinship/diplomacy ≠ relate
+    "creation", "creations", // neutral making ≠ create
+    "foundation", "foundations", // base/org ≠ found
+    "apparently", // hedging adverb ≠ apparent
+    "presently", // temporal adverb ≠ present (gift sense)
+    "objection", "objections", // procedural ≠ object
+    "fitful",   // restless sleep ≠ fit (health)
+    "fitted", "fitting") // tailoring/appropriateness ≠ fit (health)
 
   private[sentiment] val inflected: Map[String, Double] = {
     val out = scala.collection.mutable.Map[String, Double]()
@@ -915,10 +1068,55 @@ object Vader {
     // depend on the Scala/JVM version and silently shift golden scores
     baseLexicon.toSeq.sortBy(_._1).foreach { case (w, v) =>
       if (w.length >= 3 && w.forall(_.isLetter)) {
-        val forms =
-          if (w.endsWith("e")) Seq(w + "d", w + "s", w + "r")
-          else if (w.endsWith("y")) Seq(w.dropRight(1) + "ies", w.dropRight(1) + "ied", w.dropRight(1) + "ier")
-          else Seq(w + "ed", w + "ing", w + "s", w + "er")
+        val vowels = "aeiou"
+        val consY = w.endsWith("y") && w.length >= 3 && !vowels.contains(w(w.length - 2))
+        val inflectional =
+          if (w.endsWith("e"))
+            Seq(w + "d", w + "s", w + "r", w + "st", w.dropRight(1) + "ing")
+          else if (consY)
+            // consonant+y: cries/cried/crier/criest family, but -ing keeps
+            // the y (crying, worrying)
+            Seq(w.dropRight(1) + "ies", w.dropRight(1) + "ied",
+              w.dropRight(1) + "ier", w.dropRight(1) + "iest", w + "ing")
+          else
+            Seq(w + "ed", w + "ing", w + "s", w + "er", w + "est")
+        // -es plurals for sibilant/o endings (hero→heroes, kiss→kisses)
+        val es =
+          if (w.endsWith("o") || w.endsWith("s") || w.endsWith("x") ||
+              w.endsWith("z") || w.endsWith("ch") || w.endsWith("sh")) Seq(w + "es")
+          else Seq.empty
+        // CVC final-consonant doubling before vowel-initial suffixes:
+        // sadder, saddest, sobbed, hugged, winning.  Generated non-words
+        // are never looked up; real collisions go in [[neutralDerived]].
+        val last = w.last
+        val doubling =
+          if (w.length >= 3 && !vowels.contains(last) && !"wxy".contains(last) &&
+              vowels.contains(w(w.length - 2)) && !vowels.contains(w(w.length - 3))) {
+            val d = w + last
+            Seq(d + "ed", d + "ing", d + "er", d + "est")
+          } else Seq.empty
+        // round-4 derivational widening: adverbs (-ly), state nouns
+        // (-ness), act nouns (-ment, -ation/-ion) carry the stem's
+        // valence — the published lexicon rates these families at
+        // near-stem magnitude.  Over-generation produces non-words
+        // ("gooder", "braveation"), which are harmless: they are never
+        // looked up; real-word collisions go in [[neutralDerived]].
+        val ly =
+          if (w.endsWith("y")) Seq(w.dropRight(1) + "ily")
+          else if (w.endsWith("le")) Seq(w.dropRight(1) + "y")
+          else if (w.endsWith("ic")) Seq(w + "ally")
+          else Seq(w + "ly")
+        val ness =
+          if (w.endsWith("y")) Seq(w.dropRight(1) + "iness")
+          else Seq(w + "ness")
+        val ion =
+          if (w.endsWith("ate")) Seq(w.dropRight(1) + "ion", w.dropRight(1) + "ions")
+          else if (w.endsWith("e")) Seq(w.dropRight(1) + "ation", w.dropRight(1) + "ations")
+          else Seq(w + "ation")
+        // quality adjectives (-ful): sorrow→sorrowful, scorn→scornful
+        val ful = if (w.endsWith("e") || w.endsWith("y")) Seq.empty else Seq(w + "ful")
+        val forms = inflectional ++ es ++ doubling ++ ly ++ ness ++
+          Seq(w + "ment") ++ ion ++ ful
         forms.foreach { f =>
           if (!baseLexicon.contains(f) && !neutralDerived.contains(f) &&
               !boosters.contains(f) && !negations.contains(f))

@@ -168,6 +168,52 @@ class VaderSpec extends AnyFunSuite {
     assert(h < -0.3 && h == Vader.compound("careless polluters enraged the grieving town"))
   }
 
+  test("round-4 probe sweep: ≥2,000 words, ≥95% coverage, zero wrong signs") {
+    // The VERDICT-r3 bar: a probe of 2,000+ common sentiment-bearing
+    // words (ProbeWords — authored independently of the lexicon) must
+    // score nonzero for ≥95%.  Booster/negation probe words are RULE
+    // words — VADER's published design scores them through the rule
+    // machinery, never the lexicon — so they count as covered; the only
+    // legitimate zeros are the deliberately-excluded ambiguous stems
+    // (documented at extensionR4Positive).
+    assert(ProbeWords.all.size >= 2000, s"probe too small: ${ProbeWords.all.size}")
+    assert(ProbeWords.all.distinct.size == ProbeWords.all.size, "probe has duplicates")
+    def ruleWord(w: String) = Vader.boosters.contains(w) || Vader.negations.contains(w)
+    val zp = ProbeWords.positive.filterNot(ruleWord).filter(w => Vader.compound(w) == 0.0)
+    val zn = ProbeWords.negative.filterNot(ruleWord).filter(w => Vader.compound(w) == 0.0)
+    val covered = ProbeWords.all.size - zp.size - zn.size
+    assert(covered.toDouble / ProbeWords.all.size >= 0.95,
+      s"coverage ${covered}/${ProbeWords.all.size}; zeros: ${(zp ++ zn).mkString(" ")}")
+    // every covered probe word scores with the intended sign
+    val wrongPos = ProbeWords.positive.filter(w => Vader.compound(w) < 0.0)
+    val wrongNeg = ProbeWords.negative.filter(w => Vader.compound(w) > 0.0)
+    assert(wrongPos.isEmpty, s"positive probe words scoring negative: ${wrongPos.mkString(" ")}")
+    assert(wrongNeg.isEmpty, s"negative probe words scoring positive: ${wrongNeg.mkString(" ")}")
+    // the ambiguous exclusions are zero ON PURPOSE — pin them so a future
+    // derivation rule can't silently give them a wrong-sense valence
+    for (w <- Seq("mean", "cold", "object", "critic", "rare", "new", "novel",
+        "modern", "weapon", "mortal", "power", "just"))
+      assert(Vader.compound(w) == 0.0, s"'$w' must stay unscored (ambiguous)")
+  }
+
+  test("round-4 goldens: derivational forms score at stem valence (update deliberately only)") {
+    // derivational widening: -ly adverbs, -ness/-ment/-ation nouns,
+    // superlatives, CVC doubling, vowel-y and e+ing inflections
+    assert(Vader.compound("she spoke cheerfully and graciously") > 0.05)
+    assert(Vader.compound("the sadness and loneliness of exclusion") < -0.05)
+    assert(Vader.compound("pure amusement and excitement") > 0.05)
+    assert(Vader.compound("their admiration and appreciation") > 0.05)
+    assert(Vader.compound("the saddest, dreariest day") < -0.05)
+    assert(Vader.compound("worrying and crying all night") < -0.05)
+    assert(Vader.compound("destroying everything, betraying everyone") < -0.05)
+    // stoplisted derivations stay neutral
+    assert(Vader.compound("the business will likely reopen shortly") == 0.0)
+    val g = Vader.compound("a jubilant celebration, pure mirth and merriment")
+    assert(g > 0.5 && g == Vader.compound("a jubilant celebration, pure mirth and merriment"))
+    val h = Vader.compound("treachery, carnage and utter futility")
+    assert(h < -0.5 && h == Vader.compound("treachery, carnage and utter futility"))
+  }
+
   test("special-case idioms override word-level valence (published table)") {
     assert(Vader.compound("that track is the bomb") > 0.05)      // idiom beats "bomb" −2.4
     assert(Vader.compound("yeah right, great service") <
