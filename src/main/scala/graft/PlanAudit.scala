@@ -205,10 +205,14 @@ object PlanAudit {
       SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted")))
 
-    // --dump accepts a comma-separated list and emits EXPLAIN.md-shaped
-    // markdown (one "## name" + fenced plan per query)
+    // --dump accepts a comma-separated list (or ALL = every registered
+    // query) and emits EXPLAIN.md-shaped markdown (one "## name" + fenced
+    // plan per query)
     dump.foreach { qs =>
-      qs.split(',').map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val names =
+        if (qs == "ALL") SparkEntry.queries.keys.toSeq.sorted
+        else qs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      names.foreach { q =>
         println(s"## $q\n\n```\n${planOf(q)}```\n")
       }
       spark.stop(); sys.exit(0)
