@@ -179,7 +179,16 @@ object PlanAudit {
       maxCount = 1),
     Expect("s8_series_similarity", "BroadcastHashJoin",
       "the query-user series and norms broadcast; the corpus joins the " +
-        "inverted day index once"))
+        "inverted day index once"),
+    // round-4 additions
+    Expect("q26_approx_percentiles", "hashpartitioning(",
+      "histogram sketch: ONE fact shuffle on (priority, bucket) with " +
+        "map-side combine, then the window + rank pick run over ~115 " +
+        "bucket rows on priority — two data shuffles total", maxCount = 2),
+    Expect("q26_approx_percentiles", ") Window\n",
+      "cumulative + total counts are two Window nodes SHARING one sort and " +
+        "one exchange over the ~115-row bucket histogram, never over the " +
+        "fact table", maxCount = 2))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)
