@@ -943,9 +943,10 @@ object Relational {
     doc = "event-time range scan; optimizer rule derives parquet-pushable raw-nanos bounds")
 
   /** Percentiles over a DETERMINISTIC hash sample — the oracle-checkable
-    * scale path for percentile estimation (q26's t-digest sketch is the
-    * built-in path, but its estimate is JVM-only; a fixed-rate md5-bucket
-    * sample is engine-reproducible, so the whole estimate replays).  The
+    * scale path for percentile estimation complementing q26's histogram
+    * sketch: q26 bounds error by value resolution (bucket width), the
+    * sample bounds it statistically (rate); a fixed-rate md5-bucket
+    * sample is engine-reproducible, so the whole estimate replays.  The
     * c5 acceptance technique: accept o_orderkey when the first 4 md5 hex
     * digits fall below 0x1999 (6553/65536 ≈ 10.0%) — one fused scan-side
     * predicate, no shuffle beyond the group agg, stable under
