@@ -579,6 +579,83 @@ object TextOps {
     doc = "Gopher-style repetition filters (dup-word + top-bigram fractions), " +
       "integer-exact thresholds, per-source rollup; oracle-checked")
 
+  // ---------------------------------------------------------------- t16
+  /** Bigram-LM surprisal scoring — the self-supervised PERPLEXITY-proxy
+    * quality filter (Wenzek et al., "CCNet", LREC 2020, public
+    * literature, filter corpora by language-model perplexity; the
+    * distributed in-corpus form trains the LM on the corpus itself):
+    * every bigram's transition probability is estimated from corpus
+    * counts, a document's score is its mean transition probability, and
+    * documents dominated by RARE transitions (≥20% of bigrams at
+    * ≤ 1% head-conditional probability) are flagged — word salad, OCR
+    * shred and boilerplate-free gibberish that t3's surface heuristics
+    * (length/punct ratios) cannot see.  Everything stays exact integer:
+    * p_bp = c(w1,w2)·10⁴ DIV c(w1·) in basis points (c(w1·) counts w1 as
+    * a bigram HEAD, so probabilities sum to ~10⁴ per head and no
+    * end-of-doc off-by-one exists), doc mean = sum DIV count, thresholds
+    * in cross-multiplication — DuckDB replays every value.
+    *
+    * Scale shape: the exploded bigram relation shuffles for the two
+    * count aggregations (map-side combined) and the two equi-joins back
+    * (AQE skew-splits the hot frequent-bigram keys — the reason this is
+    * joins, not count-over-window, which has the same skew but no AQE
+    * remedy), then one doc rollup and a tiny source rollup.  All linear
+    * in corpus bigrams; no driver-side model state — the "LM" lives in
+    * the two count relations. */
+  val t16BigramSurprisal = NamedQuery(
+    "t16_bigram_surprisal",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val bh = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(call_function("graft_bigrams", col("w"))).as("b"))
+        .withColumn("h", substring_index(col("b"), " ", 1))
+      val c2 = bh.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+      val c1 = bh.groupBy(col("h")).agg(count(lit(1)).as("c1"))
+      bh.join(c2, "b").join(c1, "h")
+        .withColumn("p_bp", expr("c2 * 10000 DIV c1"))
+        // source rides as a grouping key (functionally dependent on
+        // doc_id) — a first() aggregate here would demote the rollup
+        // from HashAggregate to SortAggregate
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_bg"),
+          expr("sum(p_bp) DIV count(1)").as("avg_bp"),
+          sum(when(col("p_bp") <= 100, 1L).otherwise(0L)).as("n_rare"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(avg_bp) DIV count(1)").as("mean_doc_bp"),
+          sum(when(col("n_rare") * 10000 >= col("n_bg") * 2000, 1L)
+            .otherwise(0L)).as("n_surprising"))
+        .orderBy(col("source"))
+    },
+    Some(raw"""WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      bg AS (
+        SELECT doc_id, source,
+          unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b
+        FROM tok WHERE len(w) >= 2),
+      bh AS (SELECT doc_id, source, b, split_part(b, ' ', 1) AS h FROM bg),
+      c2 AS (SELECT b, count(*) AS c2 FROM bh GROUP BY b),
+      c1 AS (SELECT h, count(*) AS c1 FROM bh GROUP BY h),
+      p AS (SELECT doc_id, source, c2.c2 * 10000 // c1.c1 AS p_bp
+            FROM bh JOIN c2 USING (b) JOIN c1 USING (h)),
+      d AS (SELECT doc_id, source, count(*) AS n_bg,
+              CAST(sum(p_bp) AS BIGINT) // count(*) AS avg_bp,
+              CAST(sum(CASE WHEN p_bp <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+            FROM p GROUP BY doc_id, source)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(avg_bp) AS BIGINT) // count(*) AS mean_doc_bp,
+        CAST(sum(CASE WHEN n_rare * 10000 >= n_bg * 2000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_surprising
+      FROM d GROUP BY source ORDER BY source"""),
+    doc = "bigram-LM surprisal quality scoring (perplexity-proxy filter): " +
+      "integer basis-point transition probabilities from corpus counts, " +
+      "per-doc mean + rare-transition flag, per-source rollup; FULL value oracle")
+
   // ---------------------------------------------------------------- c1
   /** The flagship training-data curation pipeline, composed end-to-end from
     * the pack's tiers: quality-filter (t3's score ≥ 0.5) → language-filter
@@ -1040,6 +1117,7 @@ object TextOps {
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
+    t16BigramSurprisal,
     t15TypoPairs,
     d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
     c2Contamination, c7NgramDecontamination)

@@ -878,6 +878,39 @@ class QueryPacksSpec extends SparkSpec {
     }
   }
 
+  test("t16 bigram surprisal matches a plain-Scala LM recount") {
+    // independently retrain the bigram "LM" in driver-side Scala and
+    // replay the whole integer pipeline: head-conditional basis points,
+    // per-doc mean, rare flags, source rollup
+    val docs = graft.tables.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split("\\s+").toSeq))
+      .filter(_._3.size >= 2)
+    val bigrams = docs.flatMap { case (id, src, w) =>
+      w.sliding(2).map(p => (id, src, p.head, p.head + " " + p(1))).toSeq
+    }
+    val c2 = bigrams.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val perDoc = bigrams.groupBy(b => (b._1, b._2)).map { case ((_, src), bs) =>
+      val ps = bs.map(b => c2(b._4) * 10000L / c1(b._3))
+      (src, ps.sum / ps.size, bs.size.toLong, ps.count(_ <= 100L).toLong)
+    }.toSeq
+    val expected = perDoc.groupBy(_._1).view.mapValues { ds =>
+      (ds.size.toLong, ds.map(_._2).sum / ds.size,
+        ds.count(d => d._4 * 10000L >= d._3 * 2000L).toLong)
+    }.toMap
+    val got = TextOps.t16BigramSurprisal.fn(spark, sf()).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nd, mean, ns) = expected(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == mean && r.getLong(3) == ns,
+        s"${r.getString(0)}: got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}) " +
+          s"expected ($nd, $mean, $ns)")
+    }
+    assert(got.length == expected.size)
+  }
+
   test("LSH ANN results are a subset of brute-force candidates' ordering universe") {
     val bf = Similarity.s1AnnBruteForce.fn(spark, sf())
       .filter(col("rn") <= 10).select("q_id", "nn_id")
