@@ -188,7 +188,12 @@ object PlanAudit {
     Expect("q26_approx_percentiles", ") Window\n",
       "cumulative + total counts are two Window nodes SHARING one sort and " +
         "one exchange over the ~115-row bucket histogram, never over the " +
-        "fact table", maxCount = 2))
+        "fact table", maxCount = 2),
+    Expect("a8_trending_bursts", "hashpartitioning(",
+      "ONE fact shuffle for the (type, day) counts (map-side combined), " +
+        "one for the lag window over the tiny per-day relation", maxCount = 2),
+    Expect("a8_trending_bursts", ") Window\n",
+      "one lag window, over the aggregated per-day relation only", maxCount = 1))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

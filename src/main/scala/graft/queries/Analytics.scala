@@ -224,7 +224,58 @@ object Analytics {
     doc = "KMV(64) distinct sketch (custom TypedImperativeAggregate, " +
       "integer-exact estimator); FULL value oracle — scale path for q8")
 
+  /** Trend/burst detection — the capability the reference is NAMED for
+    * ("Trend Tracker"), surfaced as a first-class query instead of a
+    * dashboard eyeball: per-(event_type, day) activity counts,
+    * day-over-day growth via lag() in EXACT integer basis points
+    * (`n·10⁴ DIV prev_n` — the q36 DIV rule, epoch ≥ 0), and a burst
+    * flag at ≥1.5× growth with a minimum-support floor (a spike from 2
+    * to 4 events is noise, not a trend).  Scale shape: ONE fact shuffle
+    * for the (type, day) counts with map-side combine; the lag window
+    * and flagging run over the tiny per-day relation partitioned by
+    * type — the window never touches the event stream.  At 100 TB with
+    * date-partitioned events (LayoutSpec), the count stage reads only
+    * the days in scope. */
+  val a8TrendingBursts = NamedQuery(
+    "a8_trending_bursts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400L * 1000000L
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Tables.events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) DIV $DayUs").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .filter(col("prev_n").isNotNull)
+        .withColumn("growth_bp", expr("n * 10000 DIV prev_n"))
+        .withColumn("is_burst",
+          (col("growth_bp") >= 15000L && col("n") >= 20L).cast("int"))
+        .select(col("event_type"), col("day"), col("prev_n"), col("n"),
+          col("growth_bp"), col("is_burst"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH d AS (
+        SELECT event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      g AS (
+        SELECT event_type, day,
+          lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n, n
+        FROM d)
+      SELECT event_type, day, prev_n, n,
+        n * 10000 // prev_n AS growth_bp,
+        CAST(CASE WHEN n * 10000 // prev_n >= 15000 AND n >= 20
+             THEN 1 ELSE 0 END AS INT) AS is_burst
+      FROM g WHERE prev_n IS NOT NULL
+      ORDER BY event_type, day"""),
+    doc = "trend/burst detection: day-over-day growth per event type in " +
+      "integer basis points (lag window over the tiny per-day relation), " +
+      "bursts at ≥1.5× growth with a support floor; FULL value oracle")
+
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,
-    o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct)
+    o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct,
+    a8TrendingBursts)
 }
