@@ -1288,6 +1288,62 @@ object Relational {
       "cent arithmetic (broadcast medians back to the scan, no second sort " +
       "of the fact table)")
 
+  /** Robust outlier detection — the data-quality monitor built on q40's
+    * dispersion measures: an event is an outlier when its value deviates
+    * from its type's median by more than 3× the MAD (the Hampel filter /
+    * robust z-score, public statistics literature — unlike mean±3σ it
+    * does not let the outliers inflate their own threshold).  Same
+    * dyadic-exact arithmetic as q40: integer cents, medians on the
+    * ½-grid, MADs on the ¼-grid, 3·MAD on the ¾-grid — every comparison
+    * is between binary-exact doubles, so the flag replays bit-identically
+    * in DuckDB.  Scale shape: two tiny per-type aggregates broadcast back
+    * to the scan (the q40/c8 pattern — the fact table is never re-sorted
+    * or re-shuffled), then one count rollup per type. */
+  val q42OutlierMad = NamedQuery(
+    "q42_outlier_mad",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("cents") - col("med_cents")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad_cents"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("med_cents")).as("med_cents"),
+          first(col("mad_cents")).as("mad_cents"),
+          sum(when(col("adev") > lit(3.0) * col("mad_cents"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_bp", expr("n_outliers * 10000 DIV n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH e AS (
+        SELECT event_type, round(value * 100) AS cents FROM events),
+      med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med_cents
+        FROM e GROUP BY 1),
+      d AS (
+        SELECT e.event_type, med_cents, abs(cents - med_cents) AS adev
+        FROM e JOIN med USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad_cents
+        FROM d GROUP BY 1)
+      SELECT d.event_type, count(*) AS n,
+        any_value(d.med_cents) AS med_cents,
+        any_value(mad.mad_cents) AS mad_cents,
+        CAST(sum(CASE WHEN adev > 3.0 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers,
+        CAST(sum(CASE WHEN adev > 3.0 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+          * 10000 // count(*) AS outlier_bp
+      FROM d JOIN mad USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type"""),
+    doc = "Hampel-filter outlier detection per event type (|value − median| " +
+      "> 3·MAD) in dyadic-exact cents — broadcast thresholds, no fact re-sort; " +
+      "FULL value oracle")
+
   /** UNPIVOT / melt — the wide→long reshaping inverse of q22's pivot:
     * lineitem's four measure columns become (measure, value) rows via one
     * map-side `stack` generator (no shuffle to reshape — the only
@@ -1335,6 +1391,7 @@ object Relational {
     q28HoppingWindow, q29Cube, q30FullOuter, q31TopKAgg, q32LatestPerKey,
     q33RankFamily, q34SampledPercentiles, q35Scd2Intervals, q36RetentionCohorts,
     q37GapsIslands, q38MaxConcurrent, q39MovingAvg, q40RobustStats, q41Unpivot,
+    q42OutlierMad,
     q1PricingSummary, q2FilterPushdown, q3StarJoin, q4TopCustomers,
     q5SemiJoin, q6AntiJoin, q7WindowTopPerGroup, q7bWindowLag,
     q8Distinct, q9SetOps, q10TimeBucket, q11Having, q12CaseLabel,
