@@ -230,7 +230,10 @@ object Analytics {
     * day-over-day growth via lag() in EXACT integer basis points
     * (`n·10⁴ DIV prev_n` — the q36 DIV rule, epoch ≥ 0), and a burst
     * flag at ≥1.5× growth with a minimum-support floor (a spike from 2
-    * to 4 events is noise, not a trend).  Scale shape: ONE fact shuffle
+    * to 4 events is noise, not a trend).  Growth is only defined for
+    * ADJACENT days (`day = prev_day + 1`): lag() walks observed days, so
+    * without the adjacency guard a count after a quiet week would be
+    * "growth" against a stale baseline.  Scale shape: ONE fact shuffle
     * for the (type, day) counts with map-side combine; the lag window
     * and flagging run over the tiny per-day relation partitioned by
     * type — the window never touches the event stream.  At 100 TB with
@@ -247,7 +250,11 @@ object Analytics {
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"))
         .withColumn("prev_n", lag(col("n"), 1).over(w))
-        .filter(col("prev_n").isNotNull)
+        .withColumn("prev_day", lag(col("day"), 1).over(w))
+        // lag() walks OBSERVED days; requiring prev_day adjacency keeps
+        // the contract honestly day-over-day — a count following a gap
+        // has no yesterday baseline and emits no growth row
+        .filter(col("prev_n").isNotNull && col("day") === col("prev_day") + 1L)
         .withColumn("growth_bp", expr("n * 10000 DIV prev_n"))
         .withColumn("is_burst",
           (col("growth_bp") >= 15000L && col("n") >= 20L).cast("int"))
@@ -262,13 +269,14 @@ object Analytics {
         FROM events GROUP BY 1, 2),
       g AS (
         SELECT event_type, day,
-          lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n, n
+          lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+          lag(day, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_day, n
         FROM d)
       SELECT event_type, day, prev_n, n,
         n * 10000 // prev_n AS growth_bp,
         CAST(CASE WHEN n * 10000 // prev_n >= 15000 AND n >= 20
              THEN 1 ELSE 0 END AS INT) AS is_burst
-      FROM g WHERE prev_n IS NOT NULL
+      FROM g WHERE prev_n IS NOT NULL AND day = prev_day + 1
       ORDER BY event_type, day"""),
     doc = "trend/burst detection: day-over-day growth per event type in " +
       "integer basis points (lag window over the tiny per-day relation), " +

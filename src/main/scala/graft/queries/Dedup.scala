@@ -432,7 +432,7 @@ object Dedup {
     * [[clearDupGraphCache]] — tests and long-lived services). */
   private val dupGraphMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+      (org.apache.spark.sql.SparkSession, String, Int), org.apache.spark.sql.DataFrame]()
 
   /** Drops memoized dup graphs.  The cut blocks inside the dropped plans
     * are reclaimed by Spark's ContextCleaner once the DataFrames are
@@ -451,9 +451,13 @@ object Dedup {
     * the three queries rebuild an identical graph ~3× at gate time), with
     * results proven identical by DupGraphCacheSpec. */
   def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // the round count is part of the memo KEY, not just the build: when a
+    // memoized plan fails its fixpoint guard ("raise spark.graft.cc.rounds"),
+    // raising the conf must yield a fresh plan on the next call — a
+    // session+dir key would hand back the under-provisioned plan forever
+    val ccRounds = s.conf.getOption("spark.graft.cc.rounds")
+      .map(_.toInt).getOrElse(DefaultCcRounds)
     def build(): org.apache.spark.sql.DataFrame = {
-      val ccRounds = s.conf.getOption("spark.graft.cc.rounds")
-        .map(_.toInt).getOrElse(DefaultCcRounds)
       // exact global Jaccard pairs at >= 0.5 — scale-adaptive: the naive
       // shingle self-join for small corpora, the AllPairs/PPJoin prefix
       // filter at scale, where the naive join's quadratic blowup on
@@ -465,7 +469,10 @@ object Dedup {
       propagateLabels(s, pairs, ccRounds)
     }
     if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean))
-      dupGraphMemo.computeIfAbsent((s, dir), _ => build())
+      // build() only CONSTRUCTS the plan (zero-jobs-at-construction
+      // contract — lineage cuts materialize at first action), so holding
+      // the map bin during computeIfAbsent is milliseconds, not minutes
+      dupGraphMemo.computeIfAbsent((s, dir, ccRounds), _ => build())
     else build()
   }
 

@@ -1059,7 +1059,13 @@ object Vader {
     "presently", // temporal adverb ≠ present (gift sense)
     "objection", "objections", // procedural ≠ object
     "fitful",   // restless sleep ≠ fit (health)
-    "fitted", "fitting") // tailoring/appropriateness ≠ fit (health)
+    "fitted", "fitting", // tailoring/appropriateness ≠ fit (health)
+    "witness", "witnesses", // court/observer noun ≠ wit (humor)
+    "likeness", // resemblance ≠ like (affection)
+    "jester",   // profession ≠ jest
+    "plunger",  // tool ≠ plunge (decline)
+    "sinker",   // fishing weight ≠ sink (decline)
+    "tumbler")  // drinking glass ≠ tumble (decline)
 
   private[sentiment] val inflected: Map[String, Double] = {
     val out = scala.collection.mutable.Map[String, Double]()

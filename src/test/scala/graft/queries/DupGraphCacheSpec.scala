@@ -33,6 +33,17 @@ class DupGraphCacheSpec extends SparkSpec {
       }
       // a different dataset dir is a different memo key, not a stale hit
       assert(!(Dedup.clusterLabels(spark, sf("sf0.01")) eq first))
+      // the CC round count is part of the key: raising it after a fixpoint
+      // failure must yield a fresh plan, not the memoized short one
+      val priorRounds = spark.conf.getOption("spark.graft.cc.rounds")
+      try {
+        spark.conf.set("spark.graft.cc.rounds", "6")
+        assert(!(Dedup.clusterLabels(spark, sf()) eq first),
+          "raised cc.rounds returned the stale memoized plan")
+      } finally priorRounds match {
+        case Some(v) => spark.conf.set("spark.graft.cc.rounds", v)
+        case None    => spark.conf.unset("spark.graft.cc.rounds")
+      }
     } finally {
       prior match {
         case Some(v) => spark.conf.set(confKey, v)

@@ -746,7 +746,10 @@ class QueryPacksSpec extends SparkSpec {
       val planted = if (r.getLong(0) % 7 == 0)
         Seq("x" + lowered.split("\\s+").head.drop(1)) else Seq.empty
       lowered.split("\\s+") ++ planted
-    }.filter(_.length >= 4).toSet
+      // mirror the query's printable-ASCII vocab restriction (the t15
+      // cross-engine ordering contract): a non-ASCII token here would put
+      // pairs in `expected` the query excludes by design
+    }.filter(w => w.length >= 4 && w.forall(c => c >= '!' && c <= '~')).toSet
     def lev1(x: String, y: String): Boolean = {
       if (math.abs(x.length - y.length) > 1) false
       else if (x.length == y.length) x.zip(y).count { case (p, q) => p != q } <= 1

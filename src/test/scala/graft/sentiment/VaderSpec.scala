@@ -208,6 +208,9 @@ class VaderSpec extends AnyFunSuite {
     assert(Vader.compound("destroying everything, betraying everyone") < -0.05)
     // stoplisted derivations stay neutral
     assert(Vader.compound("the business will likely reopen shortly") == 0.0)
+    assert(Vader.compound("the witness held a tumbler and a plunger") == 0.0)
+    for (w <- Seq("witness", "witnesses", "likeness", "jester", "sinker"))
+      assert(!Vader.lexicon.contains(w), s"'$w' leaked into the lexicon")
     val g = Vader.compound("a jubilant celebration, pure mirth and merriment")
     assert(g > 0.5 && g == Vader.compound("a jubilant celebration, pure mirth and merriment"))
     val h = Vader.compound("treachery, carnage and utter futility")

@@ -65,7 +65,7 @@ class KafkaSmokeSpec extends SparkSpec {
     val produce = Sinks.kafka(posts, bs, topic,
         Files.createTempDirectory("graft-kafka-cp-w").toString)
       .trigger(Trigger.AvailableNow()).start()
-    produce.awaitTermination(60000L)
+    assert(produce.awaitTermination(60000L), "produce did not complete in 60s")
 
     // consume: the S1 source builder from earliest (value → declared
     // struct → post columns), then the full enrichment chain on top
@@ -74,7 +74,7 @@ class KafkaSmokeSpec extends SparkSpec {
     val q = consumed.writeStream.format("memory").queryName("kafka_smoke")
       .option("checkpointLocation", Files.createTempDirectory("graft-kafka-cp-r").toString)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000L)
+    assert(q.awaitTermination(60000L), "consume did not complete in 60s")
 
     val got = spark.table("kafka_smoke")
     assert(got.count() == graft.pipeline.RatePostSource.corpus.size.toLong)

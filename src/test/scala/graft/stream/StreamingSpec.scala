@@ -339,6 +339,16 @@ class StreamingSpec extends SparkSpec {
     val q = enriched.writeStream
       .format("memory").queryName("tput").outputMode(OutputMode.Append)
       .trigger(Trigger.ProcessingTime(0L)).start()
+    // measure STEADY STATE: wait for the first non-empty batch (query
+    // startup — source init, first codegen — is latency, not throughput),
+    // snapshot, then time a fixed window from there.  Raising the pin
+    // 3× only stays honest under this box's variable load (BENCH_r*
+    // records load averages for the same reason) if startup jitter is
+    // excluded from the denominator.
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.table("tput").isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    val n0 = spark.table("tput").count()
     val t0 = System.nanoTime()
     Thread.sleep(5000)
     // stop WITHOUT processAllAvailable(): the rate source never ends, so a
@@ -347,7 +357,7 @@ class StreamingSpec extends SparkSpec {
     // landed in the bounded wall-clock window instead.
     q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
-    val n = spark.table("tput").count()
+    val n = spark.table("tput").count() - n0
     val rate = n / secs
     assert(rate >= 1000.0,
       f"sustained $rate%.0f rec/s over $secs%.1f s ($n rows) — need ≥1000 (300× reference)")
