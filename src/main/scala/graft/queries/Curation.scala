@@ -122,6 +122,76 @@ object Curation {
     doc = "data-mixture plan: per-source acceptance rate (basis points) for an " +
       "equal-share half-corpus token budget, no upsampling")
 
+  // ---------------------------------------------------------------- c9
+  /** Temperature-based source mixing — the standard multi-source
+    * LLM-mixture scheme c4's equal-share plan can't express (Devlin et
+    * al.'s multilingual sampling, Raffel et al. "T5" §3.4.3, public
+    * literature): source weights ∝ availᵗ with temperature t < 1
+    * upweight low-resource sources instead of letting the biggest source
+    * swamp the mix.  Here t = ½, the common choice whose weight is an
+    * integer square root — computed ENGINE-EXACTLY: `floor(sqrt(n))`
+    * seeds, then a one-step correction (`w² > n → w−1`,
+    * `(w+1)² ≤ n → w+1`) pins the true isqrt regardless of either
+    * engine's libm rounding, so the whole plan stays on the integer grid
+    * (shares `budget·w DIV Σw`, rates in basis points, no upsampling
+    * cap — the c4 conventions).  Scale shape identical to c4: one
+    * map-side-combined aggregate to ~|sources| rows, then window
+    * arithmetic over that tiny relation. */
+  val c9TemperatureMixing = NamedQuery(
+    "c9_temperature_mixing",
+    (s, dir) => {
+      val perSource = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("avail_tokens"))
+      val all = Window.partitionBy()
+      perSource
+        .withColumn("w0", expr("CAST(floor(sqrt(avail_tokens)) AS BIGINT)"))
+        .withColumn("weight", expr(
+          "CASE WHEN w0 * w0 > avail_tokens THEN w0 - 1 " +
+            "WHEN (w0 + 1) * (w0 + 1) <= avail_tokens THEN w0 + 1 ELSE w0 END"))
+        .withColumn("budget", expr("sum(avail_tokens) OVER () div 2"))
+        .withColumn("sum_w", sum(col("weight")).over(all))
+        .withColumn("share_tokens", expr("(budget * weight) div sum_w"))
+        .withColumn("rate_bp",
+          least(expr("(share_tokens * 10000) div avail_tokens"), lit(10000L)))
+        .withColumn("planned_tokens", expr("(avail_tokens * rate_bp) div 10000"))
+        .select(col("source"), col("n_docs"), col("avail_tokens"), col("weight"),
+          col("share_tokens"), col("rate_bp"), col("planned_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH per_source AS (
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT))
+            AS BIGINT) AS avail_tokens
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+        GROUP BY source),
+      seed AS (
+        SELECT source, n_docs, avail_tokens,
+          CAST(floor(sqrt(avail_tokens)) AS BIGINT) AS w0
+        FROM per_source),
+      wt AS (
+        SELECT source, n_docs, avail_tokens,
+          CASE WHEN w0 * w0 > avail_tokens THEN w0 - 1
+               WHEN (w0 + 1) * (w0 + 1) <= avail_tokens THEN w0 + 1
+               ELSE w0 END AS weight
+        FROM seed),
+      p AS (
+        SELECT source, n_docs, avail_tokens, weight,
+          ((CAST(sum(avail_tokens) OVER () AS BIGINT) // 2) * weight)
+            // CAST(sum(weight) OVER () AS BIGINT) AS share_tokens
+        FROM wt)
+      SELECT source, n_docs, avail_tokens, weight, share_tokens,
+        least((share_tokens * 10000) // avail_tokens, 10000) AS rate_bp,
+        (avail_tokens * least((share_tokens * 10000) // avail_tokens, 10000))
+          // 10000 AS planned_tokens
+      FROM p ORDER BY source"""),
+    doc = "temperature (t=1/2) source mixing: weights = exact integer sqrt of " +
+      "availability (Newton-corrected, engine-exact), shares and rates on the " +
+      "integer grid; upweights low-resource sources vs c4's equal share")
+
   // ---------------------------------------------------------------- c5
   /** Stratified sampling — EXECUTES c4's mixing plan: each document is
     * accepted iff its deterministic 16-bit md5 bucket falls under the
@@ -303,5 +373,5 @@ object Curation {
 
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
-      c8CurriculumTiers)
+      c8CurriculumTiers, c9TemperatureMixing)
 }
