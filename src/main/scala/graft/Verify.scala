@@ -22,7 +22,13 @@ object Verify {
     // query shows as a missing dump = red row, everything else stays green).
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "240").toLong
     val timer = new java.util.Timer("verify-watchdog", true)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional local-iteration filter (comma-separated names); the driver
+    // sets no filter and always dumps the full surface.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
       val task = new java.util.TimerTask {
         def run(): Unit = {

@@ -134,7 +134,16 @@ object Curation {
     * `(w+1)² ≤ n → w+1`) pins the true isqrt regardless of either
     * engine's libm rounding, so the whole plan stays on the integer grid
     * (shares `budget·w DIV Σw`, rates in basis points, no upsampling
-    * cap — the c4 conventions).  Scale shape identical to c4: one
+    * cap — the c4 conventions).  The share division is DECOMPOSED as
+    * `(budget DIV Σw)·w + ((budget MOD Σw)·w) DIV Σw` rather than the
+    * naive `(budget·w) DIV Σw`: budget ≈ T/2 and w ≈ √T make the naive
+    * product cross 2^63 once total tokens T ≳ 7e12 (well inside a
+    * 100 TB corpus), where Spark with ANSI off wraps silently while
+    * DuckDB raises — the decomposition keeps every intermediate below
+    * budget (first term, since w ≤ Σw) or below Σw·w ≤ k·T (second
+    * term, k = |sources|), exact on the integer grid for any corpus
+    * until k·T itself nears 2^63 (~9e18 token-source product — beyond
+    * any real mixture).  Scale shape identical to c4: one
     * map-side-combined aggregate to ~|sources| rows, then window
     * arithmetic over that tiny relation. */
   val c9TemperatureMixing = NamedQuery(
@@ -154,7 +163,8 @@ object Curation {
             "WHEN (w0 + 1) * (w0 + 1) <= avail_tokens THEN w0 + 1 ELSE w0 END"))
         .withColumn("budget", expr("sum(avail_tokens) OVER () div 2"))
         .withColumn("sum_w", sum(col("weight")).over(all))
-        .withColumn("share_tokens", expr("(budget * weight) div sum_w"))
+        .withColumn("share_tokens", expr(
+          "(budget div sum_w) * weight + ((budget % sum_w) * weight) div sum_w"))
         .withColumn("rate_bp",
           least(expr("(share_tokens * 10000) div avail_tokens"), lit(10000L)))
         .withColumn("planned_tokens", expr("(avail_tokens * rate_bp) div 10000"))
@@ -178,11 +188,16 @@ object Curation {
                WHEN (w0 + 1) * (w0 + 1) <= avail_tokens THEN w0 + 1
                ELSE w0 END AS weight
         FROM seed),
+      p0 AS (
+        SELECT source, n_docs, avail_tokens, weight,
+          CAST(sum(avail_tokens) OVER () AS BIGINT) // 2 AS budget,
+          CAST(sum(weight) OVER () AS BIGINT) AS sum_w
+        FROM wt),
       p AS (
         SELECT source, n_docs, avail_tokens, weight,
-          ((CAST(sum(avail_tokens) OVER () AS BIGINT) // 2) * weight)
-            // CAST(sum(weight) OVER () AS BIGINT) AS share_tokens
-        FROM wt)
+          (budget // sum_w) * weight
+            + ((budget % sum_w) * weight) // sum_w AS share_tokens
+        FROM p0)
       SELECT source, n_docs, avail_tokens, weight, share_tokens,
         least((share_tokens * 10000) // avail_tokens, 10000) AS rate_bp,
         (avail_tokens * least((share_tokens * 10000) // avail_tokens, 10000))

@@ -424,15 +424,16 @@ object Dedup {
   private val DefaultCcRounds = 4
 
   /** Session-scoped dup-graph memo for the opt-in
-    * `spark.graft.dupgraph.cache` path: (session, dataset dir) → the
-    * labels DataFrame.  Reusing the DataFrame reuses the persisted
+    * `spark.graft.dupgraph.cache` path: (session, dataset dir, cc rounds,
+    * prefix-filter conf) → the labels DataFrame.  Reusing the DataFrame reuses the persisted
     * lineage-cut blocks inside it, so the pair graph materializes once
     * per session instead of once per query.  Strong session refs are
     * intentional (library-lifetime cache, cleared via
     * [[clearDupGraphCache]] — tests and long-lived services). */
   private val dupGraphMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String, Int), org.apache.spark.sql.DataFrame]()
+      (org.apache.spark.sql.SparkSession, String, Int, String),
+      org.apache.spark.sql.DataFrame]()
 
   /** Drops memoized dup graphs.  The cut blocks inside the dropped plans
     * are reclaimed by Spark's ContextCleaner once the DataFrames are
@@ -457,6 +458,13 @@ object Dedup {
     // session+dir key would hand back the under-provisioned plan forever
     val ccRounds = s.conf.getOption("spark.graft.cc.rounds")
       .map(_.toInt).getOrElse(DefaultCcRounds)
+    // every conf that shapes the memoized BUILD is part of the key:
+    // flipping spark.graft.jaccard.prefixFilter mid-session with the cache
+    // on must select the other pair-generation plan on the next call, not
+    // silently hand back one built under the old setting ("auto" = unset —
+    // the plan-stats switch inside adaptiveJaccardPairs decides)
+    val prefixConf =
+      s.conf.getOption("spark.graft.jaccard.prefixFilter").getOrElse("auto")
     def build(): org.apache.spark.sql.DataFrame = {
       // exact global Jaccard pairs at >= 0.5 — scale-adaptive: the naive
       // shingle self-join for small corpora, the AllPairs/PPJoin prefix
@@ -472,7 +480,7 @@ object Dedup {
       // build() only CONSTRUCTS the plan (zero-jobs-at-construction
       // contract — lineage cuts materialize at first action), so holding
       // the map bin during computeIfAbsent is milliseconds, not minutes
-      dupGraphMemo.computeIfAbsent((s, dir, ccRounds), _ => build())
+      dupGraphMemo.computeIfAbsent((s, dir, ccRounds, prefixConf), _ => build())
     else build()
   }
 

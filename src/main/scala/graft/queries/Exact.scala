@@ -30,8 +30,20 @@ object Exact {
     floor(c * p) / p
   }
 
-  /** Exact integer-valued sum (as double) of a column with decimal grain g. */
+  /** Exact integer-valued sum (as double) of a column with decimal grain g.
+    * NOTE: rounds a DOUBLE sum — exact only while the group's accumulated
+    * double error stays under half a grain step (fine at tested SFs; for
+    * billion-row groups prefer [[sumGrainExact]]). */
   def sumGrain(c: Column, g: Int): Column = round(sum(c) * math.pow(10, g))
+
+  /** Order-independent integer sum at grain g: round each ROW to the
+    * 10^-g grid first, then sum exact integers — immune to accumulated
+    * double error at any group size, so Spark's partial-aggregate
+    * summation order and DuckDB's single-threaded order can never land
+    * on different sides of a rounding boundary.
+    * SQL mirror: `CAST(sum(CAST(round(x * 10^g) AS BIGINT)) AS BIGINT)`. */
+  def sumGrainExact(c: Column, g: Int): Column =
+    sum(round(c * math.pow(10, g)).cast("long"))
 
   /** Tie-proof 4-decimal average of a column with decimal grain g. */
   def avg4(c: Column, g: Int): Column =

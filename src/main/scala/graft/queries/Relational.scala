@@ -1195,7 +1195,7 @@ object Relational {
     * (`ROWS BETWEEN 6 PRECEDING AND CURRENT ROW`) — the one §2.7 window
     * form the other window queries don't exercise (q7/q33 rank frames,
     * q7b offset frames, q35 lead).  Money stays exact: daily totals are
-    * recovered to integer cents by the Exact.sumGrain recipe, the frame
+    * per-row-rounded to integer cents (Exact.sumGrainExact), the frame
     * sum is integer, and only the final display average divides — the
     * same IEEE ops on the same inputs in both engines, then the tie-free
     * 4-dp floor.  Scale shape: one shuffle for the daily rollup on
@@ -1213,7 +1213,7 @@ object Relational {
           expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV $DayUs").as("day"),
           col("o_totalprice"))
         .groupBy(col("o_orderpriority"), col("day"))
-        .agg(Exact.sumGrain(col("o_totalprice"), 2).cast("long").as("day_cents"))
+        .agg(Exact.sumGrainExact(col("o_totalprice"), 2).as("day_cents"))
         .withColumn("mov_n", count(lit(1)).over(w))
         .withColumn("mov_avg",
           Exact.floorQ(sum(col("day_cents")).over(w) / 100.0 / col("mov_n"), 4))
@@ -1224,7 +1224,7 @@ object Relational {
     Some("""WITH daily AS (
         SELECT o_orderpriority,
           epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
-          CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS day_cents
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
         FROM orders GROUP BY 1, 2)
       SELECT o_orderpriority, day, day_cents,
         count(*) OVER w AS mov_n,
@@ -1363,11 +1363,12 @@ object Relational {
                'tax', l_tax) AS (measure, v)""")
         .groupBy(col("l_returnflag"), col("measure"))
         .agg(count(lit(1)).as("n"),
-          // All four measures sit on the 2-dp grid, so the sum is recovered
-          // to an exact integer in hundredths (Exact.sumGrain) before the
-          // single display division — summation order can no longer move the
-          // value across a rounding boundary (same recipe as q39/q40).
-          Exact.sumGrain(col("v"), 2).cast("long").as("total_cents"))
+          // All four measures sit on the 2-dp grid, so each row rounds to
+          // exact integer cents and the group total is an exact BIGINT sum
+          // (Exact.sumGrainExact) — order-independent on BOTH engines at
+          // any group size, not just while the double-sum error stays
+          // under half a cent.
+          Exact.sumGrainExact(col("v"), 2).as("total_cents"))
         .withColumn("total", col("total_cents") / 100.0)
         .orderBy(col("l_returnflag"), col("measure"))
     },
@@ -1377,8 +1378,8 @@ object Relational {
         UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
         UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem)
       SELECT l_returnflag, measure, count(*) AS n,
-        CAST(round(sum(v) * 100) AS BIGINT) AS total_cents,
-        CAST(round(sum(v) * 100) AS BIGINT) / 100.0 AS total
+        CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total
       FROM m GROUP BY l_returnflag, measure
       ORDER BY l_returnflag, measure"""),
     doc = "UNPIVOT via one map-side stack generator: wide measure columns to " +

@@ -33,6 +33,34 @@ class DupGraphCacheSpec extends SparkSpec {
       }
       // a different dataset dir is a different memo key, not a stale hit
       assert(!(Dedup.clusterLabels(spark, sf("sf0.01")) eq first))
+      // ...and not just a different plan object: with sf0.001's graph
+      // already memoized, querying the OTHER dir must return that dir's
+      // own results (cross-contamination would hand d6 the wrong corpus)
+      val d6Other = SparkEntry.queries("d6_dup_clusters")(spark, sf("sf0.01"))
+        .collect().map(_.toString).toSeq
+      val d6OtherIso = {
+        spark.conf.set(confKey, "false")
+        try SparkEntry.queries("d6_dup_clusters")(spark, sf("sf0.01"))
+          .collect().map(_.toString).toSeq
+        finally spark.conf.set(confKey, "true")
+      }
+      assert(d6Other == d6OtherIso,
+        "cached d6 on a second dataset dir differs from its isolated run")
+      // the pair-generation implementation conf is part of the key:
+      // flipping prefixFilter mid-session must build under the new
+      // setting, not silently reuse the plan built under the old one
+      val priorPf = spark.conf.getOption("spark.graft.jaccard.prefixFilter")
+      try {
+        spark.conf.set("spark.graft.jaccard.prefixFilter", "true")
+        val pf = Dedup.clusterLabels(spark, sf())
+        assert(!(pf eq first),
+          "flipped prefixFilter returned the plan built under the old setting")
+        spark.conf.set("spark.graft.jaccard.prefixFilter", "false")
+        assert(!(Dedup.clusterLabels(spark, sf()) eq pf))
+      } finally priorPf match {
+        case Some(v) => spark.conf.set("spark.graft.jaccard.prefixFilter", v)
+        case None    => spark.conf.unset("spark.graft.jaccard.prefixFilter")
+      }
       // the CC round count is part of the key: raising it after a fixpoint
       // failure must yield a fresh plan, not the memoized short one
       val priorRounds = spark.conf.getOption("spark.graft.cc.rounds")
