@@ -41,17 +41,22 @@ final case class KafkaSource(
     failOnDataLoss: Boolean = false,
     maxOffsetsPerTrigger: Long = 100L)
     extends PostSource {
-  def load(spark: SparkSession): DataFrame = {
-    val raw = spark.readStream
+  /** The fully-configured (un-loaded) reader — exposed so the options
+    * CONTRACT is testable offline: KafkaOptionsContractSpec pins the exact
+    * option-name set against the reference's
+    * `consumer/spark_streaming_job.py:110–118` without needing the
+    * connector jar that only `load()` resolves. */
+  def reader(spark: SparkSession): org.apache.spark.sql.streaming.DataStreamReader =
+    spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .option("failOnDataLoss", failOnDataLoss.toString)
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
-      .load()
-    Enrich.decodeJson(raw) // P1–P3: value bytes → declared struct → columns
-  }
+
+  def load(spark: SparkSession): DataFrame =
+    Enrich.decodeJson(reader(spark).load()) // P1–P3: value bytes → struct → columns
 }
 
 /** T9: deterministic producer replacement — the reference's
