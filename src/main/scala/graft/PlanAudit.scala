@@ -193,7 +193,17 @@ object PlanAudit {
       "ONE fact shuffle for the (type, day) counts (map-side combined), " +
         "one for the lag window over the tiny per-day relation", maxCount = 2),
     Expect("a8_trending_bursts", ") Window\n",
-      "one lag window, over the aggregated per-day relation only", maxCount = 1))
+      "one lag window, over the aggregated per-day relation only", maxCount = 1),
+    // round-5 additions
+    Expect("t16_bigram_surprisal", "BroadcastHashJoin",
+      "both count joins-back broadcast the aggregated vocab-sized " +
+        "relations — the fact bigrams are probed in place, so Zipf-hot " +
+        "heads never land on one reducer (T16SkewSpec measures this " +
+        "under a planted 40%-mass head); 2 joins × tree+detail = 4",
+      maxCount = 4),
+    Expect("t16_bigram_surprisal", "SortMergeJoin", present = false,
+      why = "an SMJ here would re-shuffle the fact bigrams on their " +
+        "skewed head key — the shape T16SkewSpec pins as fallback-only"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -595,13 +595,28 @@ object TextOps {
     * end-of-doc off-by-one exists), doc mean = sum DIV count, thresholds
     * in cross-multiplication — DuckDB replays every value.
     *
-    * Scale shape: the exploded bigram relation shuffles for the two
-    * count aggregations (map-side combined) and the two equi-joins back
-    * (AQE skew-splits the hot frequent-bigram keys — the reason this is
-    * joins, not count-over-window, which has the same skew but no AQE
-    * remedy), then one doc rollup and a tiny source rollup.  All linear
-    * in corpus bigrams; no driver-side model state — the "LM" lives in
-    * the two count relations. */
+    * Scale shape — why joins, not count-over-window, and what absorbs
+    * the Zipf skew of natural-language bigram heads (T16SkewSpec plants
+    * a 40%-mass head and checks each claim):
+    *   1. the two count aggregations shuffle map-side-combined partial
+    *      rows, so a hot head reaches its reducer as ≤ one row per map
+    *      task — the planted skew measurably VANISHES from the exchange
+    *      (even partition bytes);
+    *   2. the joins-back ride AQE auto-broadcast of the aggregated,
+    *      vocab-sized count relations (BroadcastHashJoin in the gated
+    *      plan), so hot-head fact rows are probed in place, data-
+    *      parallel — no reducer ever owns "the"; the fact relation is
+    *      never re-shuffled at all.  A count-over-window form would
+    *      co-locate EVERY bigram row per head — the hot reducer is
+    *      unavoidable there, with no partial-agg or broadcast remedy;
+    *   3. if the bigram vocabulary ever outgrew broadcast, the equi-join
+    *      form still degrades gracefully (salt the join key); note the
+    *      fused aggregate below each join side structurally excludes
+    *      AQE's OptimizeSkewedJoin (it needs plain shuffle reads under
+    *      the join), so salting — not skew-split — is the named fallback.
+    * Then one doc rollup and a tiny source rollup.  All linear in corpus
+    * bigrams; no driver-side model state — the "LM" lives in the two
+    * count relations. */
   val t16BigramSurprisal = NamedQuery(
     "t16_bigram_surprisal",
     (s, dir) => {

