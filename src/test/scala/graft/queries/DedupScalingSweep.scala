@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup-TIER wall-time scaling curve (round 5 — extends the d5 kernel's
+  * comparison-count curve to the full c1/d6/d9 composition the verdict
+  * asked for): synthesizes 1×/2×/4× sf0.1 corpora and times the whole
+  * composition — d6 dup clusters + d9 canonical reps + c1 curation —
+  * with the shared dup-graph cache OFF (gate shape: each query derives
+  * its own graph) and ON (production shape: one derivation, three
+  * consumers), min-of-2 runs per point.
+  *
+  * Corpus synthesis: replica r of the base corpus remaps every WORD w to
+  * "w·r", so replicas occupy disjoint shingle spaces — no cross-replica
+  * near-dup pair can exist, and the true dup-cluster structure scales
+  * EXACTLY linearly (the "corpus grew by federation" regime).  Growth
+  * beyond linear in the measurement is therefore the engine's own
+  * super-linearity, not the fixture's.
+  *
+  * Writes the two curves to SCALING.md (gated by DedupScalingSpec) and
+  * exits non-zero if either curve's 1×→4× growth exponent reaches 2.
+  * Run: `sbt "Test/runMain graft.queries.DedupScalingSweep"`. */
+object DedupScalingSweep {
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String, k: Int): Unit = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val maxId = base.agg(max("doc_id")).head.getLong(0) + 1
+    val replicas = (0 until k).map { r =>
+      base.select(
+        (col("doc_id") + lit(r * maxId)).as("doc_id"),
+        when(col("text").isNotNull,
+          array_join(transform(split(col("text"), "\\s+"),
+            w => concat(w, lit(s"·$r"))), " "))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    replicas.reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val load0 = loadAvg()
+
+    val composition = Seq("d6_dup_clusters", "d9_cluster_canonical", "c1_corpus_curation")
+    val sizes = Seq(1, 2, 4)
+    val dirs = sizes.map { k =>
+      val dir = java.nio.file.Files.createTempDirectory(s"dedup-scale-${k}x").toString
+      synthesize(spark, baseDir, dir, k)
+      k -> dir
+    }.toMap
+
+    // mode -> k -> min-of-2 composition wall (s).  Cache cleared before
+    // every timed run: ON measures one-derivation-three-consumers within
+    // a run, never reuse across runs.
+    def timeComposition(dir: String, cache: Boolean): Double = {
+      spark.conf.set("spark.graft.dupgraph.cache", cache.toString)
+      (1 to 2).map { _ =>
+        Dedup.clearDupGraphCache()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        composition.foreach(q => graft.SparkEntry.queries(q)(spark, dir).count(): Unit)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val results = for (cache <- Seq(false, true); k <- sizes)
+      yield (cache, k, timeComposition(dirs(k), cache))
+    spark.conf.unset("spark.graft.dupgraph.cache")
+    Dedup.clearDupGraphCache()
+    val load1 = loadAvg()
+
+    def wall(cache: Boolean, k: Int): Double =
+      results.collectFirst { case (c, kk, w) if c == cache && kk == k => w }.get
+    def exponent(cache: Boolean): Double =
+      math.log(wall(cache, 4) / wall(cache, 1)) / math.log(4.0)
+
+    val md = new StringBuilder
+    md ++= "# Dedup-tier wall-time scaling (c1 + d6 + d9 composition)\n\n"
+    md ++= s"Base corpus: `$baseDir` replicated 1x/2x/4x with per-replica word\n"
+    md ++= "remapping (disjoint shingle spaces - dup structure scales exactly\n"
+    md ++= "linearly, so super-linear growth below would be the engine's own).\n"
+    md ++= f"min-of-2 runs, local[$cpus%s], load avg $load0%.2f -> $load1%.2f.\n"
+    md ++= "Regenerate: `sbt \"Test/runMain graft.queries.DedupScalingSweep\"`.\n\n"
+    md ++= "| corpus | cache off (s) | cache on (s) | on/off |\n|---|---|---|---|\n"
+    sizes.foreach { k =>
+      val off = wall(false, k); val on = wall(true, k)
+      md ++= f"| ${k}x | $off%.2f | $on%.2f | ${on / off}%.2f |\n"
+    }
+    md ++= f"\nGrowth exponent 1x->4x (log4 of the wall ratio; linear = 1, quadratic = 2):\n"
+    md ++= f"- cache off: **${exponent(false)}%.2f**\n"
+    md ++= f"- cache on:  **${exponent(true)}%.2f**\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.md"), md.toString)
+    println(md.toString)
+    spark.stop()
+    if (exponent(false) >= 2.0 || exponent(true) >= 2.0) {
+      System.err.println("SCALING SWEEP FAILED: growth exponent reached quadratic")
+      sys.exit(1)
+    }
+  }
+}
