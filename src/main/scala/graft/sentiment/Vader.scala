@@ -1022,7 +1022,8 @@ object Vader {
   private def extensionR5Vectors: Seq[(String, Double)] = Seq(
     "shit" -> -2.6,        // "...tools are shit." → −0.5574 = −2.6/√(6.76+15)
     "sure" -> 1.3,         // "Make sure you :) or :D today!" → 0.8633
-    "uncompelling" -> -0.9)
+    "uncompelling" -> -0.9,
+    "badass" -> 1.5)       // single-word form of the "bad ass" special case
 
   private val extensionEntries: Seq[(String, Double)] =
     extensionPositive ++ extensionNegative ++ extensionSlang ++
@@ -1163,11 +1164,17 @@ object Vader {
     * scored once, at the idiom's head, with the idiom's valence. */
   private[sentiment] val idiomBigrams: Map[(String, String), Double] = Map(
     ("the", "shit") -> 3.0, ("the", "bomb") -> 3.0, ("bad", "ass") -> 1.5,
-    ("yeah", "right") -> -2.0)
+    ("yeah", "right") -> -2.0,
+    // round-5: the published table's remaining entries.  "bus stop" is a
+    // NEUTRALIZER (0.0): it consumes "stop"'s negative word valence so a
+    // transit mention doesn't read as sentiment.
+    ("beating", "heart") -> 3.1, ("broken", "heart") -> -2.9,
+    ("bus", "stop") -> 0.0)
 
   private[sentiment] val idiomTrigrams: Map[(String, String, String), Double] = Map(
     ("cut", "the", "mustard") -> 2.0, ("kiss", "of", "death") -> -1.5,
-    ("hand", "to", "mouth") -> -2.0)
+    ("hand", "to", "mouth") -> -2.0,
+    ("to", "die", "for") -> 3.0)
 
   private val punctStrip = "^[\\p{Punct}]+|[\\p{Punct}]+$"
 

@@ -223,6 +223,12 @@ class VaderSpec extends AnyFunSuite {
       Vader.compound("great service"))                           // sarcasm marker drags down
     assert(Vader.compound("a real kiss of death for the project") < -0.05)
     assert(Vader.compound("he is one bad ass driver") > 0.05)    // idiom beats "bad" −2.5
+    // round-5: the published table's remaining entries
+    assert(Vader.compound("this cake is to die for") > 0.05)     // idiom beats "die" (negative)
+    assert(Vader.compound("she left with a broken heart") < -0.05)
+    assert(Vader.compound("the beating heart of the city") > 0.05)
+    assert(Vader.compound("meet me at the bus stop") == 0.0)     // neutralizer consumes "stop"
+    assert(Vader.compound("what a badass") > 0.05)               // single-word form
   }
 
   test("'never so/this X' intensifies instead of negating (published special case)") {
