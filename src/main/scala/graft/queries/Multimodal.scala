@@ -217,6 +217,96 @@ object Multimodal {
     doc = "aspect-preserving 224-fit resize plan + id-range batch padding " +
       "waste (integer arithmetic end to end), oracle-checked")
 
+  // ---------------------------------------------------------------- m5
+  /** Perceptual-hash image near-dup — the image-dedup stage every large
+    * vision/multimodal corpus build runs (pHash banding over re-encoded /
+    * resized copies; the public LAION-style dedup).  Each "image" blob
+    * gets a 62-bit perceptual hash (STUB: 16+16+16+14-bit chunks off the
+    * mod-prime content fold — a real pipeline computes a DCT pHash inside
+    * the decode kernel; the BANDING + VERIFY plumbing is the product
+    * here), candidates come from an 8-band × 8-bit LSH equi-join
+    * (pigeonhole: hamming ≤ 6 over 62 bits leaves ≥ 2 of 8 bands intact —
+    * d4's Manku recipe), and the exact `bit_count(xor) ≤ 6` verify runs
+    * over candidates only — never all-pairs, one shuffle on (band, value).
+    *
+    * The corpus has no re-encoded copies (and the stub fold is not
+    * locality-sensitive), so every 7th image also emits a PLANTED variant
+    * blob at hamming 1 (doc_id + 10⁷, one flipped bit chosen by doc_id —
+    * the t11 plant-then-find convention): the pairs the query must
+    * recover are known by construction, and every step replays in DuckDB
+    * on the integer grid. */
+  val m5PhashDedup = NamedQuery(
+    "m5_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val VariantOffset = 10000000L
+      val fps = blobs(s, dir).as[Blob].mapPartitions(decodePartition)
+        .toDF().filter(col("media_type") === "image")
+        .select(col("doc_id"), col("fp"))
+      val ph0 = fps.select(col("doc_id"),
+        (expr(s"fp * 3 % $FpPrime % 65536") +
+          expr(s"fp * 5 % $FpPrime % 65536") * lit(65536L) +
+          expr(s"fp * 7 % $FpPrime % 65536") * lit(65536L * 65536L) +
+          expr(s"fp * 11 % $FpPrime % 16384") * lit(65536L * 65536L * 65536L))
+          .as("ph"))
+      val variants = ph0.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + VariantOffset).as("doc_id"),
+          expr("ph ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 62 AS INT))").as("ph"))
+      val all = ph0.unionAll(variants)
+      val banded = all
+        .select(col("doc_id"), col("ph"),
+          explode(sequence(lit(0), lit(7))).as("b"))
+        .withColumn("bv",
+          expr("(ph div shiftleft(CAST(1 AS BIGINT), CAST(b * 8 AS INT))) % 256"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+        .filter(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH img AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(7 AS BIGINT), list_transform(
+              range(1, length(text) + 1),
+              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        FROM documents
+        WHERE text IS NOT NULL AND text <> '' AND CAST(doc_id % 3 AS INT) = 0),
+      ph0 AS (
+        SELECT doc_id,
+          fp * 3 % 1000000007 % 65536
+          + (fp * 5 % 1000000007 % 65536) * 65536
+          + (fp * 7 % 1000000007 % 65536) * 65536 * 65536
+          + (fp * 11 % 1000000007 % 16384) * 65536 * 65536 * 65536 AS ph
+        FROM img),
+      allph AS (
+        SELECT doc_id, ph FROM ph0
+        UNION ALL
+        SELECT doc_id + 10000000,
+          xor(ph, CAST(1 AS BIGINT) << CAST(doc_id % 62 AS INT))
+        FROM ph0 WHERE doc_id % 7 = 0),
+      banded AS (
+        SELECT doc_id, ph, r.b,
+          (ph // (CAST(1 AS BIGINT) << CAST(r.b * 8 AS INT))) % 256 AS bv
+        FROM allph, range(8) r(b)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          x.ph AS ph_a, y.ph AS ph_b
+        FROM banded x JOIN banded y
+          ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
+      ORDER BY doc_a, doc_b"""),
+    doc = "perceptual-hash image near-dup: 8-band LSH candidates + exact " +
+      "hamming<=6 verify over planted hamming-1 variants; never all-pairs")
+
   def all: Seq[NamedQuery] = Seq(m1BlobMetadata, m2DecodeFeatures, m3FrameSample,
-    m4ResizeBatches)
+    m4ResizeBatches, m5PhashDedup)
 }

@@ -776,6 +776,69 @@ object TextOps {
     doc = "train-split top-K vocabulary induction + per-language OOV rate " +
       "(integer basis points); broadcast membership join")
 
+  // ---------------------------------------------------------------- t17
+  /** Vocabulary-truncation scrub — EXECUTES t13's vocabulary plan the way
+    * c5 executes c4's mixing plan: every token outside the train-induced
+    * top-K vocabulary is rewritten to `<unk>` and the document is
+    * re-materialized, byte-exactly (md5 of the rebuilt token stream, the
+    * t11 convention) — the closed-vocab corpus build step behind
+    * fixed-vocabulary tokenizers, where t13 only MEASURES the OOV rate
+    * this materializes.
+    *
+    * Scale shape: the vocab is a TakeOrderedAndProject over token counts
+    * BROADCAST to the stream (no corpus shuffle for membership — same
+    * plan as t13); the rebuild is one (doc_id) shuffle carrying (pos,
+    * token) pairs with the reassembly inside the aggregate
+    * (`array_sort(collect_list(struct(pos, tok)))` — order-independent
+    * of partitioning, so the md5 is deterministic on any cluster). */
+  val t17VocabScrub = NamedQuery(
+    "t17_vocab_scrub",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"),
+          posexplode(tokens(lower(col("text")))).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+      val vocab = toks.withColumn("split", splitCol)
+        .filter(col("split") === "train")
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(VocabK)
+        .select(col("term"), lit(1).as("in_v"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .select(col("doc_id"), col("pos"), col("in_v"),
+          when(col("in_v").isNull, lit("<unk>")).otherwise(col("term")).as("tok2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (count(lit(1)) - count(col("in_v"))).as("n_unk"),
+          md5(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok2")))),
+            x => x.getField("tok2")))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok0 AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      tok AS (
+        SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS term FROM tok0),
+      tok2 AS (SELECT * FROM tok WHERE term <> ''),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, count(*) AS n FROM tok2
+          WHERE $splitCaseSql = 'train'
+          GROUP BY term ORDER BY n DESC, term LIMIT $VocabK) v),
+      j AS (
+        SELECT t.doc_id, t.pos,
+          CASE WHEN v.term IS NULL THEN '<unk>' ELSE t.term END AS tok2,
+          CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok2 t LEFT JOIN vocab v ON t.term = v.term)
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(oov) AS BIGINT) AS n_unk,
+        md5(string_agg(tok2, ' ' ORDER BY pos)) AS scrub_md5
+      FROM j GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "closed-vocabulary corpus build: OOV tokens → <unk> against the " +
+      "train-induced top-K vocabulary (t13's plan, executed), byte-exact " +
+      "rebuilt-text md5 per document")
+
   /** N-gram-level train/eval decontamination — the finer-grained sibling
     * of c2: c2 catches VERBATIM document reuse (whole-doc fingerprints);
     * this catches PARTIAL leakage, where a training document contains an
@@ -1132,7 +1195,7 @@ object TextOps {
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
-    t16BigramSurprisal,
+    t16BigramSurprisal, t17VocabScrub,
     t15TypoPairs,
     d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
     c2Contamination, c7NgramDecontamination)
