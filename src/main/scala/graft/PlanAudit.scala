@@ -203,7 +203,14 @@ object PlanAudit {
       maxCount = 4),
     Expect("t16_bigram_surprisal", "SortMergeJoin", present = false,
       why = "an SMJ here would re-shuffle the fact bigrams on their " +
-        "skewed head key — the shape T16SkewSpec pins as fallback-only"))
+        "skewed head key — the shape T16SkewSpec pins as fallback-only"),
+    Expect("t17_vocab_scrub", "BroadcastHashJoin",
+      "the top-K vocabulary broadcasts to the token stream (t13's plan, " +
+        "executed) — membership must not shuffle the corpus; " +
+        "tree+detail = 2", maxCount = 2),
+    Expect("t17_vocab_scrub", "SortMergeJoin", present = false,
+      why = "a vocab is small by construction; an SMJ means the " +
+        "broadcast hint was lost and the corpus re-shuffled on token"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -604,7 +604,10 @@ object Relational {
       val w = Window.partitionBy(col("o_custkey"))
       Tables.orders(s, dir)
         .withColumn("cnt", count(lit(1)).over(w))
-        .withColumn("sum_e2", round(sum(col("o_totalprice")).over(w) * 100))
+        // per-row rounded cents summed as integers (the q39/q41 recipe):
+        // order-independent at any partition size, vs rounding a windowed
+        // double sum whose accumulation order differs between engines
+        .withColumn("sum_e2", sum(round(col("o_totalprice") * 100).cast("long")).over(w))
         .filter(col("cnt") > 1 &&
           col("o_totalprice") > col("sum_e2") / 100.0 / col("cnt") * 1.5)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -613,7 +616,7 @@ object Relational {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders o
       WHERE (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) > 1
-        AND o_totalprice > (SELECT round(sum(i.o_totalprice) * 100) / 100.0 / count(*)
+        AND o_totalprice > (SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) / 100.0 / count(*)
                             FROM orders i WHERE i.o_custkey = o.o_custkey) * 1.5
       ORDER BY o_orderkey"""),
     doc = "correlated subquery (orders 1.5x above own customer's average), window-decorrelated")
