@@ -16,7 +16,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   *  - supervision uses a StreamingQueryListener instead of a 30 s polling
   *    loop (CSJ:166–204) — push-based progress with the same fields
   *    (batchId, numInputRows, rows/sec);
-  *  - the removed windowed aggregation (T6) can be started as a third query.
+  *  - the removed windowed aggregation (T6) can be started as a third query;
+  *  - live trend/burst detection (T10, `TrendBurst`) as a fourth — the
+  *    tracking the reference defers to a human watching the dashboard.
   */
 object JobRunner {
 
@@ -28,7 +30,13 @@ object JobRunner {
       freshStart: Boolean = false,
       withConsole: Boolean = true,
       withWindowedCounts: Boolean = false,
-      windowedOutputPath: Option[String] = None)
+      windowedOutputPath: Option[String] = None,
+      // T10: live trend/burst detection as a fourth query off the same
+      // lineage (stream/TrendBurst) — per-sentiment-label tumbling
+      // windows, adjacency-guarded growth flags
+      withBursts: Boolean = false,
+      burstWindowSec: Long = 60L,
+      burstWatermark: String = "2 minutes")
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -55,7 +63,9 @@ object JobRunner {
       // _spark_metadata commit log would otherwise hide the new run's files
       // from readers.
       Seq(cfg.checkpointPath, cfg.checkpointPath + "_windowed",
-        cfg.outputPath, cfg.outputPath + "_windowed")
+        cfg.checkpointPath + "_bursts",
+        cfg.outputPath, cfg.outputPath + "_windowed",
+        cfg.outputPath + "_bursts")
         .foreach(p => deleteRecursively(new java.io.File(p)))
       cfg.windowedOutputPath.foreach(p => deleteRecursively(new java.io.File(p)))
     }
@@ -70,8 +80,20 @@ object JobRunner {
         out, cfg.checkpointPath + "_windowed", cfg.fileTrigger,
         queryName = "windowed_output").start())
     } else None
+    val bursts = if (cfg.withBursts) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val posts = Enrich.withEventTime(enriched)
+        .select(col("sentiment_label").as("label"), col("event_ts").as("ts"))
+        .as[TrendBurst.Post]
+      val flags = TrendBurst.bursts(posts, windowSec = cfg.burstWindowSec,
+        watermarkDelay = cfg.burstWatermark)(spark)
+      Some(Sinks.jsonFiles(flags.toDF(), cfg.outputPath + "_bursts",
+        cfg.checkpointPath + "_bursts", cfg.fileTrigger,
+        queryName = "burst_output").start())
+    } else None
 
-    Running(Seq(file) ++ console ++ windowed)
+    Running(Seq(file) ++ console ++ windowed ++ bursts)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

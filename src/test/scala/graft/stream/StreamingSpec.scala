@@ -60,6 +60,34 @@ class StreamingSpec extends SparkSpec {
     assert(out2.filter(col("user") === "u4").count() == 1)
   }
 
+  test("JobRunner fans a fourth burst query off the shared lineage (T10)") {
+    val in = tmp("graft-bin"); val out = tmp("graft-bout"); val cp = tmp("graft-bcp")
+    // 1-second windows, zero-delay watermark: minute 12:00 gets 1 pos
+    // post per window for 3 windows, then 4-in-one-window at :04 — a
+    // burst vs the adjacent :03 window; the :30 straggler just advances
+    // the watermark past it
+    def post(sec: Int, n: Int): Seq[String] = (0 until n).map(i =>
+      s"""{"text": "i love this product ${i}", "user": "u$sec$i", "platform": "x", "timestamp": "2024-01-01 12:00:0$sec"}""")
+    writePosts(in, "b1.json",
+      post(1, 1) ++ post(2, 1) ++ post(3, 1) ++ post(4, 4) ++ Seq(
+        """{"text": "i love this too", "user": "uz", "platform": "x", "timestamp": "2024-01-01 12:00:30"}"""))
+    val r = JobRunner.run(spark, FileJsonSource(in),
+      fastCfg(out, cp).copy(withBursts = true, burstWindowSec = 1L,
+        burstWatermark = "0 seconds"))
+    r.processAllAvailable()
+    // second batch pushes the watermark so the :04 window finalizes
+    writePosts(in, "b2.json", Seq(
+      """{"text": "i love this even more", "user": "uw", "platform": "x", "timestamp": "2024-01-01 12:01:00"}"""))
+    r.processAllAvailable(); r.stopAll()
+    assert(r.queries.size == 2, "file sink + burst query expected (console/windowed off)")
+    val flags = spark.read.json(out + "_bursts")
+    assert(flags.count() >= 4, s"expected ≥4 finalized windows, got ${flags.count()}")
+    val burst = flags.filter(col("burst") === true).collect()
+    assert(burst.length == 1 && burst.head.getAs[Long]("n") == 4L &&
+      burst.head.getAs[Long]("prev_n") == 1L,
+      s"expected exactly the planted :04 burst, got ${burst.mkString(";")}")
+  }
+
   test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
     val in = tmp("graft-in2"); val out = tmp("graft-out2"); val cp = tmp("graft-cp2")
     writePosts(in, "b1.json", batch1)
