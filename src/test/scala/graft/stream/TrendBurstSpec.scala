@@ -53,6 +53,64 @@ class TrendBurstSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("burst state survives a checkpointed restart (adjacency baseline crosses the stop)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cp = java.nio.file.Files.createTempDirectory("burst-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("burst-out").toString
+    val in = java.nio.file.Files.createTempDirectory("burst-in").toString
+    // file source, not MemoryStream: a restarted MemoryStream restarts
+    // its offsets at 0, so its post-restart batches read as already
+    // committed — the file source is the one that recovers offsets
+    def writeLines(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    def source(): org.apache.spark.sql.Dataset[TrendBurst.Post] =
+      spark.readStream
+        .schema("label STRING, ts TIMESTAMP")
+        .json(in).as[TrendBurst.Post]
+    def start() = TrendBurst.bursts(source(), windowSec = 60L,
+      watermarkDelay = "0 seconds", factor = 2L, minCount = 3L)
+      .writeStream.format("json")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+
+    // run 1: finalize w0 (3 posts) — it becomes the adjacency baseline
+    // held in the state store — then STOP.  w1 opens with 8 posts but
+    // cannot finalize yet (watermark stops at :01:58).
+    writeLines("b1.json", Seq(
+      """{"label": "pos", "ts": "2024-01-01 12:00:10"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:00:30"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:00:50"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:02"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:10"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:18"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:26"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:34"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:42"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:50"}""",
+      """{"label": "pos", "ts": "2024-01-01 12:01:58"}"""))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    // run 2: SAME checkpoint — the :02:30 straggler finalizes w1, whose
+    // burst verdict needs BOTH the open w1 counts and the w0 baseline
+    // recovered from the state store
+    writeLines("b2.json", Seq("""{"label": "pos", "ts": "2024-01-01 12:02:30"}"""))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val rows = spark.read.json(out)
+      .select("label", "window_start", "n", "prev_n", "burst").collect()
+      .map(r => (r.getString(0), r.getAs[String]("window_start"),
+        r.getAs[Long]("n"), r.getAs[Long]("prev_n"), r.getAs[Boolean]("burst")))
+    val w1 = rows.filter(_._3 == 8L)
+    assert(w1.length == 1, s"w1 emitted ${w1.length} times across the restart: ${rows.mkString(";")}")
+    assert(w1.head._4 == 3L && w1.head._5,
+      s"post-restart w1 lost its pre-restart baseline: ${w1.head}")
+  }
+
   test("a quiet key's open window finalizes by timeout when other keys advance the watermark") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
