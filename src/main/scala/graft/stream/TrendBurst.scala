@@ -8,7 +8,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Media Sentiment TREND Tracker"): per-label tumbling-window counts
   * where each window, once final (watermark past its end), is compared
   * to the immediately preceding window and flagged as a burst when it
-  * grew ≥ `factor`× with at least `minCount` posts.
+  * grew ≥ `factorBp` basis points (20000 = 2×; 15000 = the batch `a8`
+  * threshold) with at least `minCount` posts.  Growth is checked in
+  * integer basis points exactly as `a8` does (`n * 10000 >= factorBp *
+  * prev_n`), so the live detector and the batch query share one rule —
+  * TrendBurstParitySpec replays the real events table through both and
+  * asserts identical flags.
   *
   * Built on `flatMapGroupsWithState` (not a windowed aggregate followed
   * by a second stateful compare, which append-mode chaining restricts):
@@ -34,7 +39,7 @@ object TrendBurst {
       n: Long, prev_n: Long, burst: Boolean)
 
   def bursts(posts: Dataset[Post], windowSec: Long = 60L,
-      watermarkDelay: String = "2 minutes", factor: Long = 2L,
+      watermarkDelay: String = "2 minutes", factorBp: Long = 20000L,
       minCount: Long = 3L)(implicit spark: SparkSession): Dataset[WindowFlag] = {
     import spark.implicits._
     val windowMs = windowSec * 1000L
@@ -61,7 +66,7 @@ object TrendBurst {
           val out = done.toSeq.sortBy(_._1).map { case (s, n) =>
             val adjacent = lastStart == s - windowMs
             val prevN = if (adjacent) lastN else 0L
-            val burst = adjacent && n >= minCount && n >= factor * prevN
+            val burst = adjacent && n >= minCount && n * 10000L >= factorBp * prevN
             lastStart = s; lastN = n
             WindowFlag(label, new java.sql.Timestamp(s), n, prevN, burst)
           }

@@ -21,7 +21,7 @@ class TrendBurstSpec extends SparkSpec {
     val input = MemoryStream[TrendBurst.Post]
     // 60 s windows, zero-delay watermark (tests drive time explicitly)
     val flags = TrendBurst.bursts(input.toDS(), windowSec = 60L,
-      watermarkDelay = "0 seconds", factor = 2L, minCount = 3L)
+      watermarkDelay = "0 seconds", factorBp = 20000L, minCount = 3L)
     val q = flags.writeStream
       .format("memory").queryName("bursts").outputMode(OutputMode.Append).start()
     try {
@@ -71,7 +71,7 @@ class TrendBurstSpec extends SparkSpec {
         .schema("label STRING, ts TIMESTAMP")
         .json(in).as[TrendBurst.Post]
     def start() = TrendBurst.bursts(source(), windowSec = 60L,
-      watermarkDelay = "0 seconds", factor = 2L, minCount = 3L)
+      watermarkDelay = "0 seconds", factorBp = 20000L, minCount = 3L)
       .writeStream.format("json")
       .option("path", out).option("checkpointLocation", cp)
       .outputMode(OutputMode.Append).start()
@@ -117,7 +117,7 @@ class TrendBurstSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[TrendBurst.Post]
     val flags = TrendBurst.bursts(input.toDS(), windowSec = 60L,
-      watermarkDelay = "0 seconds", factor = 2L, minCount = 3L)
+      watermarkDelay = "0 seconds", factorBp = 20000L, minCount = 3L)
     val q = flags.writeStream
       .format("memory").queryName("bursts_to").outputMode(OutputMode.Append).start()
     try {
