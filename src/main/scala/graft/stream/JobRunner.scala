@@ -36,7 +36,9 @@ object JobRunner {
       // windows, adjacency-guarded growth flags
       withBursts: Boolean = false,
       burstWindowSec: Long = 60L,
-      burstWatermark: String = "2 minutes")
+      burstWatermark: String = "2 minutes",
+      burstFactorBp: Long = 20000L,
+      burstMinCount: Long = 3L)
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -87,7 +89,8 @@ object JobRunner {
         .select(col("sentiment_label").as("label"), col("event_ts").as("ts"))
         .as[TrendBurst.Post]
       val flags = TrendBurst.bursts(posts, windowSec = cfg.burstWindowSec,
-        watermarkDelay = cfg.burstWatermark)(spark)
+        watermarkDelay = cfg.burstWatermark, factorBp = cfg.burstFactorBp,
+        minCount = cfg.burstMinCount)(spark)
       Some(Sinks.jsonFiles(flags.toDF(), cfg.outputPath + "_bursts",
         cfg.checkpointPath + "_bursts", cfg.fileTrigger,
         queryName = "burst_output").start())
