@@ -33,7 +33,14 @@ object JobRunner {
       windowedOutputPath: Option[String] = None,
       // T10: live trend/burst detection as a fourth query off the same
       // lineage (stream/TrendBurst) — per-sentiment-label tumbling
-      // windows, adjacency-guarded growth flags
+      // windows, adjacency-guarded growth flags.
+      // NOTE: these defaults (2.0× growth, ≥3 posts) deliberately differ
+      // from batch a8's day-window rule (1.5× growth, ≥20 posts): a 60 s
+      // live window holds ~1/1440 of a day's traffic, so a8's floors would
+      // make the live detector mute and its factor trigger-happy on noise.
+      // The RULE is identical (integer basis points, adjacency guard);
+      // only the thresholds are window-scale-tuned. Pass 15000/20 with day
+      // windows to reproduce a8 exactly — TrendBurstParitySpec does.
       withBursts: Boolean = false,
       burstWindowSec: Long = 60L,
       burstWatermark: String = "2 minutes",
