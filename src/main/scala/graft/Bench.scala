@@ -38,9 +38,16 @@ object Bench {
     // (load spikes have skewed single runs 5× on this box; see BENCH_r03/
     // r04 post-mortems) is diagnosable from the JSON alone instead of
     // needing a judge-side clean re-run.
-    val repeat = args.sliding(2).collectFirst { case Array("--repeat", n) => n.toInt }
-      .orElse(sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt))
-      .getOrElse(2).max(1)
+    // index-based flag lookup (not sliding(2), which can mispair when
+    // "--repeat" is itself another flag's value) + loud non-numeric error
+    val repeat = {
+      val i = args.indexOf("--repeat")
+      val raw = if (i >= 0 && i + 1 < args.length) Some(args(i + 1))
+        else sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      raw.map(v => v.toIntOption.getOrElse(
+        sys.error(s"--repeat/SPARK_GRAFT_BENCH_REPEAT must be an integer, got '$v'")))
+        .getOrElse(2).max(1)
+    }
     // Each query runs `repeat` times and reports the fastest: the first execution
     // of a plan absorbs one-off whole-stage-codegen compilation and JIT
     // warmup that dominate sub-second queries and aren't a property of the
@@ -70,6 +77,33 @@ object Bench {
       name -> times
     }
     val results = runs.map { case (name, times) => name -> times.min }
+    // Cache-on curation tier (opt-out: SPARK_GRAFT_BENCH_DUPGRAPH_TIER=0):
+    // c1/d6/d9 — the three slowest clean queries — rebuild an identical
+    // ≥0.5 Jaccard dup graph per query under the gate's per-query
+    // isolation.  This section re-runs them as ONE session with
+    // spark.graft.dupgraph.cache=true (results proven identical by
+    // DupGraphCacheSpec), so the artifact carries both numbers: the
+    // isolated mins above, and the shared-graph composition a real
+    // curation pipeline would run.  Single pass, deliberately not
+    // min-of-N: the first query pays the one graph build, the rest reuse
+    // it — min-of-N repeats would report a fully-warm second pass.
+    val tierNames = Seq("c1_corpus_curation", "d6_dup_clusters", "d9_cluster_canonical")
+    val cacheTier: Option[Seq[(String, Double)]] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_DUPGRAPH_TIER").contains("0")) None
+      else Some {
+        spark.conf.set("spark.graft.dupgraph.cache", "true")
+        val ts = tierNames.map { name =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+          catch { case e: Throwable => errors += s"cache:$name: ${e.getClass.getSimpleName}" }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        spark.conf.set("spark.graft.dupgraph.cache", "false")
+        graft.queries.Dedup.clearDupGraphCache()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        ts
+      }
     val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -77,7 +111,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    val tierJson = cacheTier.map { ts =>
+      (ts.map { case (k, v) => s"\"" + k + "\":" + v } :+
+        ("\"total\":" + ts.map(_._2).sum)).mkString("{", ",", "}")
+    }.getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"dupgraph_cache_tier":$tierJson,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.mkString("; ")}")

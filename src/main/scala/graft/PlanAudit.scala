@@ -210,7 +210,17 @@ object PlanAudit {
         "tree+detail = 2", maxCount = 2),
     Expect("t17_vocab_scrub", "SortMergeJoin", present = false,
       why = "a vocab is small by construction; an SMJ means the " +
-        "broadcast hint was lost and the corpus re-shuffled on token"))
+        "broadcast hint was lost and the corpus re-shuffled on token"),
+    // round-6 additions
+    Expect("m5_phash_dedup", "keys [1]: [pk#",
+      "pHash candidates come from ONE equi-join on the packed 16-bit " +
+        "pair-band key (28·65536 buckets — the Θ(n²/256) single-band " +
+        "shape is the round-5 scale flaw); tree shows Left+Right keys",
+      maxCount = 2),
+    Expect("m5_phash_dedup", "keys [1]: [ph#", present = false,
+      why = "no join may key on the raw 62-bit hash — candidates must " +
+        "come from the banded key, the hamming verify is a residual " +
+        "condition over candidates only"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

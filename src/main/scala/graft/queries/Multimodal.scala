@@ -218,16 +218,60 @@ object Multimodal {
       "waste (integer arithmetic end to end), oracle-checked")
 
   // ---------------------------------------------------------------- m5
+  /** All C(8,2) = 28 ordered band pairs of an 8-band split, as an array
+    * literal for [[pairBandKeys]]. */
+  private val BandPairsExpr: String =
+    (for { i <- 0 until 8; j <- i + 1 until 8 }
+      yield s"named_struct('b1', $i, 'b2', $j)").mkString("array(", ", ", ")")
+
+  /** PAIR-band LSH keys for a 62-bit perceptual hash in column `ph`:
+    * explodes each row into 28 rows, one per pair of 8-bit bands, keyed by
+    * a single packed BIGINT `pk = pairId·2¹⁶ + bv(b1)·2⁸ + bv(b2)`.
+    *
+    * Bucket math (why pairs, not single bands): a single 8-bit band key
+    * has only 256 possible values, so buckets hold ~n/256 rows and the
+    * band self-join produces Θ(8·(n/256)²) candidate pairs — quadratic
+    * with a tiny constant, a scale-killer on a LAION-sized corpus.  A
+    * band PAIR key has 2¹⁶ values (28·65536 ≈ 1.8M distinct `pk`s), so
+    * buckets shrink ×256 and candidates are Θ(28·(n/65536)²) — ~585×
+    * fewer pairs at equal n, same single equi-join shuffle shape.
+    * Recall is IDENTICAL by pigeonhole: hamming ≤ 6 over 8 bands leaves
+    * ≥ 2 bands intact, and any 2 intact bands form one of the 28 pairs
+    * (Manku WWW'07 §3, the multi-block generalization).
+    * MultimodalBandingSpec sweeps planted variants at hamming 1–8 to pin
+    * exactly this guarantee. */
+  def pairBandKeys(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("ph"), explode(expr(BandPairsExpr)).as("bp"))
+      .select(col("doc_id"), col("ph"),
+        expr("CAST((bp.b1 * 8 + bp.b2) AS BIGINT) * 65536" +
+          " + ((ph div shiftleft(CAST(1 AS BIGINT), CAST(bp.b1 * 8 AS INT))) % 256) * 256" +
+          " + ((ph div shiftleft(CAST(1 AS BIGINT), CAST(bp.b2 * 8 AS INT))) % 256)").as("pk"))
+
+  /** Exact-verified near-dup pairs from pair-band candidates: one
+    * equi-join shuffle on `pk`, then `bit_count(xor) ≤ maxHamming` over
+    * candidates only — never all-pairs.  Shared by m5 and the banding
+    * recall spec so the spec exercises the production path. */
+  def phashCandidatePairs(all: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = pairBandKeys(all)
+    banded.as("x").join(banded.as("y"),
+        col("x.pk") === col("y.pk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Perceptual-hash image near-dup — the image-dedup stage every large
     * vision/multimodal corpus build runs (pHash banding over re-encoded /
     * resized copies; the public LAION-style dedup).  Each "image" blob
     * gets a 62-bit perceptual hash (STUB: 16+16+16+14-bit chunks off the
     * mod-prime content fold — a real pipeline computes a DCT pHash inside
     * the decode kernel; the BANDING + VERIFY plumbing is the product
-    * here), candidates come from an 8-band × 8-bit LSH equi-join
-    * (pigeonhole: hamming ≤ 6 over 62 bits leaves ≥ 2 of 8 bands intact —
-    * d4's Manku recipe), and the exact `bit_count(xor) ≤ 6` verify runs
-    * over candidates only — never all-pairs, one shuffle on (band, value).
+    * here), candidates come from the 28-pair-band LSH equi-join of
+    * [[pairBandKeys]] (see its scaladoc for the bucket math and the
+    * pigeonhole recall proof), and the exact `bit_count(xor) ≤ 6` verify
+    * runs over candidates only — never all-pairs, one shuffle on `pk`.
     *
     * The corpus has no re-encoded copies (and the stub fold is not
     * locality-sensitive), so every 7th image also emits a PLANTED variant
@@ -253,20 +297,7 @@ object Multimodal {
         .select((col("doc_id") + VariantOffset).as("doc_id"),
           expr("ph ^ shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 62 AS INT))").as("ph"))
       val all = ph0.unionAll(variants)
-      val banded = all
-        .select(col("doc_id"), col("ph"),
-          explode(sequence(lit(0), lit(7))).as("b"))
-        .withColumn("bv",
-          expr("(ph div shiftleft(CAST(1 AS BIGINT), CAST(b * 8 AS INT))) % 256"))
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.ph").as("ph_a"), col("y.ph").as("ph_b"))
-        .distinct()
-      cand
-        .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
-        .filter(col("hamming") <= 6)
+      phashCandidatePairs(all, maxHamming = 6)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -293,19 +324,23 @@ object Multimodal {
           xor(ph, CAST(1 AS BIGINT) << CAST(doc_id % 62 AS INT))
         FROM ph0 WHERE doc_id % 7 = 0),
       banded AS (
-        SELECT doc_id, ph, r.b,
-          (ph // (CAST(1 AS BIGINT) << CAST(r.b * 8 AS INT))) % 256 AS bv
-        FROM allph, range(8) r(b)),
+        SELECT doc_id, ph,
+          CAST(p.b1 * 8 + p.b2 AS BIGINT) * 65536
+            + ((ph // (CAST(1 AS BIGINT) << CAST(p.b1 * 8 AS INT))) % 256) * 256
+            + ((ph // (CAST(1 AS BIGINT) << CAST(p.b2 * 8 AS INT))) % 256) AS pk
+        FROM allph,
+          (SELECT a.b AS b1, c.b AS b2 FROM range(8) a(b), range(8) c(b)
+           WHERE a.b < c.b) p),
       cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
           x.ph AS ph_a, y.ph AS ph_b
         FROM banded x JOIN banded y
-          ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+          ON x.pk = y.pk AND x.doc_id < y.doc_id)
       SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
       FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 6
       ORDER BY doc_a, doc_b"""),
-    doc = "perceptual-hash image near-dup: 8-band LSH candidates + exact " +
-      "hamming<=6 verify over planted hamming-1 variants; never all-pairs")
+    doc = "perceptual-hash image near-dup: 28-pair-band (16-bit key) LSH " +
+      "candidates + exact hamming<=6 verify over planted variants; never all-pairs")
 
   def all: Seq[NamedQuery] = Seq(m1BlobMetadata, m2DecodeFeatures, m3FrameSample,
     m4ResizeBatches, m5PhashDedup)

@@ -602,10 +602,12 @@ object TextOps {
     *      rows, so a hot head reaches its reducer as ≤ one row per map
     *      task — the planted skew measurably VANISHES from the exchange
     *      (even partition bytes);
-    *   2. the joins-back ride AQE auto-broadcast of the aggregated,
-    *      vocab-sized count relations (BroadcastHashJoin in the gated
-    *      plan), so hot-head fact rows are probed in place, data-
-    *      parallel — no reducer ever owns "the"; the fact relation is
+    *   2. the joins-back broadcast the aggregated, vocab-sized count
+    *      relations — statically below autoBroadcastJoinThreshold at
+    *      audit SF (what PlanAudit's pre-AQE explain gates), and by
+    *      AQE's runtime re-plan when static size estimates overshoot at
+    *      larger SFs — so hot-head fact rows are probed in place, data-
+    *      parallel; no reducer ever owns "the", and the fact relation is
     *      never re-shuffled at all.  A count-over-window form would
     *      co-locate EVERY bigram row per head — the hot reducer is
     *      unavoidable there, with no partial-agg or broadcast remedy;

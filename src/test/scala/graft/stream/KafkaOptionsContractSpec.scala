@@ -12,7 +12,13 @@ import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
   * source, `producer/kafka_producer.py:82–90` sink) by reflecting the
   * configured `DataStreamReader`/`DataStreamWriter` internal options map
   * — fully offline, independent of the jar, because nothing is load()ed
-  * or start()ed. */
+  * or start()ed.
+  *
+  * SPARK-VERSION COUPLING: `extraOptions` is a private internal of
+  * Spark's DataStreamReader/Writer (4.1.x).  If a Spark upgrade renames
+  * it, `field()` below fails with "no field extraOptions ..." — that is
+  * HARNESS breakage, not option drift: re-point the reflection at the
+  * renamed internal rather than suspecting the Kafka option contract. */
 class KafkaOptionsContractSpec extends SparkSpec {
 
   /** Reads a private field off the runtime (classic) class hierarchy. */
