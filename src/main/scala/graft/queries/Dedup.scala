@@ -196,24 +196,34 @@ object Dedup {
       .select(col("doc_id"), fpExpr.as("fp"))
   }
 
+  /** Banded candidates + exact hamming verify over (doc_id, fp) SimHash
+    * fingerprints: Manku single-band split (5 × 12-bit bands — pigeonhole-
+    * complete for hamming ≤ HamBands−1 = 4), one equi-join shuffle on
+    * (band, bv).  Shared by d4 and SimhashBandingSpec's planted sweep so
+    * the spec exercises the production path (pass `maxHamming = SimBits`
+    * to observe raw band candidates without the verify cut). */
+  def simhashCandidatePairs(docs: org.apache.spark.sql.DataFrame,
+      maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val bandVals = array((0 until HamBands).map { b =>
+      shiftright(col("fp"), b * BandWidth).bitwiseAND(lit((1L << BandWidth) - 1))
+    }: _*)
+    val banded = docs.select(col("doc_id"), col("fp"),
+      posexplode(bandVals).as(Seq("band", "bv")))
+    val cand = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val d4SimHash = NamedQuery(
     "d4_simhash",
     (s, dir) => {
-      val docs = simhashFps(s, dir)
-      val bandVals = array((0 until HamBands).map { b =>
-        shiftright(col("fp"), b * BandWidth).bitwiseAND(lit((1L << BandWidth) - 1))
-      }: _*)
-      val banded = docs.select(col("doc_id"), col("fp"),
-        posexplode(bandVals).as(Seq("band", "bv")))
-      val cand = banded.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-        .join(banded.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
-          Seq("band", "bv"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b"))
-        .distinct()
-      cand
-        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-        .filter(col("hamming") <= MaxHamming)
+      simhashCandidatePairs(simhashFps(s, dir), MaxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
     },
