@@ -220,7 +220,16 @@ object PlanAudit {
     Expect("m5_phash_dedup", "keys [1]: [ph#", present = false,
       why = "no join may key on the raw 62-bit hash — candidates must " +
         "come from the banded key, the hamming verify is a residual " +
-        "condition over candidates only"))
+        "condition over candidates only"),
+    // round-6 additions (d11 SemDeDup)
+    Expect("d11_semantic_dedup", "BroadcastNestedLoopJoin",
+      "centroid assignment must broadcast the k-row centroid set; the " +
+        "corpus is scanned, never shuffled, for each assignment pass " +
+        "(occurrence count tracks how often the explain tree repeats the " +
+        "unshared assignment subtree — presence is the gate)"),
+    Expect("d11_semantic_dedup", ") Window\n", present = false,
+      why = "cluster argmin is min_by aggregation (map-side combine), " +
+        "not a per-vector window sort"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

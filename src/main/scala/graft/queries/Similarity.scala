@@ -922,8 +922,154 @@ object Similarity {
       GROUP BY label, dim ORDER BY label, dim"""),
     doc = "per-label centroids via posexplode (first 8 dims)")
 
+  // ---------------------------------------------------------------- d11
+  /** Cluster-scoped pairwise threshold: cos(a,b) ≥ 0.4, tested in exact
+    * integer arithmetic on the floor(x·64) grid — `dot > 0 ∧ 25·dot² ≥
+    * 4·|a|²·|b|²` (0.4² = 4/25; magnitudes stay < 2⁵³, so doubles carry
+    * the integers exactly and DuckDB replays bit-for-bit). */
+  private val SemNum = 4L
+  private val SemDenom = 25L
+
+  /** SemDeDup — semantic deduplication by cluster-then-prune (Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", 2023, public literature): k-means-cluster
+    * the embeddings, compare pairs ONLY within a cluster, and inside
+    * each group of mutual near-duplicates keep the example farthest from
+    * its centroid (the paper's keep-low-centroid-similarity rule — it
+    * preserves the cluster's outer variety), dropping the rest.
+    *
+    * This is the missing tier between d5 (exact pairwise near-dup — the
+    * baseline that scans Θ(n²) candidate space, ball-pruned) and d7
+    * (whole-cluster grouping): at 100 TB nobody runs d5 corpus-wide; the
+    * published recipe bounds the quadratic term to cluster scope.  The
+    * clustering is the s4 IVF trainer verbatim — deterministic seeds
+    * (first [[IvfLists]] vectors), one k-means step in exact integer
+    * arithmetic on the floor(x·64) grid — so every distance, centroid
+    * coordinate, and similarity test replays exactly in DuckDB.
+    *
+    * Scale shape: centroids are broadcast (k rows) — the corpus is never
+    * shuffled for assignment (one map-side argmin aggregate per stage);
+    * the pair stage shuffles once, on `list_id`, and compares Θ(n·c̄)
+    * pairs where c̄ is mean cluster size — at 100 TB, k grows with n to
+    * hold c̄ constant (the paper's cost model), and the vectors riding
+    * that one shuffle would be s7's 8-byte PQ codes rather than raw
+    * floats.  The dominance prune ("∃ a similar, more-peripheral, or
+    * id-smaller-tied example") is the published implementation's
+    * triu-max-sim rule under the (centroid-distance, id) total order: a
+    * doc is dropped against ANY higher-order similar doc, retained or
+    * not, so similarity chains over-drop relative to component-wise
+    * keep-one — deliberately, as the paper does — and the kept set is
+    * guaranteed τ-separated within every cluster.  One pass, no
+    * iteration, unlike d6's component propagation. */
+  val d11SemanticDedup = NamedQuery(
+    "d11_semantic_dedup",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+        .withColumn("vv", dot(col("qv"), col("qv")))
+        .select(col("vec_id"), col("qv"), col("vv"))
+
+      // s4's argmin-by-aggregate, plus the winning distance (the prune
+      // rule needs it): map-side combine collapses the k×-exploded rows
+      // before the shuffle; exact integer dists make the argmin
+      // partition-order-free.
+      def nearestWithDist(points: DataFrame, cents: DataFrame): DataFrame =
+        points.crossJoin(broadcast(cents))
+          .withColumn("d", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
+          .groupBy(col("vec_id"))
+          .agg(
+            min_by(struct(col("list_id"), col("d")), struct(col("d"), col("list_id"))).as("best"),
+            first(col("qv")).as("qv"), first(col("vv")).as("vv"))
+          .select(col("vec_id"), col("best.list_id").as("list_id"),
+            col("best.d").as("dist"), col("qv"), col("vv"))
+
+      val seeds = e.filter(col("vec_id") < IvfLists)
+        .select(col("vec_id").cast("int").as("list_id"),
+          col("qv").as("cent"), col("vv").as("cc"))
+      val centroids = nearestWithDist(e, seeds)
+        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("list_id"),
+          transform(col("pc"), x => x.getField("c")).as("cent"))
+        .withColumn("cc", dot(col("cent"), col("cent")))
+      val m = nearestWithDist(e, centroids)
+
+      // ONE shuffle on list_id; pairs never leave their cluster.
+      val lhs = m.select(col("list_id"), col("vec_id").as("ia"),
+        col("qv").as("qa"), col("vv").as("va"), col("dist").as("da"))
+      val rhs = m.select(col("list_id"), col("vec_id").as("ib"),
+        col("qv").as("qb"), col("vv").as("vb"), col("dist").as("db"))
+      val dropped = lhs.join(rhs, Seq("list_id"))
+        .filter(col("ia") =!= col("ib"))
+        .withColumn("dab", dot(col("qa"), col("qb")))
+        .filter(col("dab") > 0 &&
+          lit(SemDenom) * col("dab") * col("dab") >= lit(SemNum) * col("va") * col("vb"))
+        .filter(col("da") > col("db") ||
+          (col("da") === col("db") && col("ia") < col("ib")))
+        .select(col("ib").as("vec_id")).distinct()
+
+      m.join(dropped.withColumn("gone", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("list_id"),
+          col("dist").cast("long").as("dist"),
+          col("gone").isNull.as("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      qz AS (
+        SELECT vec_id, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
+        FROM e),
+      qz2 AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS vv FROM qz),
+      seeds AS (
+        SELECT CAST(vec_id AS INT) AS list_id, qv AS cent, vv AS cc
+        FROM qz2 WHERE vec_id < $IvfLists),
+      d0 AS (
+        SELECT v.vec_id, s.list_id,
+               v.vv - 2 * list_dot_product(v.qv, s.cent) + s.cc AS dist
+        FROM qz2 v, seeds s),
+      a0 AS (
+        SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d0) r WHERE rn = 1),
+      cdim AS (
+        SELECT a0.list_id, i, floor(sum(qv[i]) / count(*)) AS c
+        FROM a0 JOIN qz2 USING (vec_id), range(1, 65) t(i)
+        GROUP BY a0.list_id, i),
+      cent1 AS (
+        SELECT list_id, list(c ORDER BY i) AS cent FROM cdim GROUP BY list_id),
+      cent2 AS (
+        SELECT list_id, cent, list_dot_product(cent, cent) AS cc FROM cent1),
+      d1 AS (
+        SELECT v.vec_id, c.list_id,
+               v.vv - 2 * list_dot_product(v.qv, c.cent) + c.cc AS dist
+        FROM qz2 v, cent2 c),
+      m AS (
+        SELECT r.vec_id, r.list_id, r.dist, qz2.qv, qz2.vv FROM (
+          SELECT vec_id, list_id, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d1) r JOIN qz2 USING (vec_id) WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+        WHERE list_dot_product(a.qv, b.qv) > 0
+          AND $SemDenom * list_dot_product(a.qv, b.qv) * list_dot_product(a.qv, b.qv)
+              >= $SemNum * a.vv * b.vv
+          AND (a.dist > b.dist OR (a.dist = b.dist AND a.vec_id < b.vec_id)))
+      SELECT m.vec_id, m.list_id, CAST(m.dist AS BIGINT) AS dist,
+             m.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+      FROM m ORDER BY m.vec_id"""),
+    doc = "SemDeDup cluster-then-prune semantic dedup (k-means scope, " +
+      "keep-farthest-from-centroid, exact integer arithmetic), oracle-checked")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
-      s3LabelCentroids)
+      s3LabelCentroids, d11SemanticDedup)
 }
