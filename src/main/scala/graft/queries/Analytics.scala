@@ -282,8 +282,70 @@ object Analytics {
       "integer basis points (lag window over the tiny per-day relation), " +
       "bursts at ≥1.5× growth with a support floor; FULL value oracle")
 
+  /** Rolling z-score anomaly detection over the hourly event-count
+    * series — the monitoring query a live tracker pages on ("this hour's
+    * volume is ≥3σ off its trailing-day baseline"), complementing a8's
+    * day-over-day growth rule with a variance-aware one.
+    *
+    * The z-test runs in EXACT integer arithmetic so both engines agree
+    * bit-for-bit: with a trailing window of W=24 observed hours carrying
+    * S = Σxᵢ and SS = Σxᵢ², the flag `|x−μ| > 3σ` multiplies out to
+    * `(W·x − S)² > 9·(W·SS − S²)` — counts are integers, so every term
+    * is an exact integer in a double register (magnitudes ≤ ~2⁴⁵ at
+    * 100× this SF).  σ here is the population std of the baseline
+    * window; a zero-variance baseline flags any deviation (lhs > 0,
+    * rhs = 0), which is the right alert semantics for a flat series.
+    *
+    * Scale shape: the hourly pre-aggregation map-side-combines the raw
+    * events (one shuffle on (event_type, hour) carrying one row per
+    * bucket per mapper); the window walks the tiny per-hour relation
+    * partitioned by event_type — at 100 TB that relation is
+    * |types|·|hours| rows (~10⁵/decade/type), never the firehose.  The
+    * trailing frame spans OBSERVED hours; a full 24-bucket baseline is
+    * required (cnt = 24), so series gaps shrink nothing silently — they
+    * just delay arming, same contract as a8's adjacency guard. */
+  val a9AnomalyZscore = NamedQuery(
+    "a9_anomaly_zscore",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 24
+      val tw = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-W, -1)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cnt", count(col("n")).over(tw))
+        .withColumn("s", sum(col("n")).over(tw))
+        .withColumn("ss", sum(col("n") * col("n")).over(tw))
+        .filter(col("cnt") === W &&
+          (lit(W) * col("n") - col("s")) * (lit(W) * col("n") - col("s")) >
+            lit(9) * (lit(W) * col("ss") - col("s") * col("s")))
+        .select(col("event_type"), col("hour"), col("n"),
+          col("s").as("base_sum"),
+          signum(lit(W) * col("n") - col("s")).cast("int").as("direction"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some("""WITH h AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT event_type, hour, n,
+               count(*) OVER tw AS cnt, sum(n) OVER tw AS s,
+               sum(n * n) OVER tw AS ss
+        FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, hour, n, s AS base_sum,
+             CAST(CASE WHEN 24 * n - s > 0 THEN 1
+                       WHEN 24 * n - s < 0 THEN -1 ELSE 0 END AS INT) AS direction
+      FROM w
+      WHERE cnt = 24 AND (24 * n - s) * (24 * n - s) > 9 * (24 * ss - s * s)
+      ORDER BY hour, event_type"""),
+    doc = "rolling z-score anomaly detection: hourly event counts ≥3σ off " +
+      "their trailing-24h baseline, exact integer variance test, FULL value oracle")
+
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,
     o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct,
-    a8TrendingBursts)
+    a8TrendingBursts, a9AnomalyZscore)
 }

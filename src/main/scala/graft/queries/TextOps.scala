@@ -841,6 +841,74 @@ object TextOps {
       "train-induced top-K vocabulary (t13's plan, executed), byte-exact " +
       "rebuilt-text md5 per document")
 
+  // ---------------------------------------------------------------- t18
+  /** Document-level token co-occurrence with an integer PMI-rank score —
+    * the collocation/topic-signal query a social tracker runs over its
+    * corpus ("which terms travel together?"), and the doc-level
+    * complement of t16's adjacent-bigram surprisal.
+    *
+    * PMI = log(N·c_ab/(c_a·c_b)) is monotone in the ratio, so ranking by
+    * the integer `floor(c_ab·N·10⁴/(c_a·c_b))` reproduces the PMI order
+    * with no cross-engine log() drift — every operand is an exact
+    * integer, the one division is IEEE-correctly-rounded on identical
+    * inputs in both engines, and floor lands on the same value.
+    *
+    * Scale shape: pairing the full vocabulary is Θ(tokens²) per doc —
+    * never run corpus-wide.  The candidate vocabulary (top
+    * [[CoocVocab]] by doc frequency) BROADCASTS to the distinct
+    * doc-token stream, so the pair stage's per-doc fan-out is bounded by
+    * C(|vocab∩doc|, 2) regardless of corpus size; the pair self-join
+    * shuffles on doc_id once, pair counts map-side-combine on their own
+    * key, and the final top-k is a TakeOrderedAndProject, not a global
+    * sort.  A support floor (c_ab ≥ [[CoocMinSupport]]) keeps
+    * rare-pair noise out of the ranking, the standard collocation
+    * hygiene. */
+  private val CoocVocab = 200
+  private val CoocMinSupport = 5
+
+  val t18Cooccurrence = NamedQuery(
+    "t18_cooccurrence",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("tok"))
+        .distinct()
+      val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val vocab = df.orderBy(col("c").desc, col("tok")).limit(CoocVocab)
+      val nd = toks.agg(countDistinct(col("doc_id")).as("nd"))
+      val vt = toks.join(broadcast(vocab), Seq("tok"))
+      vt.select(col("doc_id"), col("tok").as("ta"), col("c").as("ca"))
+        .join(vt.select(col("doc_id"), col("tok").as("tb"), col("c").as("cb")),
+          Seq("doc_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"), col("ca"), col("cb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= CoocMinSupport)
+        .crossJoin(broadcast(nd))
+        .withColumn("pmi_score",
+          floor(col("cab") * col("nd") * lit(10000L) / (col("ca") * col("cb"))))
+        .select(col("ta"), col("tb"), col("cab"), col("pmi_score"))
+        .orderBy(col("pmi_score").desc, col("ta"), col("tb"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM documents, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS u(tok)
+        WHERE text IS NOT NULL AND text <> ''),
+      df AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      n AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+      vocab AS (SELECT tok, c FROM df ORDER BY c DESC, tok LIMIT $CoocVocab),
+      vt AS (SELECT t.doc_id, t.tok, v.c FROM toks t JOIN vocab v USING (tok)),
+      pairs AS (
+        SELECT a.tok AS ta, b.tok AS tb, a.c AS ca, b.c AS cb, count(*) AS cab
+        FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= $CoocMinSupport)
+      SELECT ta, tb, cab, CAST(floor(cab * nd * 10000 / (ca * cb)) AS BIGINT) AS pmi_score
+      FROM pairs, n
+      ORDER BY pmi_score DESC, ta, tb LIMIT 50"""),
+    doc = "token co-occurrence collocations: integer PMI-rank score over " +
+      "broadcast top-200 vocabulary, support floor, top-50; FULL value oracle")
+
   /** N-gram-level train/eval decontamination — the finer-grained sibling
     * of c2: c2 catches VERBATIM document reuse (whole-doc fingerprints);
     * this catches PARTIAL leakage, where a training document contains an
@@ -1197,7 +1265,7 @@ object TextOps {
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
-    t16BigramSurprisal, t17VocabScrub,
+    t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
     t15TypoPairs,
     d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
     c2Contamination, c7NgramDecontamination)
