@@ -229,7 +229,24 @@ object PlanAudit {
         "unshared assignment subtree — presence is the gate)"),
     Expect("d11_semantic_dedup", ") Window\n", present = false,
       why = "cluster argmin is min_by aggregation (map-side combine), " +
-        "not a per-vector window sort"))
+        "not a per-vector window sort"),
+    // round-6 additions (a9 z-score anomaly, t18 PMI co-occurrence)
+    Expect("a9_anomaly_zscore", "ReadSchema: struct<ts:bigint,event_type:string>",
+      "the anomaly test needs only (ts, event_type) — the scan must " +
+        "prune the events table to 2 columns; the window then walks the " +
+        "tiny per-hour relation, never the raw firehose"),
+    Expect("a9_anomaly_zscore", "partial_count",
+      "the hourly pre-aggregation must map-side-combine: the one " +
+        "full-data shuffle carries one row per (mapper, type, hour) " +
+        "bucket, not raw events", maxCount = 2),
+    Expect("t18_cooccurrence", "BroadcastHashJoin",
+      "the top-200 vocabulary broadcasts to BOTH sides of the doc_id " +
+        "pair join (corpus never shuffles on token) and the pair join " +
+        "itself may hash-join; tree+detail markers", maxCount = 8),
+    Expect("t18_cooccurrence", "TakeOrderedAndProject",
+      "both the vocab top-200 cut and the final top-50 must be " +
+        "TakeOrderedAndProject (per-partition heap + merge), never a " +
+        "global sort of the pair space", maxCount = 6))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)
