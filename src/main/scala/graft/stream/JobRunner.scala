@@ -45,7 +45,17 @@ object JobRunner {
       burstWindowSec: Long = 60L,
       burstWatermark: String = "2 minutes",
       burstFactorBp: Long = 20000L,
-      burstMinCount: Long = 3L)
+      burstMinCount: Long = 3L,
+      // T10b: live rolling z-score anomaly alerts (stream/AnomalyZscore,
+      // the streaming form of batch a9) as a fifth query off the same
+      // lineage — per-sentiment-label hourly volume vs the trailing
+      // 24-observed-window baseline, 3σ exact integer test.  Defaults
+      // ARE a9's (W=24 hourly windows, sigmaSq=9): live and batch share
+      // one rule here, AnomalyParitySpec proves it.
+      withAnomalies: Boolean = false,
+      anomalyWindowSec: Long = 3600L,
+      anomalyWatermark: String = "2 hours",
+      anomalyBaseline: Int = 24)
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -72,9 +82,9 @@ object JobRunner {
       // _spark_metadata commit log would otherwise hide the new run's files
       // from readers.
       Seq(cfg.checkpointPath, cfg.checkpointPath + "_windowed",
-        cfg.checkpointPath + "_bursts",
+        cfg.checkpointPath + "_bursts", cfg.checkpointPath + "_anomalies",
         cfg.outputPath, cfg.outputPath + "_windowed",
-        cfg.outputPath + "_bursts")
+        cfg.outputPath + "_bursts", cfg.outputPath + "_anomalies")
         .foreach(p => deleteRecursively(new java.io.File(p)))
       cfg.windowedOutputPath.foreach(p => deleteRecursively(new java.io.File(p)))
     }
@@ -102,8 +112,21 @@ object JobRunner {
         cfg.checkpointPath + "_bursts", cfg.fileTrigger,
         queryName = "burst_output").start())
     } else None
+    val anomalies = if (cfg.withAnomalies) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val evs = Enrich.withEventTime(enriched)
+        .select(col("sentiment_label").as("key"), col("event_ts").as("ts"))
+        .as[AnomalyZscore.Event]
+      val flags = AnomalyZscore.anomalies(evs, windowSec = cfg.anomalyWindowSec,
+        watermarkDelay = cfg.anomalyWatermark,
+        baselineWindows = cfg.anomalyBaseline)(spark)
+      Some(Sinks.jsonFiles(flags.toDF(), cfg.outputPath + "_anomalies",
+        cfg.checkpointPath + "_anomalies", cfg.fileTrigger,
+        queryName = "anomaly_output").start())
+    } else None
 
-    Running(Seq(file) ++ console ++ windowed ++ bursts)
+    Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -88,6 +88,34 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the planted :04 burst, got ${burst.mkString(";")}")
   }
 
+  test("JobRunner fans a fifth anomaly query off the shared lineage (T10b)") {
+    val in = tmp("graft-ain"); val out = tmp("graft-aout"); val cp = tmp("graft-acp")
+    // 1-second windows, W=2 baseline: :01 and :02 get 1 pos post each
+    // (arming the ring), :03 gets 5 — vs the flat [1,1] baseline that is
+    // lhs=2·5−2=8 → 64 > rhs=0: a planted spike.  The :30 straggler and
+    // batch 2 advance the watermark so every planted window finalizes.
+    def post(sec: Int, n: Int): Seq[String] = (0 until n).map(i =>
+      s"""{"text": "i love this product ${i}", "user": "a$sec$i", "platform": "x", "timestamp": "2024-01-01 12:00:0$sec"}""")
+    writePosts(in, "b1.json",
+      post(1, 1) ++ post(2, 1) ++ post(3, 5) ++ Seq(
+        """{"text": "i love this too", "user": "az", "platform": "x", "timestamp": "2024-01-01 12:00:30"}"""))
+    val r = JobRunner.run(spark, FileJsonSource(in),
+      fastCfg(out, cp).copy(withAnomalies = true, anomalyWindowSec = 1L,
+        anomalyWatermark = "0 seconds", anomalyBaseline = 2))
+    r.processAllAvailable()
+    writePosts(in, "b2.json", Seq(
+      """{"text": "i love this even more", "user": "aw", "platform": "x", "timestamp": "2024-01-01 12:01:00"}"""))
+    r.processAllAvailable(); r.stopAll()
+    assert(r.queries.size == 2, "file sink + anomaly query expected (console/windowed off)")
+    val flags = spark.read.json(out + "_anomalies").collect()
+    assert(flags.length == 1 &&
+      flags.head.getAs[String]("key") == "positive" &&
+      flags.head.getAs[Long]("n") == 5L &&
+      flags.head.getAs[Long]("base_sum") == 2L &&
+      flags.head.getAs[Long]("direction") == 1L,
+      s"expected exactly the planted :03 spike, got ${flags.mkString(";")}")
+  }
+
   test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
     val in = tmp("graft-in2"); val out = tmp("graft-out2"); val cp = tmp("graft-cp2")
     writePosts(in, "b1.json", batch1)
