@@ -246,7 +246,22 @@ object PlanAudit {
     Expect("t18_cooccurrence", "TakeOrderedAndProject",
       "both the vocab top-200 cut and the final top-50 must be " +
         "TakeOrderedAndProject (per-partition heap + merge), never a " +
-        "global sort of the pair space", maxCount = 6))
+        "global sort of the pair space", maxCount = 6),
+    // round-6 additions (a10 Count-Min heavy hitters)
+    Expect("a10_heavy_hitters", "partial_graft_cms",
+      "the sketch pass must split partial/final: each mapper folds its " +
+        "partition into a d·w counter array and the shuffle carries ONE " +
+        "768-long vector per mapper, never per-key rows", maxCount = 1),
+    Expect("a10_heavy_hitters", "ReadSchema: struct<user_id:bigint>",
+      "both event scans (sketch build + candidate distinct) must prune " +
+        "to the single sketched column", maxCount = 2),
+    Expect("a10_heavy_hitters", "BroadcastNestedLoopJoin",
+      "the finished 1-row sketch broadcasts to the candidate side (the " +
+        "s1 constant-side pattern) — point estimates are a codegen'd " +
+        "least(element_at...) projection, no shuffle of candidates"),
+    Expect("a10_heavy_hitters", "TakeOrderedAndProject",
+      "top-15 by estimate is a per-partition heap + merge, not a global " +
+        "sort of the candidate set"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

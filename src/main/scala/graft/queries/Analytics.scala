@@ -344,8 +344,83 @@ object Analytics {
     doc = "rolling z-score anomaly detection: hourly event counts ≥3σ off " +
       "their trailing-24h baseline, exact integer variance test, FULL value oracle")
 
+  /** splitmix64 — deterministic pseudo-random constants (public mixing
+    * recipe; same generator as the d3/s2 families). */
+  private def mix64(x: Long): Long = {
+    var h = x * 0x9E3779B97F4A7C15L
+    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+    h ^= h >>> 27; h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  // Carter–Wegman row hashes for the a10 Count-Min sketch: d=3 rows of
+  // w=256 buckets, a ∈ [1, p−1], b ∈ [0, p) — every product < 2^60, so
+  // the whole sketch replays exactly in DuckDB.
+  private val CmsD = 3
+  private val CmsW = 256
+  private val CmsA: Seq[Long] = (0 until CmsD).map(i => math.floorMod(mix64(0xC100L + i), KmvP - 1) + 1)
+  private val CmsB: Seq[Long] = (0 until CmsD).map(i => math.floorMod(mix64(0xC200L + i), KmvP))
+
+  /** Approximate heavy hitters — the frequency complement of a6's
+    * cardinality sketch: a Count-Min sketch
+    * ([[graft.functions.CountMinAgg]], Cormode & Muthukrishnan 2005)
+    * over `user_id`, read back as the top-15 users by estimated event
+    * count. The d=3 × w=256 counter array is a commutative monoid that
+    * COMBINES MAP-SIDE, so the one firehose pass shuffles a constant
+    * `d·w` vector per mapper — never the key universe — and the finished
+    * 1-row sketch BROADCASTS to the candidate side (constant-size
+    * crossJoin, the s1 pattern). Estimates are never under the true
+    * count and overshoot by ≤ ε·N (ε ≈ e/w) w.h.p.; on this near-uniform
+    * synthetic key the collision term dominates the ranking (the
+    * guarantee, not the anecdote, is what CmsSpec pins on a planted
+    * Zipfian stream), while the ORACLE pins the arithmetic bit-for-bit:
+    * every hash, counter and min replays in DuckDB as a GROUP BY over
+    * the same mod-prime algebra.
+    *
+    * Candidate enumeration here is a `DISTINCT user_id` pass (fine at
+    * any SF of this table); at a true 100 TB key universe the candidate
+    * set comes from per-partition local tops or an external watchlist —
+    * the sketch's point-query contract is unchanged. */
+  val a10HeavyHitters = NamedQuery(
+    "a10_heavy_hitters",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      def bucket(i: Int) =
+        ((col("user_id") % KmvP) * CmsA(i) + CmsB(i)) % KmvP % CmsW
+      val sketch = Tables.events(s, dir)
+        .agg(call_function("graft_cms",
+          array((0 until CmsD).map(bucket): _*), lit(CmsW)).as("cms"))
+      val est = (0 until CmsD).map(i =>
+        element_at(col("cms"), (bucket(i) + lit(i * CmsW) + lit(1)).cast("int")))
+      Tables.events(s, dir).select(col("user_id")).distinct()
+        .crossJoin(broadcast(sketch))
+        .select(col("user_id"), least(est: _*).as("est_count"))
+        .orderBy(col("est_count").desc, col("user_id"))
+        .limit(15)
+    },
+    Some {
+      val rows = (0 until CmsD).map(i => s"(${i}, ${CmsA(i)}, ${CmsB(i)})").mkString(", ")
+      s"""WITH c(i, a, b) AS (VALUES $rows),
+        counts AS (
+          SELECT c.i AS i, ((e.user_id % $KmvP) * c.a + c.b) % $KmvP % $CmsW AS bkt,
+                 count(*) AS n
+          FROM events e CROSS JOIN c GROUP BY 1, 2),
+        est AS (
+          SELECT k.user_id, min(n) AS est_count
+          FROM (SELECT DISTINCT user_id FROM events) k
+          CROSS JOIN c
+          JOIN counts ON counts.i = c.i
+            AND counts.bkt = ((k.user_id % $KmvP) * c.a + c.b) % $KmvP % $CmsW
+          GROUP BY 1)
+        SELECT user_id, est_count FROM est
+        ORDER BY est_count DESC, user_id LIMIT 15"""
+    },
+    doc = "Count-Min heavy hitters: d=3×w=256 mergeable counter sketch " +
+      "(custom TypedImperativeAggregate), broadcast point-estimates, " +
+      "top-15 by estimate; FULL value oracle")
+
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,
     o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct,
-    a8TrendingBursts, a9AnomalyZscore)
+    a8TrendingBursts, a9AnomalyZscore, a10HeavyHitters)
 }

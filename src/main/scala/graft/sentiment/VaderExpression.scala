@@ -77,5 +77,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv",
       exprs => graft.functions.KmvDistinct(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms",
+      exprs => graft.functions.CountMinAgg(exprs.head, exprs(1)), "scala_udf")
   }
 }
