@@ -100,10 +100,11 @@ object PlanAudit {
       "packing window and summary agg share ONE shuffle on (split, source); " +
         "only the tiny ordered output repartitions again", maxCount = 1),
     Expect("q27_event_time_pushdown",
-      "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1704844800000000000), " +
-        "LessThanOrEqual(ts,1704931199999999999)]",
-      "NanosFilterPushdown must derive raw-nanos parquet bounds from the " +
-        "event-time range filter"),
+      "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,2024-01-10 00:00:00.0), " +
+        "LessThan(ts,2024-01-11 00:00:00.0)]",
+      "event-time range bounds must reach the parquet scan (native " +
+        "TIMESTAMP(MICROS) pushdown; the NanosFilterPushdown rule covers " +
+        "raw-nanos sources, spec-gated on its own fixture)"),
     Expect("q21_funnel", "hashpartitioning(",
       "funnel is conditional-min aggregation: one data shuffle on user_id, " +
         "no self-join, no window", maxCount = 1),
@@ -231,7 +232,7 @@ object PlanAudit {
       why = "cluster argmin is min_by aggregation (map-side combine), " +
         "not a per-vector window sort"),
     // round-6 additions (a9 z-score anomaly, t18 PMI co-occurrence)
-    Expect("a9_anomaly_zscore", "ReadSchema: struct<ts:bigint,event_type:string>",
+    Expect("a9_anomaly_zscore", "ReadSchema: struct<ts:timestamp,event_type:string>",
       "the anomaly test needs only (ts, event_type) — the scan must " +
         "prune the events table to 2 columns; the window then walks the " +
         "tiny per-hour relation, never the raw firehose"),

@@ -921,13 +921,13 @@ object Relational {
     doc = "sliding 10-min/5-min event-time windows (overlapping buckets, map-side explode)")
 
   // ---------------------------------------------------------------- q27
-  /** Event-time range scan — the query shape [[graft.plans.NanosFilterPushdown]]
-    * exists for.  `events.ts` is parquet TIMESTAMP(NANOS) read as a raw long
-    * and converted to micros (see [[Tables.events]]); a plain range filter on
-    * the converted column cannot reach the scan, so without the rule a
-    * one-day query reads the whole table.  The injected rule adds the
-    * implied raw-nanos bounds, and PlanAudit asserts they arrive as parquet
-    * `PushedFilters` on ts; a spec proves rule-on ≡ rule-off row-for-row. */
+  /** Event-time range scan over the events table.  With the current
+    * TIMESTAMP(MICROS) encoding the range bounds push natively to the
+    * parquet scan (PlanAudit asserts they arrive as `PushedFilters` on ts);
+    * when `events.ts` ships as TIMESTAMP(NANOS) instead, [[Tables.events]]
+    * reads it as a raw long and [[graft.plans.NanosFilterPushdown]] derives
+    * the equivalent raw-nanos scan bounds — proved rule-on ≡ rule-off
+    * row-for-row on a nanos fixture in NanosFilterPushdownSpec. */
   val q27EventTimePushdown = NamedQuery(
     "q27_event_time_pushdown",
     (s, dir) => {
@@ -943,7 +943,8 @@ object Relational {
       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
         AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-11 00:00:00'
       GROUP BY event_type ORDER BY event_type"""),
-    doc = "event-time range scan; optimizer rule derives parquet-pushable raw-nanos bounds")
+    doc = "event-time range scan; bounds push to the parquet scan (native micros, " +
+      "or via the raw-nanos optimizer rule for nanos sources)")
 
   /** Percentiles over a DETERMINISTIC hash sample — the oracle-checkable
     * scale path for percentile estimation complementing q26's histogram

@@ -7,10 +7,38 @@ import org.apache.spark.sql.functions._
 
 /** The optimizer rule must be (a) effective — bounds reach the parquet
   * scan — and (b) invisible — identical rows with the rule excluded, for
-  * every comparison shape and orientation it rewrites. */
+  * every comparison shape and orientation it rewrites.
+  *
+  * The driver testdata now ships events.ts as TIMESTAMP(MICROS) (which
+  * pushes down natively, no rule needed — LayoutSpec/PlanAudit cover that
+  * path), so this spec materializes its own raw-long-NANOS copy of the
+  * events table — the physical form the rule exists for — and reads it
+  * through the exact [[Tables.events]] legacy conversion shape. */
 class NanosFilterPushdownSpec extends SparkSpec {
 
   private val ExcludeKey = "spark.sql.optimizer.excludedRules"
+
+  /** events with ts as raw int64 nanoseconds, written once per suite run. */
+  private lazy val nanosDir: String = {
+    val path = java.nio.file.Files.createTempDirectory("graft-nanos")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(path))
+        Files.walk(path).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p): Unit)
+    }))
+    Tables.events(spark, sf())
+      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$path/events.parquet")
+    path.toString
+  }
+
+  /** The legacy nanos read path: raw long scan + floor-to-micros DIV —
+    * identical to what [[Tables.events]] does when it meets a long ts. */
+  private def nanosEvents: DataFrame =
+    spark.read.parquet(s"$nanosDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   private def withRuleOff[A](body: => A): A = {
     val prev = spark.conf.getOption(ExcludeKey)
@@ -27,7 +55,7 @@ class NanosFilterPushdownSpec extends SparkSpec {
     df.collect().map(_.toString).toSeq.sorted
 
   private def filtered(cond: org.apache.spark.sql.Column): DataFrame =
-    Tables.events(spark, sf()).filter(cond).select(col("event_id"))
+    nanosEvents.filter(cond).select(col("event_id"))
 
   private val t0 = lit("2024-01-10 00:00:00").cast("timestamp")
   private val midTs = lit("2024-01-15 12:34:56.789012").cast("timestamp")
@@ -110,7 +138,7 @@ class NanosFilterPushdownSpec extends SparkSpec {
     // counts for adjacent predicates around an exact event timestamp.
     // Round-trip as integer micros, not Timestamp.toString (which renders
     // in the JVM default timezone while the cast parses in session UTC).
-    val us = Tables.events(spark, sf())
+    val us = nanosEvents
       .select(unix_micros(col("ts")).as("us")).orderBy(col("us")).limit(1)
       .collect().head.getLong(0)
     val exact = timestamp_micros(lit(us))

@@ -20,9 +20,7 @@ import graft.tables.Tables
 class EmptyCorpusSpec extends SparkSpec {
 
   /** sf0.001 schemas, zero rows, written once per suite run; registered
-    * for recursive deletion at JVM exit.  The nanosAsLong conf toggled
-    * for the events write is restored to its prior state (unset if it
-    * was unset) so the suite leaves no session-conf residue. */
+    * for recursive deletion at JVM exit. */
   private lazy val emptyDir: String = {
     val path = java.nio.file.Files.createTempDirectory("graft-empty")
     val dir = path.toString
@@ -38,21 +36,12 @@ class EmptyCorpusSpec extends SparkSpec {
       Tables.load(spark, sf(), t).limit(0)
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
-    // events.parquet carries TIMESTAMP(NANOS), which Spark cannot WRITE;
-    // reproduce the driver layout by writing the raw long-nanos schema the
-    // nanosAsLong reader path consumes.
-    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
-    val prior = spark.conf.getOption(nanosKey)
-    spark.conf.set(nanosKey, "true")
-    try {
-      spark.read.parquet(s"${sf()}/events.parquet").limit(0)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    } finally {
-      prior match {
-        case Some(v) => spark.conf.set(nanosKey, v)
-        case None    => spark.conf.unset(nanosKey)
-      }
-    }
+    // events goes through the dtype-adaptive loader so the empty copy
+    // lands in the normalized logical schema (ts: TimestampType) and reads
+    // back through the same adaptive path regardless of which physical
+    // form the driver testdata ships.
+    Tables.events(spark, sf()).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 

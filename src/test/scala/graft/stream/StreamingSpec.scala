@@ -230,18 +230,23 @@ class StreamingSpec extends SparkSpec {
       s"timeout session missing from ${all}")
   }
 
+  /** The events table re-written in its normalized logical schema
+    * (ts: TimestampType — [[graft.tables.Tables.events]]) so a file
+    * stream can replay it without coupling to the driver's physical
+    * ts encoding. Written once per suite run. */
+  private lazy val eventsStreamDir: String = {
+    val d = tmp("graft-events-replay")
+    graft.tables.Tables.events(spark, sf())
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
   test("streaming replay of the events table reproduces the batch time-bucket aggregation") {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream
+      .schema(graft.tables.Tables.events(spark, sf()).schema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet") // stream source needs a dir
-      .parquet(sf())
-      .withColumn("tsx", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(eventsStreamDir)
+      .withColumn("tsx", col("ts"))
       .groupBy(window(col("tsx"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("day"), col("event_type"), col("n"))
@@ -268,30 +273,23 @@ class StreamingSpec extends SparkSpec {
     // shuffle-safe.  maxFilesPerTrigger=1 keeps multiple micro-batches
     // only when several files exist; either way the buffer round-trips
     // through the store between trigger executions.
-    import org.apache.spark.sql.types._
     graft.sentiment.GraftFunctions.register(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val P = 1000000007L
     def kmvAgg(df: org.apache.spark.sql.DataFrame) = {
       val h = ((col("user_id") % P) * 464054921L + 327776542L) % P
       df.groupBy(col("event_type"))
         .agg(call_function("graft_kmv", h, lit(64), lit(P)).as("approx_users"))
     }
-    val stream = kmvAgg(spark.readStream.schema(schema)
+    val stream = kmvAgg(spark.readStream
+      .schema(graft.tables.Tables.events(spark, sf()).schema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf()))
+      .parquet(eventsStreamDir))
     val q = stream.writeStream.format("memory").queryName("kmvstream")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete).start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("kmvstream").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val batch = kmvAgg(spark.read.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf()))
+    val batch = kmvAgg(graft.tables.Tables.events(spark, sf()))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch, s"streaming KMV diverged: $streamed vs $batch")
     assert(batch.nonEmpty && batch.values.forall(_ > 0))
