@@ -386,7 +386,72 @@ object Curation {
     doc = "curriculum quality quartiles: broadcast percentile cuts + scan-side " +
       "tier assignment (no global-sort ntile), tokens accounted per tier")
 
+  // --------------------------------------------------------------- c10
+  /** Benchmark decontamination at bloom scale — remove from the corpus
+    * every document whose normalized fingerprint appears in a benchmark
+    * set (here: the deterministic doc_id % 13 slice standing in for an
+    * external eval suite).  c2 *reports* contamination; c10 *removes* it
+    * with the plan shape that survives 100 TB:
+    *
+    *   1. the benchmark fps aggregate into a bloom filter INSIDE the plan
+    *      (Spark's own `BloomFilterAggregate` runtime-filter kernel,
+    *      surfaced as `graft_bloom_agg`) and reach every task as a
+    *      scalar-subquery value — never a driver collect, never a shuffle
+    *      of the corpus;
+    *   2. `NOT might_contain(fp)` clears the overwhelming majority of the
+    *      corpus in the scan stage (a bloom has NO false negatives, so
+    *      everything it clears is definitely clean — BloomDeconSpec pins
+    *      this invariant);
+    *   3. only the bloom's candidates (true hits + the fpp tail) proceed
+    *      to the exact broadcast anti-join that removes false positives.
+    *
+    * The shuffle therefore carries O(hits + fpp·n) rows instead of the
+    * corpus, while the RESULT is bit-identical to the exact anti-join —
+    * which is why a probabilistic structure can sit inside a
+    * hash-oracled query.  Sizing: 2^16 expected items / 2^22 bits ≈
+    * 0.4% fpp at test scale; both are literals a caller retunes per
+    * corpus (the invariant holds for any sizing). */
+  val c10BloomDecontamination = NamedQuery(
+    "c10_bloom_decontamination",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("fp", TextOps.normFingerprint(col("text")))
+      val bench = docs.filter(col("doc_id") % 13 === 0)
+        .select(col("fp")).distinct()
+      val bloom = bench
+        .agg(call_function("graft_bloom_agg", xxhash64(col("fp")),
+          lit(1L << 16), lit(1L << 22)).as("bf"))
+        .scalar()
+      val might = call_function("graft_bloom_might", bloom, xxhash64(col("fp")))
+      val kept = docs.filter(!might)
+        .unionByName(docs.filter(might)
+          .join(broadcast(bench), Seq("fp"), "left_anti"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH docs AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      bench AS (SELECT DISTINCT fp FROM docs WHERE doc_id % 13 = 0),
+      kept AS (SELECT * FROM docs WHERE fp NOT IN (SELECT fp FROM bench))
+      SELECT d.source, d.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+             d.n_docs - coalesce(k.n_kept, 0) AS n_dropped
+      FROM (SELECT source, count(*) AS n_docs FROM docs GROUP BY source) d
+      LEFT JOIN (SELECT source, count(*) AS n_kept FROM kept GROUP BY source) k
+        USING (source)
+      ORDER BY d.source"""),
+    doc = "benchmark decontamination via in-plan bloom pre-filter + exact " +
+      "broadcast anti-join on the candidates; exact result, candidate-only shuffle")
+
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
-      c8CurriculumTiers, c9TemperatureMixing)
+      c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination)
 }

@@ -80,5 +80,19 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms",
       exprs => graft.functions.CountMinAgg(exprs.head, exprs(1)), "scala_udf")
+    // Spark's own runtime-filter bloom kernel (BloomFilterAggregate /
+    // BloomFilterMightContain — the machinery behind InjectRuntimeFilter),
+    // surfaced as callable functions so queries can build SEMANTIC bloom
+    // pre-filters (c10 decontamination) lazily, with zero driver-side
+    // collection: the filter is built by an aggregate inside the plan and
+    // shipped to tasks as a scalar-subquery result.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)), "scala_udf")
   }
 }
