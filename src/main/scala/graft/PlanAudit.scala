@@ -96,9 +96,21 @@ object PlanAudit {
     Expect("c2_contamination", "LeftSemi",
       "contamination check is a semi-join on 16-byte fingerprints, " +
         "never a join on text"),
+    Expect("c10_bloom_decontamination", "might_contain(Subquery",
+      "the bloom is built IN-PLAN as a scalar subquery feeding " +
+        "might_contain at the corpus scan — never a driver-side collect"),
+    Expect("c10_bloom_decontamination", "coalesce(might_contain",
+      "the NULL-bloom guard (empty bench slice keeps everything) must " +
+        "survive into the physical plan"),
+    Expect("c10_bloom_decontamination", "BroadcastHashJoin LeftAnti",
+      "the exact re-check is a BROADCAST anti-join on the benchmark " +
+        "fingerprints; only the bloom's candidates reach it"),
     Expect("c3_sequence_packing", "hashpartitioning(",
       "packing window and summary agg share ONE shuffle on (split, source); " +
         "only the tiny ordered output repartitions again", maxCount = 1),
+    // NOTE: the literal below is java.sql.Timestamp.toString, rendered in the
+    // JVM default timezone — build.sbt pins -Duser.timezone=UTC for every
+    // forked run so this stays host-independent.
     Expect("q27_event_time_pushdown",
       "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,2024-01-10 00:00:00.0), " +
         "LessThan(ts,2024-01-11 00:00:00.0)]",
@@ -295,8 +307,16 @@ object PlanAudit {
       val names =
         if (qs == "ALL") SparkEntry.queries.keys.toSeq.sorted
         else qs.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      names.foreach { q =>
-        println(s"## $q\n\n```\n${planOf(q)}```\n")
+      val md = names.map(q => s"## $q\n\n```\n${planOf(q)}```\n").mkString("\n")
+      // sbt's logger prefixes (and drops blank) stdout lines from forked
+      // runs, so stdout redirection mangles the markdown — `--out FILE`
+      // writes it directly. EXPLAIN.md regeneration:
+      //   sbt "runMain graft.PlanAudit /root/testdata/sf0.01 --dump ALL --out EXPLAIN.md"
+      args.sliding(2).collectFirst { case Array("--out", f) => f } match {
+        case Some(f) => java.nio.file.Files.write(
+          java.nio.file.Paths.get(f),
+          md.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        case None => println(md)
       }
       spark.stop(); sys.exit(0)
     }

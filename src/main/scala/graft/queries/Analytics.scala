@@ -335,7 +335,7 @@ object Analytics {
                sum(n * n) OVER tw AS ss
         FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hour
                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-      SELECT event_type, hour, n, s AS base_sum,
+      SELECT event_type, hour, n, CAST(s AS BIGINT) AS base_sum,
              CAST(CASE WHEN 24 * n - s > 0 THEN 1
                        WHEN 24 * n - s < 0 THEN -1 ELSE 0 END AS INT) AS direction
       FROM w

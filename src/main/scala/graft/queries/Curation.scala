@@ -424,7 +424,12 @@ object Curation {
         .agg(call_function("graft_bloom_agg", xxhash64(col("fp")),
           lit(1L << 16), lit(1L << 22)).as("bf"))
         .scalar()
-      val might = call_function("graft_bloom_might", bloom, xxhash64(col("fp")))
+      // An empty bench slice aggregates to a NULL bloom; might_contain(NULL, x)
+      // is NULL, which would drop every row from BOTH branches. coalesce to
+      // false so an empty bloom clears everything into the definitely-clean
+      // branch (matching NOT IN over an empty set).
+      val might = coalesce(
+        call_function("graft_bloom_might", bloom, xxhash64(col("fp"))), lit(false))
       val kept = docs.filter(!might)
         .unionByName(docs.filter(might)
           .join(broadcast(bench), Seq("fp"), "left_anti"))

@@ -152,7 +152,7 @@ object Multimodal {
         .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("sampled_frames"))
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+    Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_frames,
         CAST(ceil(ceil(octet_length(CAST(text AS BLOB)) / 64.0) / 4.0) AS INT) AS sampled_frames
       FROM documents

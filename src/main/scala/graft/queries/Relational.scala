@@ -176,7 +176,7 @@ object Relational {
         .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
     },
-    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+    Some("""SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -1083,7 +1083,7 @@ object Relational {
           (floor(max(col("cd")) * 1000000) / 1000000.0).as("max_cd"))
         .orderBy(col("o_orderpriority"), col("quartile"))
     },
-    Some("""SELECT o_orderpriority, quartile, count(*) AS n,
+    Some("""SELECT o_orderpriority, CAST(quartile AS INTEGER) AS quartile, count(*) AS n,
         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         floor(max(pr) * 1000000) / 1000000.0 AS max_pr,
         floor(max(cd) * 1000000) / 1000000.0 AS max_cd

@@ -58,7 +58,7 @@ object Similarity {
           SELECT q_id, e.vec_id AS nn_id,
                  round(list_cosine_similarity(qe, e.emb), 4) AS cosine
           FROM q, e WHERE e.vec_id <> q_id)
-      SELECT q_id, rn, nn_id, cosine FROM (
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cosine DESC, nn_id) AS rn
         FROM sims) t
@@ -129,7 +129,7 @@ object Similarity {
         sims AS (SELECT q_id, b.vec_id AS nn_id,
                    round(list_cosine_similarity(qe, b.emb), 4) AS cosine
                  FROM q JOIN b ON b.bucket = q.qb AND b.vec_id <> q.q_id)
-      SELECT q_id, rn, nn_id, cosine FROM (
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cosine DESC, nn_id) AS rn
         FROM sims) t
@@ -179,7 +179,7 @@ object Similarity {
         sims AS (SELECT q_id, b.vec_id AS nn_id,
                    round(list_cosine_similarity(qe, b.emb), 4) AS cosine
                  FROM probes JOIN b USING (bucket) WHERE b.vec_id <> q_id)
-      SELECT q_id, rn, nn_id, cosine FROM (
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cosine DESC, nn_id) AS rn
         FROM sims) t
@@ -335,7 +335,7 @@ object Similarity {
         JOIN qs q ON q.q_id = p.q_id
         JOIN e e2 ON e2.vec_id = a1.vec_id
         WHERE a1.vec_id <> p.q_id)
-      SELECT q_id, rn, nn_id, cosine FROM (
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cosine DESC, nn_id) AS rn
         FROM sims) t
@@ -615,7 +615,7 @@ object Similarity {
         sims AS (SELECT q_id, n.vec_id AS nn_id,
                    round(list_dot_product(qa, n.qd) / (qna * n.qn), 4) AS qcos
                  FROM q, n WHERE n.vec_id <> q_id)
-      SELECT q_id, rn, nn_id, qcos FROM (
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, qcos FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY qcos DESC, nn_id) AS rn
         FROM sims) t
@@ -783,7 +783,7 @@ object Similarity {
         FROM cand c
         JOIN e qe ON qe.vec_id = c.q_id
         JOIN e ce ON ce.vec_id = c.vec_id)
-      SELECT q_id, rn, nn_id, cosine FROM (
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cosine DESC, nn_id) AS rn
         FROM sims) t
@@ -895,7 +895,7 @@ object Similarity {
         FROM dots d
         JOIN norms na ON na.user_id = d.user_id
         JOIN norms nb ON nb.user_id = d.q_id)
-      SELECT q_id, rn, nn_id, cosine FROM (
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, cosine FROM (
         SELECT *, row_number() OVER (PARTITION BY q_id
                                      ORDER BY cosine DESC, nn_id) AS rn
         FROM sims) t

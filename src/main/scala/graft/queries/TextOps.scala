@@ -120,8 +120,8 @@ object TextOps {
     Some("""SELECT lang, count(*) AS n_docs,
       floor(round(sum(len(regexp_split_to_array(trim(text), '\s+')))) / count(*) * 10000) / 10000.0 AS avg_tokens,
       floor(round(sum(length(text))) / count(*) * 10000) / 10000.0 AS avg_chars,
-      max(len(regexp_split_to_array(trim(text), '\s+'))) AS max_tokens,
-      min(len(regexp_split_to_array(trim(text), '\s+'))) AS min_tokens
+      CAST(max(len(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS max_tokens,
+      CAST(min(len(regexp_split_to_array(trim(text), '\s+'))) AS INTEGER) AS min_tokens
       FROM documents WHERE text IS NOT NULL AND text <> ''
       GROUP BY lang ORDER BY lang"""),
     doc = "token counting (whitespace tokenizer) aggregated per lang")
@@ -1052,9 +1052,9 @@ object TextOps {
         SELECT doc_id, text || $plantPiiSql AS t
         FROM documents WHERE text IS NOT NULL AND text <> '')
       SELECT doc_id,
-        len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
-        len(regexp_extract_all(t, '$PhoneRe')) AS n_phones,
-        len(regexp_extract_all(t, '$Ipv4Re')) AS n_ips,
+        CAST(len(regexp_extract_all(t, '$EmailRe')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INTEGER) AS n_phones,
+        CAST(len(regexp_extract_all(t, '$Ipv4Re')) AS INTEGER) AS n_ips,
         md5(regexp_replace(regexp_replace(regexp_replace(t,
           '$EmailRe', '<EMAIL>', 'g'),
           '$PhoneRe', '<PHONE>', 'g'),

@@ -39,14 +39,40 @@ object Tables {
     *
     * DuckDB oracles use CAST(ts AS TIMESTAMP) — the same floor-to-micros
     * values either way. */
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+  private val NtzKey   = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = load(spark, dir, "events")
+    // Both confs are consulted at SCHEMA INFERENCE, which `load` performs
+    // eagerly — so they are set only around the load and restored after
+    // (per-read options are NOT honored for these keys; verified
+    // empirically).  The NTZ-inference toggle is restored unconditionally:
+    // leaving it off would silently retype NTZ-annotated timestamp columns
+    // of every LATER parquet read in the session.  nanosAsLong stays set
+    // only on the nanos branch, where the scan's execution-time footer
+    // conversion still needs it — documented stickiness instead of a
+    // broken read (EventsConfScopingSpec pins restore + micros execution
+    // after restore).
+    val saved = Seq(NanosKey, NtzKey).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(NanosKey, "true")
+    spark.conf.set(NtzKey, "false")
+    def restore(keys: Set[String]): Unit = saved.foreach {
+      case (k, prev) if keys(k) => prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None    => spark.conf.unset(k)
+      }
+      case _ =>
+    }
+    val raw =
+      try load(spark, dir, "events")
+      catch { case e: Throwable => restore(Set(NanosKey, NtzKey)); throw e }
+    restore(Set(NtzKey))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+      case _ =>
+        restore(Set(NanosKey))
+        raw
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

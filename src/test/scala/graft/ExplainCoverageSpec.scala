@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
   * grew the registry after the plans were regenerated and the drift was
   * only caught by hand; this gate makes that impossible: the section set
   * must equal `SparkEntry.queries.keySet` exactly.  Regenerate with
-  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.01 --dump ALL" > EXPLAIN.md
+  *   sbt "runMain graft.PlanAudit /root/testdata/sf0.01 --dump ALL --out EXPLAIN.md"
   * whenever a query is added, removed, or renamed. */
 class ExplainCoverageSpec extends AnyFunSuite {
 
@@ -27,7 +27,7 @@ class ExplainCoverageSpec extends AnyFunSuite {
       s"EXPLAIN.md drifted from the query registry — " +
         s"missing plans: ${missing.toSeq.sorted.mkString(", ")}; " +
         s"stale sections: ${stale.toSeq.sorted.mkString(", ")}. " +
-        "Regenerate: sbt \"runMain graft.PlanAudit /root/testdata/sf0.01 --dump ALL\" > EXPLAIN.md")
+        "Regenerate: sbt \"runMain graft.PlanAudit /root/testdata/sf0.01 --dump ALL --out EXPLAIN.md\"")
   }
 
   test("every EXPLAIN.md section carries a non-empty fenced physical plan") {

@@ -28,8 +28,13 @@ class NanosFilterPushdownSpec extends SparkSpec {
         Files.walk(path).sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p): Unit)
     }))
+    // Deterministic nonzero sub-micro remainder (pmod(event_id, 1000)) so
+    // the file-based rule-on/rule-off parity tests exercise nanos that do
+    // NOT floor to themselves — the original NANOS testdata had such values
+    // and a *1000-only fixture would leave them covered solely by the
+    // synthetic boundary matrix.
     Tables.events(spark, sf())
-      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .withColumn("ts", expr("unix_micros(ts) * 1000L + pmod(event_id, 1000L)"))
       .write.mode("overwrite").parquet(s"$path/events.parquet")
     path.toString
   }

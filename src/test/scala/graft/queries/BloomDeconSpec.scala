@@ -64,4 +64,28 @@ class BloomDeconSpec extends SparkSpec {
     assert(candHits == hits, s"candidates cover $candHits of $hits true hits")
     assert(hits > 0, "no true hits at this sf — invariant tests are vacuous")
   }
+
+  test("an EMPTY benchmark slice keeps every document (NULL-bloom guard)") {
+    // Aggregating the bloom over zero rows yields NULL, and
+    // might_contain(NULL, x) is NULL — without the coalesce guard BOTH the
+    // !might and might branches would drop every row.  The contract is the
+    // exact-anti-join semantics: NOT IN over an empty set keeps everything.
+    graft.sentiment.GraftFunctions.register(spark)
+    val docs = corpus.cache()
+    val emptyBench = docs.filter(lit(false)).select(col("fp")).distinct()
+    val bloom = emptyBench
+      .agg(call_function("graft_bloom_agg", xxhash64(col("fp")),
+        lit(1L << 16), lit(1L << 22)).as("bf"))
+      .scalar()
+    val might = coalesce(
+      call_function("graft_bloom_might", bloom, xxhash64(col("fp"))), lit(false))
+    val kept = docs.filter(!might)
+      .unionByName(docs.filter(might)
+        .join(broadcast(emptyBench), Seq("fp"), "left_anti"))
+    val (total, keptN) = (docs.count(), kept.count())
+    docs.unpersist()
+    assert(total > 0, "corpus empty — test vacuous")
+    assert(keptN == total,
+      s"empty bench must keep all $total docs, kept $keptN — NULL-bloom guard broken")
+  }
 }

@@ -26,6 +26,26 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 
+def dtype_skews(got: pd.DataFrame, exp: pd.DataFrame):
+    """Columns where the DuckDB result dtype != the Spark parquet dtype.
+
+    The driver's value hash is dtype-sensitive even when values compare
+    equal — a windowed sum DuckDB types HUGEINT (surfacing as float64 or
+    object) against Spark's int64 broke a9 in round 6, and a float drift
+    broke q26 in round 3.  This lint catches the skew even when the
+    tolerant compare below passes."""
+    skews = []
+    for c in got.columns:
+        g, e = got[c].dtype, exp[c].dtype
+        if g == e:
+            continue
+        # both datetime after norm() coercion → fine
+        if pd.api.types.is_datetime64_any_dtype(got[c]) and \
+           pd.api.types.is_datetime64_any_dtype(exp[c]):
+            continue
+        skews.append((c, str(g), str(e)))
+    return skews
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -33,7 +53,7 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skew = 0
     for name in sorted(oracle):
         sql = oracle[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -48,6 +68,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols spark={list(got.columns)} duck={list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duck={len(exp)}"); n_fail += 1; continue
+        skews = dtype_skews(got, exp)
+        for c, g, e in skews:
+            print(f"SKEW {name}: col {c} spark={g} duck={e} "
+                  "(values may match but the driver's hash is dtype-sensitive)")
+        n_skew += len(skews)
         try:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
@@ -66,8 +91,8 @@ def main(sf_dir, out_dir):
             files = glob.glob(f"{d}/*.parquet")
             n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
             print(f"ROWS {name}: {n} rows {'(OK)' if n > 0 else '(EMPTY!)'}")
-    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracle)} oracled")
-    return 1 if n_fail else 0
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_skew} dtype-skew / {len(oracle)} oracled")
+    return 1 if (n_fail or n_skew) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
