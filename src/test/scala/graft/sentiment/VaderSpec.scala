@@ -168,15 +168,16 @@ class VaderSpec extends AnyFunSuite {
     assert(h < -0.3 && h == Vader.compound("careless polluters enraged the grieving town"))
   }
 
-  test("probe sweep: ≥2,000 words, ≥99% coverage, every zero policy-pinned, zero wrong signs") {
-    // The VERDICT-r3 bar: a probe of 2,000+ common sentiment-bearing
-    // words (ProbeWords — authored independently of the lexicon) must
-    // score nonzero for ≥95%.  Booster/negation probe words are RULE
+  test("probe sweep: ≥5,000 words, ≥99% coverage, every zero policy-pinned, zero wrong signs") {
+    // The VERDICT-r6 bar: a probe of 5,000+ common sentiment-bearing
+    // words (ProbeWords — authored from general English sentiment
+    // vocabulary, not from this repo's lexicon tables) must score
+    // nonzero for ≥99%.  Booster/negation probe words are RULE
     // words — VADER's published design scores them through the rule
     // machinery, never the lexicon — so they count as covered; the only
     // legitimate zeros are the deliberately-excluded ambiguous stems
     // (documented at extensionR4Positive).
-    assert(ProbeWords.all.size >= 2000, s"probe too small: ${ProbeWords.all.size}")
+    assert(ProbeWords.all.size >= 5000, s"probe too small: ${ProbeWords.all.size}")
     assert(ProbeWords.all.distinct.size == ProbeWords.all.size, "probe has duplicates")
     def ruleWord(w: String) = Vader.boosters.contains(w) || Vader.negations.contains(w)
     val zp = ProbeWords.positive.filterNot(ruleWord).filter(w => Vader.compound(w) == 0.0)

@@ -148,6 +148,67 @@ class AnomalySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("high-cardinality idle TTL: 10k keys' state plateaus, expires to the live set, re-arms") {
+    // The contract a 100 TB operator needs from idleTtlMs: state is
+    // bounded by the LIVE key set, not by every key ever seen.  Plant
+    // 10,000 one-window keys, let the TTL expire them, and assert the
+    // flatMapGroupsWithState state-store row count (the ring count) drops
+    // from ~10k to the handful of still-live keys — then wake an expired
+    // key and assert it re-arms from scratch (W fresh windows before any
+    // flag).  The metric is the gate: ring sizes here are 1 (< W), so
+    // flag outputs alone could not distinguish a dead TTL.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[AnomalyZscore.Event]
+    val flags = AnomalyZscore.anomalies(input.toDS(), windowSec = 60L,
+      watermarkDelay = "0 seconds", baselineWindows = 2,
+      idleTtlMs = Some(5L * 60000L))
+    val q = flags.writeStream.format("memory").queryName("anom_hc")
+      .outputMode(OutputMode.Append).start()
+    def ringRows(): Long = q.recentProgress.reverseIterator
+      .flatMap(_.stateOperators.filter(_.operatorName.contains("flatMapGroupsWithState")))
+      .map(_.numRowsTotal).buffered.headOption.getOrElse(-1L)
+    try {
+      val keys = (0 until 10000).map(i => s"k$i")
+      // phase 1: every key posts ONE event in w0; the driver key advances
+      // the watermark so w0 finalizes → one ring per key in the store
+      input.addData(keys.map(k => ev(k, "2024-01-01T12:00:00Z")): _*)
+      input.addData(ev("driver", "2024-01-01T12:01:30Z"))
+      q.processAllAvailable()
+      input.addData(ev("driver", "2024-01-01T12:02:30Z")) // finalize driver w1
+      q.processAllAvailable()
+      val armed = ringRows()
+      assert(armed >= 10000 && armed <= 10002,
+        s"expected ~10001 rings after arming, store has $armed")
+      // phase 2: watermark far past every deadAt (12:00:59.999 + 5 min),
+      // then one more batch so the event-time timeouts fire
+      input.addData(ev("driver", "2024-01-01T13:00:00Z"))
+      q.processAllAvailable()
+      input.addData(ev("driver", "2024-01-01T14:00:00Z"))
+      q.processAllAvailable()
+      val expired = ringRows()
+      assert(expired >= 0 && expired <= 2,
+        s"TTL did not shrink state to the live set: $expired rings remain " +
+          s"(was $armed) — ring count must track LIVE keys, not keys ever seen")
+      // phase 3: an expired key wakes with a huge window — it must be
+      // UNARMED (no flag), and flags again only after W fresh windows
+      input.addData(
+        (minuteOf("k42", "15:00", 90) ++ minuteOf("k42", "15:01", 5) ++
+          minuteOf("k42", "15:02", 5) ++ minuteOf("k42", "15:03", 40)): _*)
+      q.processAllAvailable()
+      input.addData(ev("driver", "2024-01-01T16:00:00Z"))
+      q.processAllAvailable()
+      val k42 = spark.table("anom_hc").collect()
+        .filter(_.getString(0) == "k42").map(r =>
+          (r.getTimestamp(1).toInstant.toString, r.getLong(2), r.getLong(3))).toSet
+      // 15:00 (n=90) unarmed → quiet; 15:02 vs {90,5} quiet; 15:03 vs
+      // {5,5}: lhs=2·40−10=70 → 4900 > 0 flags — the re-armed baseline is
+      // built ONLY from post-expiry windows
+      assert(k42 == Set(("2024-01-01T15:03:00Z", 40L, 10L)), s"got $k42")
+    } finally q.stop()
+  }
+
   test("the count ring survives a checkpointed restart") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
