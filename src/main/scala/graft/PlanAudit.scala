@@ -274,7 +274,19 @@ object PlanAudit {
         "least(element_at...) projection, no shuffle of candidates"),
     Expect("a10_heavy_hitters", "TakeOrderedAndProject",
       "top-15 by estimate is a per-partition heap + merge, not a global " +
-        "sort of the candidate set"))
+        "sort of the candidate set"),
+    // round-7 additions (a11 token-weighted length quantiles)
+    Expect("a11_weighted_quantiles", "ReadSchema: struct<text:string,source:string,n_chars:bigint>",
+      "the scan must prune documents to the 3 needed columns"),
+    Expect("a11_weighted_quantiles", "partial_sum(cast(size(split",
+      "token weights must map-side-combine in the (source, n_chars) " +
+        "groupBy — the one full-data shuffle carries one row per " +
+        "distinct (group, value) pair, never the corpus", maxCount = 1),
+    Expect("a11_weighted_quantiles", "hashpartitioning(", maxCount = 2,
+      why = "exactly 2 data shuffles: the value-collapse hash and one " +
+        "shared per-source exchange feeding BOTH windows AND the final " +
+        "conditional-min agg (no quantile join, only the ordered output " +
+        "range-partitions) — a 3rd means a window or the agg re-shuffled"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

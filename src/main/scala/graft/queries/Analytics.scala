@@ -419,8 +419,69 @@ object Analytics {
       "(custom TypedImperativeAggregate), broadcast point-estimates, " +
       "top-15 by estimate; FULL value oracle")
 
+  /** Weighted quantiles — the length-cutoff question a token-budgeted
+    * training pipeline actually asks: "which document length contains
+    * the q-th percentile of the corpus's TOKENS (not its documents)?"
+    * A plain length percentile (q16's shape) over-weights short docs;
+    * here each document votes with its token count, so p90 is the
+    * length below which 90% of trainable tokens live — the number a
+    * truncation/packing policy is tuned against.
+    *
+    * Definition (integer-exact on both engines): per source, the
+    * weighted q-quantile is the smallest `n_chars` v with
+    * `100·cumweight(v) ≥ q·totalweight`, ties merged by grouping on the
+    * value first so cumulative weight is well-defined. The threshold
+    * compare is pure int64 — no float quantile interpolation to drift.
+    *
+    * Scale shape: the heavy pass is the (source, n_chars) groupBy —
+    * map-side-combined, shuffle carries one row per distinct (group,
+    * value) pair, never the corpus. The windows then walk that
+    * collapsed relation (bounded by |sources|·|distinct lengths|, ~10⁵
+    * at any SF), and the final conditional-min agg needs no join —
+    * one pass, two shuffles total, both over collapsed relations. */
+  val a11WeightedQuantiles = NamedQuery(
+    "a11_weighted_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("w"))
+      val cumW = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("source"))
+      def firstCross(q: Int) =
+        min(when(col("cw") * 100 >= col("tw") * q, col("n_chars")))
+      byVal
+        .withColumn("cw", sum(col("w")).over(cumW))
+        .withColumn("tw", sum(col("w")).over(totW))
+        .groupBy(col("source"))
+        .agg(max(col("tw")).as("total_tokens"),
+          firstCross(25).as("p25"), firstCross(50).as("p50"),
+          firstCross(90).as("p90"))
+        .orderBy(col("source"))
+    },
+    Some(raw"""WITH byval AS (
+        SELECT source, n_chars,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+        GROUP BY source, n_chars),
+      cum AS (
+        SELECT source, n_chars,
+               CAST(sum(w) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+        FROM byval)
+      SELECT source, CAST(max(tw) AS BIGINT) AS total_tokens,
+             min(CASE WHEN cw * 100 >= tw * 25 THEN n_chars END) AS p25,
+             min(CASE WHEN cw * 100 >= tw * 50 THEN n_chars END) AS p50,
+             min(CASE WHEN cw * 100 >= tw * 90 THEN n_chars END) AS p90
+      FROM cum GROUP BY source ORDER BY source"""),
+    doc = "token-weighted length quantiles per source: smallest length " +
+      "holding >=q% of corpus tokens, exact integer threshold, FULL value oracle")
+
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,
     o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct,
-    a8TrendingBursts, a9AnomalyZscore, a10HeavyHitters)
+    a8TrendingBursts, a9AnomalyZscore, a10HeavyHitters, a11WeightedQuantiles)
 }
