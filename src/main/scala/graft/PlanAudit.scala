@@ -282,6 +282,24 @@ object PlanAudit {
       "token weights must map-side-combine in the (source, n_chars) " +
         "groupBy — the one full-data shuffle carries one row per " +
         "distinct (group, value) pair, never the corpus", maxCount = 1),
+    // round-7 additions (m6 audio QA, t19 encoding QA)
+    Expect("m6_audio_stats", "ReadSchema: struct<doc_id:bigint,text:string>",
+      "the audio-blob scan must prune documents to (doc_id, text)"),
+    Expect("m6_audio_stats", "TakeOrderedAndProject",
+      "worst-20 triage is a per-partition heap + merge over the decoded " +
+        "stats, never a global sort of the blob set"),
+    Expect("m6_audio_stats", "hashpartitioning(", present = false,
+      why = "the decode kernel is embarrassingly parallel over blobs — " +
+        "zero data shuffles (the top-k merges on the driver)"),
+    Expect("t19_encoding_qa", "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+      "the scan must prune documents to the 3 needed columns"),
+    Expect("t19_encoding_qa", "partial_count(1)",
+      "the damage counters must map-side-combine: the only data shuffle " +
+        "is the tiny per-source rollup, the char counting itself is " +
+        "scan-side codegen", maxCount = 1),
+    Expect("t19_encoding_qa", "hashpartitioning(", maxCount = 1,
+      why = "exactly 1 data shuffle (the per-source rollup) — the " +
+        "plant/count pipeline must stay scan-side"),
     Expect("a11_weighted_quantiles", "hashpartitioning(", maxCount = 2,
       why = "exactly 2 data shuffles: the value-collapse hash and one " +
         "shared per-source exchange feeding BOTH windows AND the final " +

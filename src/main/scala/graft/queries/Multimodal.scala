@@ -342,6 +342,94 @@ object Multimodal {
     doc = "perceptual-hash image near-dup: 28-pair-band (16-bit key) LSH " +
       "candidates + exact hamming<=6 verify over planted variants; never all-pairs")
 
+  // ---------------------------------------------------------------- m6
+  /** Per-sample audio QA row: all metrics exact integers. */
+  final case class AudioStats(doc_id: Long, n_samples: Long, silent: Long,
+      clipped: Long, peak: Long, energy: Long, active_frames: Long)
+
+  /** ======== STUB KERNEL (audio) ========
+    * Stands in for a real PCM decode (ffmpeg/libsndfile): each byte maps
+    * to a signed 8-bit sample via the affine spread `((b·31+7) mod 256) −
+    * 128` so the ASCII byte range exercises the full [−128, 127] sample
+    * space.  One pass computes the audio-curation signals a speech/audio
+    * corpus build filters on: silence (|s| ≤ 3), clipping (|s| ≥ 120 — the top ~2% of the reachable sample range),
+    * peak amplitude, total energy Σs², and 64-sample frame activity
+    * (frame energy > 64·5500 ≈ the mid-energy RMS cut) — everything a
+    * silence-trim / clipped-upload triage needs, all in int64 so the
+    * whole kernel replays in DuckDB. */
+  def audioStatsPartition(rows: Iterator[Blob]): Iterator[AudioStats] = {
+    val FrameLen = 64
+    val FrameEnergyCut = 64L * 5500L
+    rows.map { b =>
+      val n = b.bytes.length
+      var silent = 0L; var clipped = 0L; var peak = 0L; var energy = 0L
+      var frames = 0L; var frameE = 0L
+      var i = 0
+      while (i < n) {
+        val s = (((b.bytes(i) & 0xFF) * 31 + 7) % 256) - 128
+        val a = math.abs(s)
+        if (a <= 3) silent += 1
+        if (a >= 120) clipped += 1
+        if (a > peak) peak = a
+        energy += s.toLong * s
+        frameE += s.toLong * s
+        if (i % FrameLen == FrameLen - 1) { // full frame closed
+          if (frameE > FrameEnergyCut) frames += 1
+          frameE = 0L
+        }
+        i += 1
+      }
+      AudioStats(b.doc_id, n.toLong, silent, clipped, peak, energy, frames)
+    }
+  }
+
+  /** Audio QA triage — the audio-modality complement of m5's image dedup:
+    * decode every "audio" blob once (stub kernel above, same
+    * `mapPartitions`-on-typed-Dataset shape as m2 — the call signature a
+    * vectorized JNI decode would use) and surface the worst uploads:
+    * most clipped first, then loudest.  The kernel is embarrassingly
+    * parallel over blobs (zero shuffles before the final top-k), and the
+    * top-20 is a TakeOrderedAndProject heap, never a global sort.  Every
+    * metric is exact int64, so DuckDB replays the full decode→frame→rank
+    * pipeline: a FULL value oracle over the mapPartitions path. */
+  val m6AudioStats = NamedQuery(
+    "m6_audio_stats",
+    (s, dir) => {
+      import s.implicits._
+      blobs(s, dir).as[Blob]
+        .filter(col("media_type") === "audio")
+        .mapPartitions(audioStatsPartition)
+        .toDF()
+        .orderBy(col("clipped").desc, col("energy").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH audio AS (
+        SELECT doc_id, text FROM documents
+        WHERE text IS NOT NULL AND text <> '' AND CAST(doc_id % 3 AS INT) = 1),
+      s AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_samples,
+          list_transform(range(1, length(text) + 1),
+            k -> ((ascii(substr(text, CAST(k AS INT), 1)) * 31 + 7) % 256) - 128) AS smp
+        FROM audio),
+      m AS (
+        SELECT doc_id, n_samples,
+          CAST(len(list_filter(smp, x -> abs(x) <= 3)) AS BIGINT) AS silent,
+          CAST(len(list_filter(smp, x -> abs(x) >= 120)) AS BIGINT) AS clipped,
+          CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+          CAST(list_sum(list_transform(smp, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+          CAST(coalesce(list_sum(list_transform(
+            range(0, n_samples // 64),
+            f -> CASE WHEN list_sum(list_transform(
+                   range(f * 64 + 1, f * 64 + 65),
+                   k -> CAST(smp[k] AS BIGINT) * smp[k])) > 64 * 5500
+                 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS active_frames
+        FROM s)
+      SELECT doc_id, n_samples, silent, clipped, peak, energy, active_frames
+      FROM m ORDER BY clipped DESC, energy DESC, doc_id LIMIT 20"""),
+    doc = "audio QA triage: stub PCM decode via mapPartitions, per-sample " +
+      "silence/clipping/peak/energy + 64-sample frame activity, worst-20 " +
+      "ranking; FULL value oracle over the kernel path")
+
   def all: Seq[NamedQuery] = Seq(m1BlobMetadata, m2DecodeFeatures, m3FrameSample,
-    m4ResizeBatches, m5PhashDedup)
+    m4ResizeBatches, m5PhashDedup, m6AudioStats)
 }

@@ -1261,12 +1261,93 @@ object TextOps {
     doc = "asymmetric containment near-dup pairs (|A∩B| / min size ≥ 0.8): " +
       "catches short-doc-inside-long-doc copies symmetric Jaccard misses")
 
+  /** Planted encoding damage (t11's plant-then-find convention): the
+    * corpus is clean ASCII at every SF, so deterministic doc_id-keyed
+    * suffixes emulate the four corruption modes an ingest QA triages —
+    * mojibake (UTF-8 é/è/â decoded as Latin-1 then re-encoded: the
+    * telltale 'Ã' lead), U+FFFD replacement chars (lossy transcode),
+    * C0 control bytes (binary bleed-through), and a mid-document BOM
+    * (concatenation artifact). */
+  private def plantEncoding(text: Column, id: Column): Column = concat(text,
+    when(id % 7 === 0, lit(" r\u00c3\u00a9sum\u00c3\u00a9")).otherwise(lit("")),
+    when(id % 11 === 0, lit(" data\ufffd\ufffdloss")).otherwise(lit("")),
+    when(id % 13 === 0, lit(" bin\u0001\u0002dump")).otherwise(lit("")),
+    when(id % 17 === 0, lit(" join\ufeffseam")).otherwise(lit("")))
+
+  private val plantEncodingSql: String =
+    """text ||
+       CASE WHEN doc_id % 7 = 0 THEN ' r' || chr(195) || chr(169) || 's'
+            || 'um' || chr(195) || chr(169) ELSE '' END ||
+       CASE WHEN doc_id % 11 = 0 THEN ' data' || chr(65533) || chr(65533)
+            || 'loss' ELSE '' END ||
+       CASE WHEN doc_id % 13 = 0 THEN ' bin' || chr(1) || chr(2) || 'dump'
+            ELSE '' END ||
+       CASE WHEN doc_id % 17 = 0 THEN ' join' || chr(65279) || 'seam'
+            ELSE '' END"""
+
+  /** Encoding QA — the ingest-time triage every web-scale text pipeline
+    * runs before tokenization: count the four classic corruption
+    * signatures per document and roll damage rates up per source.  Pure
+    * `length`/`replace`/`regexp_replace` builtins — scan-side, inside
+    * whole-stage codegen, embarrassingly parallel (the only shuffle is
+    * the tiny per-source rollup).  Char-count deltas make every signal
+    * an exact integer, so the whole pass (plant → count → rollup) is
+    * value-oracled in DuckDB.  Both engines count CHARACTERS (not
+    * bytes), so the planted multi-byte damage tallies identically. */
+  val t19EncodingQa = NamedQuery(
+    "t19_encoding_qa",
+    (s, dir) => {
+      def hits(c: Column, needle: String) =
+        length(c) - length(regexp_replace(c, needle, ""))
+      val planted = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .withColumn("t", plantEncoding(col("text"), col("doc_id")))
+        .withColumn("moji", hits(col("t"), "\u00c3"))
+        .withColumn("repl", hits(col("t"), "\ufffd"))
+        .withColumn("ctrl", hits(col("t"), "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+        .withColumn("bom", hits(col("t"), "\ufeff"))
+      planted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("moji") > 0).cast("long")).as("moji_docs"),
+          sum((col("repl") > 0).cast("long")).as("repl_docs"),
+          sum((col("ctrl") > 0).cast("long")).as("ctrl_docs"),
+          sum((col("bom") > 0).cast("long")).as("bom_docs"),
+          sum(col("moji") + col("repl") + col("ctrl") + col("bom"))
+            .as("damage_chars"),
+          sum(when(col("moji") + col("repl") + col("ctrl") + col("bom") === 0, 1L)
+            .otherwise(0L)).as("clean_docs"))
+        .orderBy(col("source"))
+    },
+    Some(raw"""WITH planted AS (
+        SELECT source, $plantEncodingSql AS t
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      hits AS (
+        SELECT source,
+          length(t) - length(replace(t, chr(195), '')) AS moji,
+          length(t) - length(replace(t, chr(65533), '')) AS repl,
+          length(t) - length(regexp_replace(t,
+            '[\x01-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS ctrl,
+          length(t) - length(replace(t, chr(65279), '')) AS bom
+        FROM planted)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(CASE WHEN moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS moji_docs,
+        CAST(sum(CASE WHEN repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS repl_docs,
+        CAST(sum(CASE WHEN ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ctrl_docs,
+        CAST(sum(CASE WHEN bom > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bom_docs,
+        CAST(sum(moji + repl + ctrl + bom) AS BIGINT) AS damage_chars,
+        CAST(sum(CASE WHEN moji + repl + ctrl + bom = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS clean_docs
+      FROM hits GROUP BY source ORDER BY source"""),
+    doc = "encoding QA: mojibake/U+FFFD/control-char/BOM detection over " +
+      "planted corruption, per-source damage rollup; scan-side codegen, " +
+      "FULL value oracle")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
     t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
-    t15TypoPairs,
+    t15TypoPairs, t19EncodingQa,
     d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
     c2Contamination, c7NgramDecontamination)
 }
