@@ -282,6 +282,22 @@ object PlanAudit {
       "token weights must map-side-combine in the (source, n_chars) " +
         "groupBy — the one full-data shuffle carries one row per " +
         "distinct (group, value) pair, never the corpus", maxCount = 1),
+    // round-7 additions (a12 KS drift, s9 ANN recall harness)
+    Expect("a12_distribution_drift", "ReadSchema: struct<ts:timestamp,event_type:string,value:double>",
+      "the drift scan must prune events to the 3 needed columns"),
+    Expect("a12_distribution_drift", "partial_sum(CASE WHEN (period",
+      "the per-period counters must map-side-combine in the (type, " +
+        "value) collapse — the one full-data shuffle carries one row per " +
+        "distinct triple, never raw events (2 = the d0+d1 counter pair " +
+        "in the one partial aggregate)", maxCount = 2),
+    Expect("a12_distribution_drift", "hashpartitioning(", maxCount = 2,
+      why = "exactly 2 data shuffles: the (type, value) collapse and one " +
+        "per-type exchange shared by the KS windows and the final max " +
+        "agg — the 1-row midpoint joins in as a broadcast"),
+    Expect("s9_ann_recall", "SortMergeJoin", present = false,
+      why = "every harness join (ground truth, per-tier hits, per-tier " +
+        "counts) is over <=k*|queries| rows and must broadcast — an SMJ " +
+        "means a tiny relation got shuffled"),
     // round-7 additions (m6 audio QA, t19 encoding QA)
     Expect("m6_audio_stats", "ReadSchema: struct<doc_id:bigint,text:string>",
       "the audio-blob scan must prune documents to (doc_id, text)"),

@@ -480,8 +480,88 @@ object Analytics {
     doc = "token-weighted length quantiles per source: smallest length " +
       "holding >=q% of corpus tokens, exact integer threshold, FULL value oracle")
 
+  /** Distribution drift — the train/serving-skew monitor every deployed
+    * pipeline needs: has the DISTRIBUTION of a metric changed between
+    * two periods, not just its mean (a9 catches level shifts; a bimodal
+    * split or variance blow-up leaves the mean untouched and a9 silent)?
+    *
+    * The statistic is the two-sample Kolmogorov–Smirnov distance run
+    * entirely on the integer grid: with per-period counts n₀, n₁ and
+    * cumulative counts c₀(v), c₁(v) walked over the merged distinct
+    * values, D·n₀·n₁ = max |c₀(v)·n₁ − c₁(v)·n₀| — exact int64 (counts
+    * ≤ ~10⁹ per period per type before the product nears 2⁶³), reported
+    * in basis points as D_bp = scaled·10⁴ div (n₀·n₁).  No CDF floats,
+    * no p-value approximation — both engines agree bit-for-bit.
+    *
+    * Periods: the table's own [min ts, max ts] midpoint (computed as a
+    * 1-row aggregate that broadcasts) — deterministic and
+    * parameter-free.  Types with an empty period are excluded (KS
+    * undefined; their drift signal is a8/a9's volume alarms).
+    *
+    * Scale shape: one map-side-combined (type, period, value) collapse
+    * shuffles one row per distinct triple; the KS walk is a window over
+    * the collapsed per-type relation (|types|·|distinct values| rows).
+    * At a truly continuous 100 TB metric the collapse pre-buckets
+    * values into quantile bins first — same plan, bounded width. */
+  val a12DistributionDrift = NamedQuery(
+    "a12_distribution_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg((min(col("us")) + max(col("us"))).as("minmax"))
+      val counted = ev.crossJoin(broadcast(mid))
+        .withColumn("period", (col("us") * 2 > col("minmax")).cast("int"))
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("period") === 1, 1L).otherwise(0L)).as("d1"))
+      val cum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("event_type"))
+      counted
+        .withColumn("c0", sum(col("d0")).over(cum))
+        .withColumn("c1", sum(col("d1")).over(cum))
+        .withColumn("n0", sum(col("d0")).over(tot))
+        .withColumn("n1", sum(col("d1")).over(tot))
+        .filter(col("n0") > 0 && col("n1") > 0)
+        .groupBy(col("event_type"))
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(abs(col("c0") * col("n1") - col("c1") * col("n0"))).as("ks_scaled"))
+        .withColumn("ks_bp",
+          expr("(ks_scaled * 10000) div (n0 * n1)"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ev AS (
+        SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE value IS NOT NULL),
+      mid AS (SELECT min(us) + max(us) AS minmax FROM ev),
+      counted AS (
+        SELECT event_type, value,
+          CAST(sum(CASE WHEN us * 2 <= minmax THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+          CAST(sum(CASE WHEN us * 2 > minmax THEN 1 ELSE 0 END) AS BIGINT) AS d1
+        FROM ev CROSS JOIN mid GROUP BY event_type, value),
+      walked AS (
+        SELECT event_type,
+          CAST(sum(d0) OVER cum AS BIGINT) AS c0,
+          CAST(sum(d1) OVER cum AS BIGINT) AS c1,
+          CAST(sum(d0) OVER tot AS BIGINT) AS n0,
+          CAST(sum(d1) OVER tot AS BIGINT) AS n1
+        FROM counted
+        WINDOW cum AS (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               tot AS (PARTITION BY event_type))
+      SELECT event_type, max(n0) AS n0, max(n1) AS n1,
+        CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS ks_scaled,
+        CAST(max(abs(c0 * n1 - c1 * n0)) * 10000 // (max(n0) * max(n1)) AS BIGINT) AS ks_bp
+      FROM walked WHERE n0 > 0 AND n1 > 0
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "two-sample KS distribution drift per event_type between the " +
+      "table's calendar halves, exact integer D*n0*n1 statistic in basis " +
+      "points; FULL value oracle")
+
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,
     o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct,
-    a8TrendingBursts, a9AnomalyZscore, a10HeavyHitters, a11WeightedQuantiles)
+    a8TrendingBursts, a9AnomalyZscore, a10HeavyHitters, a11WeightedQuantiles,
+    a12DistributionDrift)
 }

@@ -61,6 +61,58 @@ class LiveHeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch counters survive a checkpointed restart") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val cp = java.nio.file.Files.createTempDirectory("lhh-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("lhh-out").toString
+    val in = java.nio.file.Files.createTempDirectory("lhh-in").toString
+    def writeLines(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes)
+    def start() = LiveHeavyHitters.sketch(
+      spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").json(in)
+        .as[LiveHeavyHitters.Event], windowSec = 60L)
+      .writeStream.format("json")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append).start()
+
+    // run 1: w0 holds user 7 ×3; the 12:01 row advances the watermark to
+    // finalize it — 3 counts land in the STATE — then STOP.
+    val q1 = start()
+    try {
+      writeLines("b0.json", Seq(
+        """{"user_id": 7, "ts": "2024-01-01 12:00:01"}""",
+        """{"user_id": 7, "ts": "2024-01-01 12:00:02"}""",
+        """{"user_id": 7, "ts": "2024-01-01 12:00:03"}"""))
+      q1.processAllAvailable()
+      writeLines("b1.json", Seq("""{"user_id": 7, "ts": "2024-01-01 12:01:30"}"""))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: finalize w1 (the 12:01 event) with a far sentinel.  The
+    // folded counters must show 4 total for user 7's buckets — w0's 3
+    // crossed the stop inside the state store; had state been lost the
+    // restart would report only w1's single count.
+    val q2 = start()
+    try {
+      writeLines("b2.json", Seq("""{"user_id": 999, "ts": "2024-01-01 14:00:00"}"""))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val latest = spark.read
+      .schema("i INT, upto TIMESTAMP, counters ARRAY<BIGINT>")
+      .json(out).collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getSeq[Long](2)))
+      .groupBy(_._1).map { case (i, rs) => i -> rs.maxBy(_._2)._3 }
+    assert(latest.keySet == (0 until CmsD).toSet, s"rows: ${latest.keySet}")
+    (0 until CmsD).foreach { i =>
+      assert(latest(i).sum == 4 && latest(i)(bkt(7, i)) >= 4,
+        s"row $i lost pre-restart counts: total=${latest(i).sum}, " +
+          s"bkt(7)=${latest(i)(bkt(7, i))} (want 4)")
+    }
+  }
+
   test("a replayed duplicate window is dropped whole (restart idempotence)") {
     // Feed the stage-2 fold directly: the guard drops any window whose
     // start is <= the newest folded one, so re-delivered deltas (a
