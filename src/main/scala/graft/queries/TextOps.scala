@@ -1342,12 +1342,166 @@ object TextOps {
       "planted corruption, per-source damage rollup; scan-side codegen, " +
       "FULL value oracle")
 
+  // ---------------------------------------------------------------- t20
+  /** Number of BPE merge rounds trained by t20 (vocab-size knob). */
+  private val BpeRounds = 8
+
+  /** One unrolled DuckDB stage of the BPE trainer (mirrors the Spark
+    * loop body below; `MATERIALIZED` because each stage's relations are
+    * referenced several times and naive CTE inlining explodes
+    * exponentially across 8 stages). */
+  private def bpeStageSql(k: Int): String = s"""
+  adj$k AS MATERIALIZED (SELECT doc_id, seq, tok,
+    lead(tok) OVER (PARTITION BY doc_id ORDER BY seq) AS ntok FROM occ$k),
+  cnt$k AS (SELECT tok AS l, ntok AS r, count(*) AS c FROM adj$k
+    WHERE ntok IS NOT NULL GROUP BY tok, ntok),
+  best$k AS MATERIALIZED (SELECT l, r, c FROM cnt$k ORDER BY c DESC, l, r LIMIT 1),
+  cand$k AS (SELECT a.doc_id, a.seq FROM adj$k a
+    JOIN best$k b ON a.tok = b.l AND a.ntok = b.r),
+  kept$k AS MATERIALIZED (SELECT doc_id, seq FROM (
+      SELECT doc_id, seq, row_number() OVER (
+        PARTITION BY doc_id, seq - rn ORDER BY seq) AS pick
+      FROM (SELECT doc_id, seq, row_number() OVER (
+              PARTITION BY doc_id ORDER BY seq) AS rn FROM cand$k) t) u
+    WHERE pick % 2 = 1),
+  merged$k AS (SELECT o.doc_id, o.seq,
+      CASE WHEN km.seq IS NOT NULL
+           THEN o.tok || (SELECT r FROM best$k) ELSE o.tok END AS tok,
+      CASE WHEN kd.seq IS NOT NULL THEN 1 ELSE 0 END AS del
+    FROM occ$k o
+    LEFT JOIN kept$k km ON km.doc_id = o.doc_id AND km.seq = o.seq
+    LEFT JOIN kept$k kd ON kd.doc_id = o.doc_id AND kd.seq = o.seq - 1),
+  occ${k + 1} AS MATERIALIZED (SELECT doc_id,
+      row_number() OVER (PARTITION BY doc_id ORDER BY seq) AS seq, tok
+    FROM merged$k WHERE del = 0)"""
+
+  /** BPE tokenizer TRAINING — not applying a fixed vocabulary (t6/t13/t17
+    * do that) but LEARNING one from the corpus: the iterative
+    * count-pairs → take-argmax → merge loop of Sennrich et al. (ACL
+    * 2016, public literature), run at word granularity for `BpeRounds`
+    * rounds on a deterministic 5% id-sample (tokenizer training on a
+    * corpus sample is standard practice — the sample just has to be
+    * reproducible, same rule both engines).  Output: the learned merge
+    * table (rank, pair, support) — the artifact a tokenizer ships.
+    *
+    * The whole trainer is DECLARATIVE — no driver-side collect anywhere:
+    * each round's argmax is a 1-row relation broadcast back into the
+    * plan, and the merge application is pure running-window arithmetic.
+    * Greedy left-to-right non-overlap (the one subtle BPE rule: in
+    * `a a a` the pair `(a,a)` merges positions 1–2, not 2–3) is resolved
+    * windowed: overlapping candidates only arise in maximal chains of
+    * CONSECUTIVE candidate positions (possible only when left = right),
+    * and the greedy choice is exactly every other chain member — Spark
+    * keeps `(seq − chain_start) even` via one running max; the oracle
+    * keeps odd `row_number` within `seq − rn` islands; both select the
+    * same set (alternate members of each maximal run).
+    *
+    * Scale shape: the occurrence relation partitions by doc_id ONCE;
+    * every per-round window (adjacency, candidate flags, chain starts,
+    * re-sequencing) reuses that partitioning with in-partition sorts,
+    * so a round's only data shuffle is the map-side-combined pair-count
+    * aggregate — whose width is the PAIR VOCABULARY, not the corpus.
+    * Round k+1's plan consumes round k's persisted occurrences (the
+    * propagateLabels lineage-cut pattern); K rounds = K tiny shuffles +
+    * K in-place window passes over the sample. */
+  val t20BpeTrain = NamedQuery(
+    "t20_bpe_train",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // AQE must be OFF while this plan is CONSTRUCTED: with AQE on,
+      // even a lazy localCheckpoint's execute() materializes every
+      // adaptive query stage eagerly — action jobs at construction,
+      // violating the zero-jobs contract.  Non-adaptive execute() just
+      // builds the RDD chain lazily; the conf is restored immediately
+      // (try/finally), and the OUTER query still runs under whatever
+      // the session has — only the checkpointed inner rounds (small,
+      // fixed-shape shuffles that AQE would not improve) are pinned
+      // non-adaptive.
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqePrior = s.conf.getOption(aqeKey)
+      s.conf.set(aqeKey, "false")
+      try {
+      val wCum = Window.partitionBy(col("doc_id")).orderBy(col("seq"))
+      // One PERSISTED relation per round: the adjacency view (occ + next
+      // token + dense row index, all from a single window pass).  Both
+      // consumers of a round — the argmax job and the merge application —
+      // read the cached blocks, so a round materializes the sample once.
+      // Lineage truncation per round, all LAZY: re-wrap the round's
+      // relation as a fresh LogicalRDD (createDataFrame over its .rdd —
+      // no job with AQE off; even a lazy localCheckpoint launches one)
+      // and persist the wrapper so the round's two consumers (argmax
+      // job, merge application) and the next round share one
+      // materialization.  Without the truncation the k-th round's plan
+      // nests k crossJoin+window subtrees and Catalyst re-optimization
+      // of the growing tree dominates wall time (measured min-of-2:
+      // 21 s → ~3 s at sf0.1).
+      def adjacency(occ: org.apache.spark.sql.DataFrame) = {
+        val computed = occ
+          .withColumn("ntok", lead(col("tok"), 1).over(wCum))
+          .withColumn("rn", row_number().over(wCum))
+        s.createDataFrame(computed.rdd, computed.schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      var adj = adjacency(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "" &&
+          col("doc_id") % 20 === 0)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("seq", "tok")))
+        .repartition(col("doc_id")))
+      val bests = (1 to BpeRounds).map { k =>
+        val best = adj.filter(col("ntok").isNotNull)
+          .groupBy(col("tok").as("l"), col("ntok").as("r"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        // chain arithmetic rides the DENSE row index rn (seq keeps gaps
+        // after deletions but rn re-derives densely every round):
+        // candidates overlapping = consecutive rn, greedy = even offset
+        // from the chain start.
+        val flagged = adj.crossJoin(broadcast(best))
+          .withColumn("cand", col("tok") === col("l") && col("ntok") === col("r"))
+          .withColumn("chain_start", max(when(col("cand") &&
+            !coalesce(lag(col("cand"), 1).over(wCum), lit(false)), col("rn")))
+            .over(wCum))
+          .withColumn("is_m",
+            col("cand") && (col("rn") - col("chain_start")) % 2 === 0)
+          .withColumn("is_d", coalesce(lag(col("is_m"), 1).over(wCum), lit(false)))
+        adj = adjacency(flagged.filter(!col("is_d"))
+          .select(col("doc_id"), col("seq"),
+            when(col("is_m"), concat(col("tok"), col("r")))
+              .otherwise(col("tok")).as("tok")))
+        best.select(lit(k).as("merge_rank"), col("l").as("left_tok"),
+          col("r").as("right_tok"), col("c").cast("long").as("pair_count"))
+      }
+      bests.reduce(_ unionAll _).orderBy(col("merge_rank"))
+      } finally aqePrior match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None => s.conf.unset(aqeKey)
+      }
+    },
+    Some {
+      val stages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
+      val unions = (0 until BpeRounds).map(k =>
+        s"SELECT $k + 1 AS merge_rank, l AS left_tok, r AS right_tok, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM best$k").mkString(" UNION ALL ")
+      raw"""WITH tok0 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
+        FROM documents
+        WHERE text IS NOT NULL AND text <> '' AND doc_id % 20 = 0),
+      occ0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM tok0),$stages
+      SELECT CAST(merge_rank AS INT) AS merge_rank, left_tok, right_tok, pair_count
+      FROM ($unions) ORDER BY merge_rank"""
+    },
+    doc = "BPE tokenizer training (8 merge rounds, 5% id-sample): " +
+      "declarative count->argmax->merge loop, broadcast 1-row argmax, " +
+      "windowed greedy non-overlap, one doc_id partitioning throughout; " +
+      "FULL value oracle via unrolled materialized stages")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
     t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
-    t15TypoPairs, t19EncodingQa,
+    t15TypoPairs, t19EncodingQa, t20BpeTrain,
     d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
     c2Contamination, c7NgramDecontamination)
 }

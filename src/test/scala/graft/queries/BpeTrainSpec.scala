@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** t20's trainer pinned against a THIRD implementation (the
+  * SemDedupRecountSpec pattern): a plain-Scala greedy BPE loop over a
+  * planted corpus, with the same argmax tie-break (count desc, left asc,
+  * right asc) and the same greedy left-to-right non-overlap rule.  The
+  * corpus plants the one subtle case — an odd run of equal tokens, where
+  * `(a,a)` over `a a a a a` must merge positions 1–2 and 3–4 and leave
+  * the 5th — and a decoy document OUTSIDE the 5% id-sample that would
+  * change the learned merges if the sample filter leaked. */
+class BpeTrainSpec extends SparkSpec {
+
+  /** Reference trainer: greedy left-to-right merges, word granularity. */
+  private def referenceTrain(docs: Seq[Seq[String]], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var cur = docs
+    (1 to rounds).flatMap { k =>
+      val counts = cur.flatMap(d => d.zip(d.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      if (counts.isEmpty) None
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        cur = cur.map { d =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < d.length) {
+            if (i + 1 < d.length && d(i) == l && d(i + 1) == r) { out += (l + r); i += 2 }
+            else { out += d(i); i += 1 }
+          }
+          out.toList
+        }
+        Some((k, l, r, c))
+      }
+    }
+  }
+
+  test("learned merge table == plain-Scala greedy BPE on a planted corpus") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-train").toString
+    // sampled docs: doc_id % 20 == 0.  Doc 40 plants the odd equal-token
+    // run; doc 60 re-uses a merged token as the LEFT side of a later
+    // merge (merge-of-merge).
+    val sampled = Seq(
+      0L -> "the quick fox jumps over the quick fox again and again",
+      20L -> "the quick fox sleeps while the quick fox runs",
+      40L -> "ha ha ha ha ha boom boom boom",
+      60L -> "the quick fox the quick fox the quick fox",
+      80L -> "over and over and over and out")
+    // decoy OUTSIDE the sample: would dominate every merge if included
+    val decoy = Seq(7L -> ("zz yy " * 40).trim)
+    val rows = (sampled ++ decoy).map { case (id, text) =>
+      (id, text, "en", "s0", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val expected = referenceTrain(
+      sampled.map(_._2.split("\\s+").toSeq), rounds = 8)
+    val got = TextOps.t20BpeTrain.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"merge tables diverge:\n got=$got\n want=$expected")
+    // the decoy pair must not have been learned (sample filter held)
+    assert(!got.exists(m => m._2.contains("zz") || m._3.contains("yy")),
+      s"decoy document leaked into the training sample: $got")
+  }
+}
