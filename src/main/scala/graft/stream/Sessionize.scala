@@ -12,19 +12,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the capability tier above the built-in windowed aggregates: state is one
   * small record per active user key, partitioned by the grouping key, so it
   * scales horizontally with the state store.  The batch analog (identical
-  * session definition) is the oracle-checked `q15_sessionization`.
-  */
+  * session definition) is the oracle-checked `q15_sessionization`, and
+  * `SessionizeParitySpec` pins live ≡ batch on the real events table.
+  *
+  * All session arithmetic runs in exact integer MICROseconds (the
+  * repo-wide event-time convention, `README.md` conventions table) — the
+  * original millisecond form truncated `Timestamp` sub-ms digits, which
+  * can flip a `gap > 30 min` comparison against the µs-exact batch
+  * query on µs-resolution data.  Only the state-timeout registration
+  * rounds (up, +1 ms): the timeout decides WHEN the final open session
+  * flushes, never its contents. */
 object Sessionize {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  /** Open session in µs since epoch. */
   final case class SessionState(start: Long, end: Long, n: Int)
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
 
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def toTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
   def sessionize(events: Dataset[Ev], gapSec: Long = 1800L)
       (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
-    val gapMs = gapSec * 1000L
+    val gapUs = gapSec * 1000000L
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -35,18 +52,15 @@ object Sessionize {
             // watermark passed end+gap: the open session is final
             val s = state.get
             state.remove()
-            Iterator(Session(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n))
+            Iterator(Session(user, toTs(s.start), toTs(s.end), s.n))
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val sorted = batch.toSeq.map(e => micros(e.ts)).sorted
             val closed = Seq.newBuilder[Session]
             var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
+            sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.end > gapMs =>
-                  closed += Session(user, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n)
+                case Some(s) if t - s.end > gapUs =>
+                  closed += Session(user, toTs(s.start), toTs(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case Some(s) =>
                   cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
@@ -57,7 +71,8 @@ object Sessionize {
             cur match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.end + gapMs)
+                // ms-rounded UP so the µs-exact deadline is always covered
+                state.setTimeoutTimestamp(Math.floorDiv(s.end + gapUs, 1000L) + 1L)
               case None => ()
             }
             closed.result().iterator
