@@ -78,16 +78,19 @@ object Bench {
     }
     val results = runs.map { case (name, times) => name -> times.min }
     // Cache-on curation tier (opt-out: SPARK_GRAFT_BENCH_DUPGRAPH_TIER=0):
-    // c1/d6/d9 — the three slowest clean queries — rebuild an identical
-    // ≥0.5 Jaccard dup graph per query under the gate's per-query
-    // isolation.  This section re-runs them as ONE session with
-    // spark.graft.dupgraph.cache=true (results proven identical by
-    // DupGraphCacheSpec), so the artifact carries both numbers: the
-    // isolated mins above, and the shared-graph composition a real
-    // curation pipeline would run.  Single pass, deliberately not
-    // min-of-N: the first query pays the one graph build, the rest reuse
-    // it — min-of-N repeats would report a fully-warm second pass.
-    val tierNames = Seq("c1_corpus_curation", "d6_dup_clusters", "d9_cluster_canonical")
+    // c1/d6/d9/d13 — the slowest clean queries — each rebuild the same
+    // ≥0.5 Jaccard pair relation (and c1/d6/d9 the graph over it) under
+    // the gate's per-query isolation.  This section re-runs them as ONE
+    // session with spark.graft.dupgraph.cache=true (results proven
+    // identical by DupGraphCacheSpec), so the artifact carries both
+    // numbers: the isolated mins above, and the shared-graph composition
+    // a real curation pipeline would run — d13 last, auditing the SAME
+    // persisted pair relation the graph consumed.  Single pass,
+    // deliberately not min-of-N: the first query pays the one build, the
+    // rest reuse it — min-of-N repeats would report a fully-warm second
+    // pass.
+    val tierNames = Seq("c1_corpus_curation", "d6_dup_clusters", "d9_cluster_canonical",
+      "d13_banding_recall")
     val cacheTier: Option[Seq[(String, Double)]] =
       if (sys.env.get("SPARK_GRAFT_BENCH_DUPGRAPH_TIER").contains("0")) None
       else Some {

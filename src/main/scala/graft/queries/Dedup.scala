@@ -445,11 +445,42 @@ object Dedup {
       (org.apache.spark.sql.SparkSession, String, Int, String),
       org.apache.spark.sql.DataFrame]()
 
-  /** Drops memoized dup graphs.  The cut blocks inside the dropped plans
-    * are reclaimed by Spark's ContextCleaner once the DataFrames are
-    * garbage-collected (unpersisting here by hand could pull blocks out
-    * from under an in-flight query that still holds the plan). */
-  def clearDupGraphCache(): Unit = dupGraphMemo.clear()
+  /** Session-scoped memo for the ≥0.5 exact global Jaccard PAIR relation
+    * itself (same opt-in conf as the labels memo): the pair generation is
+    * the dominant shared cost of the whole dedup tier — c1/d6/d9 build
+    * their graph on it and d13 audits against it — so under
+    * `spark.graft.dupgraph.cache` the pair plan is memoized AND persisted
+    * (MEMORY_AND_DISK: the pair relation is small, but must spill rather
+    * than OOM on a pathological corpus), materializing once per session
+    * for every consumer.  `ccRounds` is deliberately NOT in this key —
+    * it shapes propagation, not pair generation. */
+  private val dupPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, String),
+      org.apache.spark.sql.DataFrame]()
+
+  /** Drops memoized dup graphs and pair relations.  The cut blocks inside
+    * the dropped plans are reclaimed by Spark's ContextCleaner once the
+    * DataFrames are garbage-collected (unpersisting here by hand could
+    * pull blocks out from under an in-flight query that still holds the
+    * plan). */
+  def clearDupGraphCache(): Unit = { dupGraphMemo.clear(); dupPairsMemo.clear() }
+
+  /** The ≥0.5 exact global Jaccard pairs, cache-aware — the shared input
+    * of [[clusterLabels]] and the d13 audit.  Per-query isolation by
+    * default; one persisted materialization per session under the cache
+    * conf (keying discipline as [[clusterLabels]]: every conf that shapes
+    * the build is part of the key). */
+  def dupPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val prefixConf =
+      s.conf.getOption("spark.graft.jaccard.prefixFilter").getOrElse("auto")
+    def build() = TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
+      .select(col("doc_a"), col("doc_b"))
+    if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean))
+      dupPairsMemo.computeIfAbsent((s, dir, prefixConf),
+        _ => build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else build()
+  }
 
   /** Unordered (doc_id, cluster_id) component labels over the ≥0.5 exact
     * global Jaccard graph — the d6 query body, reusable by composed
@@ -482,9 +513,7 @@ object Dedup {
       // frequent shingles is the one thing that wouldn't survive 100 TB
       // (both provably identical to the recursive-CTE oracle's pair set —
       // equivalence spec-tested in both scopes)
-      val pairs = TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
-        .select(col("doc_a"), col("doc_b"))
-      propagateLabels(s, pairs, ccRounds)
+      propagateLabels(s, dupPairs(s, dir), ccRounds)
     }
     if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean))
       // build() only CONSTRUCTS the plan (zero-jobs-at-construction
@@ -676,8 +705,7 @@ object Dedup {
   val d13BandingRecall = NamedQuery(
     "d13_banding_recall",
     (s, dir) => {
-      val exact = TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
-        .select(col("doc_a"), col("doc_b"))
+      val exact = dupPairs(s, dir)
       val banded = d3MinHashLsh.fn(s, dir).select(col("doc_a"), col("doc_b"))
       val hits = banded.join(exact, Seq("doc_a", "doc_b"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))

@@ -12,7 +12,8 @@ import graft.{SparkEntry, SparkSpec}
   * actually hits (same plan object back). */
 class DupGraphCacheSpec extends SparkSpec {
 
-  private val consumers = Seq("d6_dup_clusters", "d9_cluster_canonical", "c1_corpus_curation")
+  private val consumers = Seq("d6_dup_clusters", "d9_cluster_canonical",
+    "c1_corpus_curation", "d13_banding_recall")
   private val confKey = "spark.graft.dupgraph.cache"
 
   test("cache on ≡ cache off for d6/d9/c1, and the memo hits") {
@@ -27,6 +28,8 @@ class DupGraphCacheSpec extends SparkSpec {
       // memo hit: the second lookup returns the very same plan object
       val first = Dedup.clusterLabels(spark, sf())
       assert(Dedup.clusterLabels(spark, sf()) eq first, "dup-graph memo did not hit")
+      val firstPairs = Dedup.dupPairs(spark, sf())
+      assert(Dedup.dupPairs(spark, sf()) eq firstPairs, "dup-pairs memo did not hit")
       consumers.foreach { name =>
         val on = SparkEntry.queries(name)(spark, sf()).collect().map(_.toString).toSeq
         assert(on == off(name), s"$name differs with $confKey=true")
