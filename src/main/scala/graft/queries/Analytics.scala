@@ -490,7 +490,8 @@ object Analytics {
     * cumulative counts c₀(v), c₁(v) walked over the merged distinct
     * values, D·n₀·n₁ = max |c₀(v)·n₁ − c₁(v)·n₀| — exact int64 (counts
     * ≤ ~10⁹ per period per type before the product nears 2⁶³), reported
-    * in basis points as D_bp = scaled·10⁴ div (n₀·n₁).  No CDF floats,
+    * in basis points as D_bp = scaled·10⁴ div (n₀·n₁), the product run
+    * in decimal(38) so the 10⁴ step cannot overflow int64.  No CDF floats,
     * no p-value approximation — both engines agree bit-for-bit.
     *
     * Periods: the table's own [min ts, max ts] midpoint (computed as a
@@ -527,8 +528,14 @@ object Analytics {
         .groupBy(col("event_type"))
         .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
           max(abs(col("c0") * col("n1") - col("c1") * col("n0"))).as("ks_scaled"))
+        // basis-point step in DECIMAL(38): ks_scaled can reach n0·n1, so
+        // the int64 product ks_scaled·10⁴ would overflow once n0·n1 >
+        // ~9.2e14 (≈3·10⁷ events per half per type) — decimal keeps the
+        // whole division exact to the same bound as the statistic itself
+        // (DuckDB's // is HUGEINT-exact already)
         .withColumn("ks_bp",
-          expr("(ks_scaled * 10000) div (n0 * n1)"))
+          expr("CAST((CAST(ks_scaled AS DECIMAL(38,0)) * 10000) div " +
+            "(CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"))
         .orderBy(col("event_type"))
     },
     Some("""WITH ev AS (

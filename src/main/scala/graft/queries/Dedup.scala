@@ -705,8 +705,16 @@ object Dedup {
   val d13BandingRecall = NamedQuery(
     "d13_banding_recall",
     (s, dir) => {
-      val exact = dupPairs(s, dir)
+      // Both pair relations feed TWO consumers each (the overlap join and
+      // a count aggregate); without a persist Spark evaluates each full
+      // pipeline twice — the exact side skips it when the dupgraph cache
+      // already holds the persisted shared relation.
+      val exact0 = dupPairs(s, dir)
+      val exact =
+        if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean)) exact0
+        else exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = d3MinHashLsh.fn(s, dir).select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hits = banded.join(exact, Seq("doc_a", "doc_b"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nb = banded.agg(count(lit(1)).as("n_banded"))

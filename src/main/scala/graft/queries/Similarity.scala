@@ -1092,11 +1092,16 @@ object Similarity {
   val s9AnnRecall = NamedQuery(
     "s9_ann_recall",
     (s, dir) => {
+      // exact feeds base + two per-tier joins, each approx feeds a join +
+      // a count: persist both so the composed tier pipelines (the actual
+      // heavy lifting) execute once, not once per consumer.
       val exact = s1AnnBruteForce.fn(s, dir)
         .filter(col("rn") <= 5).select(col("q_id"), col("nn_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = exact.groupBy(col("q_id")).agg(count(lit(1)).as("exact_k"))
       def recallOf(tier: String, approxFull: org.apache.spark.sql.DataFrame) = {
         val approx = approxFull.select(col("q_id"), col("nn_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hits = approx.join(broadcast(exact), Seq("q_id", "nn_id"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
         val ak = approx.groupBy(col("q_id")).agg(count(lit(1)).as("approx_k"))

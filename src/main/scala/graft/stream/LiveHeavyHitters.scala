@@ -94,7 +94,14 @@ object LiveHeavyHitters {
           batch.toSeq.groupBy(_.window_start.getTime).toSeq.sortBy(_._1)
             .foreach { case (start, cells) =>
               if (start > lastStart) { // else checkpoint-replayed duplicate
-                cells.foreach(c => counters(c.bkt) += c.n)
+                cells.foreach { c =>
+                  // negative user_id would hash to a negative bucket
+                  // (Scala % keeps the dividend's sign) — fail LOUDLY
+                  // like the batch kernel's require, never corrupt state
+                  require(c.bkt >= 0 && c.bkt < w,
+                    s"bucket ${c.bkt} out of [0, $w) — negative user_id?")
+                  counters(c.bkt) += c.n
+                }
                 lastStart = start
                 touched = true
               }
@@ -119,6 +126,7 @@ object LiveHeavyHitters {
     candidates.map { u =>
       val est = (0 until CmsD).map { i =>
         val bkt = (((u % KmvP) * CmsA(i) + CmsB(i)) % KmvP % CmsW).toInt
+        require(bkt >= 0, s"candidate $u hashes to a negative bucket")
         latest(i)(bkt)
       }.min
       (u, est)
