@@ -61,6 +61,61 @@ class LiveHeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scale shape: 10k distinct users leave <= d*w windowed-state rows and d sketch rows") {
+    // THE constant-width contract under key-cardinality stress: the
+    // stream carries 10,000 DISTINCT user_ids in one window, and the
+    // stateful footprint must stay bounded by the SKETCH, not the keys —
+    // the windowed aggregation stores (window, i, bkt) cells (≤ d·w =
+    // 768 per open window) and stage 2 holds exactly d counter rows.
+    // Plan order must match the two-stage shape: fmgws consumes the
+    // finalized windows ABOVE the state store, with the partial
+    // (map-side) count below the shuffle.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[LiveHeavyHitters.Event]
+    val q = LiveHeavyHitters.sketch(input.toDS(), windowSec = 60L)
+      .writeStream.format("memory").queryName("lhh_scale")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((0 until 10000).map(u => ev(u.toLong, "2024-01-01T12:00:30Z")): _*)
+      q.processAllAvailable()
+      input.addData(ev(0L, "2024-01-01T12:02:00Z")) // finalize w0
+      q.processAllAvailable()
+
+      val plan = {
+        val bos = new java.io.ByteArrayOutputStream()
+        scala.Console.withOut(new java.io.PrintStream(bos)) { q.explain(extended = false) }
+        bos.toString
+      }
+      val iFmgws = plan.indexOf("FlatMapGroupsWithState")
+      val iSave = plan.indexOf("StateStoreSave")
+      val iPartial = plan.indexOf("partial_count")
+      assert(iFmgws >= 0 && iSave >= 0 && iPartial >= 0 &&
+        iFmgws < iSave && iSave < iPartial,
+        s"two-stage shape broken (fmgws=$iFmgws save=$iSave partial=$iPartial):\n$plan")
+
+      val ops = q.recentProgress.reverseIterator
+        .map(_.stateOperators).find(_.nonEmpty).getOrElse(fail("no state ops"))
+      val aggRows = ops.find(_.operatorName.contains("stateStoreSave"))
+        .map(_.numRowsTotal).getOrElse(-1L)
+      val fmgwsRows = ops.find(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsTotal).getOrElse(-1L)
+      assert(aggRows >= 0 && aggRows <= CmsD * CmsW,
+        s"windowed state tracked keys, not sketch cells: $aggRows rows " +
+          s"(bound ${CmsD * CmsW}) for 10k users")
+      assert(fmgwsRows == CmsD,
+        s"stage-2 state must be exactly $CmsD sketch rows, got $fmgwsRows")
+
+      // and the folded counters still account for every event
+      val latest = spark.table("lhh_scale").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getSeq[Long](2)))
+        .groupBy(_._1).map { case (i, rs) => i -> rs.maxBy(_._2)._3 }
+      (0 until CmsD).foreach(i => assert(latest(i).sum == 10000L,
+        s"row $i dropped events: ${latest(i).sum}"))
+    } finally q.stop()
+  }
+
   test("sketch counters survive a checkpointed restart") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
