@@ -109,45 +109,57 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d3
+  /** The banded MinHash near-dup pipeline — d3's body and (under
+    * `spark.graft.dedup.pairs=banded`) the dedup tier's pair source:
+    * 16 min-hashes → 4×4 banding → equi-join candidates → exact shingle
+    * Jaccard verify at ≥ 0.5.  Sub-quadratic where the exact tier's
+    * candidate step is the scale risk: candidates come from band-bucket
+    * collisions, not from shingle co-occurrence, so the frequent-shingle
+    * blowup never happens.  Because the verify step recomputes EXACT
+    * Jaccard on every candidate, precision is exact; only recall can
+    * drop (borderline pairs missing from every band) — which is
+    * precisely what the d13 audit measures before a deployment flips
+    * the tier over. */
+  def bandedJaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    // MEMORY_AND_DISK, never MEMORY_ONLY: exploded shingles are ~10× the
+    // corpus (see jaccardPairsPrefixFiltered) — they must spill, not OOM.
+    val sh = TextOps.shingles(s, dir)
+      .select(col("doc_id"), col("shingle"))
+      .withColumn("h0", call_function("graft_charfold", col("shingle")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatures(sh)
+    // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
+    // One posexplode over the band-hash array — NOT a 4-way union, which
+    // would recompute the signature aggregation once per band.
+    val bandArr = array((0 until Bands).map { b =>
+      (0 until RowsPerBand)
+        .map(r => col(s"h${b * RowsPerBand + r}") * bandC(b)(r))
+        .reduce(_ + _) % P
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), col("n_sh"), posexplode(bandArr).as(Seq("band", "bv")))
+    val left  = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
+    val right = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("n_sh").as("sb"))
+    val cand = left.join(right, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard (candidate-scoped join)
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   val d3MinHashLsh = NamedQuery(
     "d3_minhash_lsh",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      // MEMORY_AND_DISK, never MEMORY_ONLY: exploded shingles are ~10× the
-      // corpus (see jaccardPairsPrefixFiltered) — they must spill, not OOM.
-      val sh = TextOps.shingles(s, dir)
-        .select(col("doc_id"), col("shingle"))
-        .withColumn("h0", call_function("graft_charfold", col("shingle")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = signatures(sh)
-      // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
-      // One posexplode over the band-hash array — NOT a 4-way union, which
-      // would recompute the signature aggregation once per band.
-      val bandArr = array((0 until Bands).map { b =>
-        (0 until RowsPerBand)
-          .map(r => col(s"h${b * RowsPerBand + r}") * bandC(b)(r))
-          .reduce(_ + _) % P
-      }: _*)
-      val bands = sig
-        .select(col("doc_id"), col("n_sh"), posexplode(bandArr).as(Seq("band", "bv")))
-      val left  = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
-      val right = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("n_sh").as("sb"))
-      val cand = left.join(right, Seq("band", "bv"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .distinct()
-      // verify candidates with exact shingle Jaccard (candidate-scoped join)
-      val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .agg(count(lit(1)).as("n_inter"))
-        .withColumn("jaccard",
-          round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => bandedJaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
     Some(d3OracleSql),
     doc = "MinHash(16, Carter–Wegman universal family) + LSH(4 bands), " +
       "exact-Jaccard verify ≥0.5; FULL value oracle — the band pipeline " +
@@ -466,18 +478,47 @@ object Dedup {
     * plan). */
   def clearDupGraphCache(): Unit = { dupGraphMemo.clear(); dupPairsMemo.clear() }
 
-  /** The ≥0.5 exact global Jaccard pairs, cache-aware — the shared input
+  /** The pair-source selector for the dedup tier:
+    * `spark.graft.dedup.pairs = exact | banded` (default `exact`).
+    *
+    *  - `exact`: the prefix-filtered/naive exact global ≥0.5 Jaccard
+    *    join — zero recall loss by construction, but its candidate step
+    *    scales with shingle co-occurrence.
+    *  - `banded`: d3's MinHash-banded pipeline
+    *    ([[bandedJaccardPairs]]) — candidates come from band-bucket
+    *    collisions (bounded occupancy), the 100 TB path.  Precision is
+    *    exact either way (both verify with exact Jaccard); only recall
+    *    can differ, and the d13 audit CERTIFIES it: on the driver corpus
+    *    d13 proves zero banding loss (recall_bp = 10000), which is the
+    *    evidence a deployment needs before flipping this conf.  With
+    *    equal pair sets, c1/d6/d9 produce byte-identical output under
+    *    either setting — spec-pinned by DedupPairSourceSpec and kept
+    *    honest by the unchanged DuckDB oracles (which always state the
+    *    exact relation). */
+  private def pairSourceConf(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.getOption("spark.graft.dedup.pairs").getOrElse("exact") match {
+      case v @ ("exact" | "banded") => v
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedup.pairs must be 'exact' or 'banded', got '$other'")
+    }
+
+  /** The ≥0.5 global Jaccard pairs, cache-aware — the shared input
     * of [[clusterLabels]] and the d13 audit.  Per-query isolation by
     * default; one persisted materialization per session under the cache
     * conf (keying discipline as [[clusterLabels]]: every conf that shapes
-    * the build is part of the key). */
-  def dupPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    * the build — prefix filter AND pair source — is part of the key). */
+  def dupPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      sourceOverride: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val prefixConf =
       s.conf.getOption("spark.graft.jaccard.prefixFilter").getOrElse("auto")
-    def build() = TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
-      .select(col("doc_a"), col("doc_b"))
+    val source = sourceOverride.getOrElse(pairSourceConf(s))
+    def build() = source match {
+      case "banded" => bandedJaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      case _ => TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
+        .select(col("doc_a"), col("doc_b"))
+    }
     if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean))
-      dupPairsMemo.computeIfAbsent((s, dir, prefixConf),
+      dupPairsMemo.computeIfAbsent((s, dir, s"$prefixConf/$source"),
         _ => build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else build()
   }
@@ -506,6 +547,10 @@ object Dedup {
     // the plan-stats switch inside adaptiveJaccardPairs decides)
     val prefixConf =
       s.conf.getOption("spark.graft.jaccard.prefixFilter").getOrElse("auto")
+    // the pair-SOURCE conf shapes the memoized build exactly like the
+    // prefix-filter conf does: flipping it mid-session must select a
+    // fresh plan, never hand back one built from the other relation
+    val pairSource = pairSourceConf(s)
     def build(): org.apache.spark.sql.DataFrame = {
       // exact global Jaccard pairs at >= 0.5 — scale-adaptive: the naive
       // shingle self-join for small corpora, the AllPairs/PPJoin prefix
@@ -519,13 +564,16 @@ object Dedup {
       // build() only CONSTRUCTS the plan (zero-jobs-at-construction
       // contract — lineage cuts materialize at first action), so holding
       // the map bin during computeIfAbsent is milliseconds, not minutes
-      dupGraphMemo.computeIfAbsent((s, dir, ccRounds, prefixConf), _ => build())
+      dupGraphMemo.computeIfAbsent((s, dir, ccRounds, s"$prefixConf/$pairSource"), _ => build())
     else build()
   }
 
-  /** The near-dup cluster graph as DuckDB CTEs (through `labels`), shared
-    * verbatim by the d6 and c1 oracles — prepend `WITH RECURSIVE`. */
-  private[queries] val dupGraphCteSql: String = """tok AS (
+  /** The exact global ≥0.5 Jaccard pair relation as DuckDB CTEs (through
+    * `pairs(doc_a, doc_b)`) — THE single statement of the dedup tier's
+    * ground truth, composed verbatim into [[dupGraphCteSql]] (d6/c1/d9)
+    * AND the d13 audit's oracle, so a change to the pair definition can
+    * never desynchronize the audit from the graph it certifies. */
+  private[queries] val exactPairCteSql: String = """tok AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''),
       sh AS (
@@ -542,7 +590,11 @@ object Dedup {
         SELECT doc_a, doc_b FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5)"""
+
+  /** The near-dup cluster graph as DuckDB CTEs (through `labels`), shared
+    * verbatim by the d6 and c1 oracles — prepend `WITH RECURSIVE`. */
+  private[queries] val dupGraphCteSql: String = s"""$exactPairCteSql,
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       reach(node, label) AS (
@@ -708,12 +760,15 @@ object Dedup {
       // Both pair relations feed TWO consumers each (the overlap join and
       // a count aggregate); without a persist Spark evaluates each full
       // pipeline twice — the exact side skips it when the dupgraph cache
-      // already holds the persisted shared relation.
-      val exact0 = dupPairs(s, dir)
+      // already holds the persisted shared relation.  The ground-truth
+      // side is PINNED to the exact source: under
+      // spark.graft.dedup.pairs=banded the audit must still measure the
+      // banded tier against the exact relation, not against itself.
+      val exact0 = dupPairs(s, dir, sourceOverride = Some("exact"))
       val exact =
         if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean)) exact0
         else exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = d3MinHashLsh.fn(s, dir).select(col("doc_a"), col("doc_b"))
+      val banded = bandedJaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hits = banded.join(exact, Seq("doc_a", "doc_b"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
@@ -724,23 +779,8 @@ object Dedup {
           expr("(hits * 10000) div nullif(n_exact, 0)").as("recall_bp"),
           expr("(hits * 10000) div nullif(n_banded, 0)").as("precision_bp"))
     },
-    Some(raw"""WITH tok AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-        FROM documents WHERE text IS NOT NULL AND text <> ''),
-      sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, len(w) - 1),
-                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
-        FROM tok WHERE len(w) >= 3),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-      exact AS (
-        SELECT doc_a, doc_b FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5),
+    Some(s"""WITH $exactPairCteSql,
+      exact AS (SELECT doc_a, doc_b FROM pairs),
       banded AS (SELECT doc_a, doc_b FROM (${d3MinHashLsh.oracle.get}) t),
       hits AS (SELECT b.doc_a, b.doc_b FROM banded b
                JOIN exact e ON b.doc_a = e.doc_a AND b.doc_b = e.doc_b)
