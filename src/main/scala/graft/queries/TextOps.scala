@@ -1404,78 +1404,128 @@ object TextOps {
     * Round k+1's plan consumes round k's persisted occurrences (the
     * propagateLabels lineage-cut pattern); K rounds = K tiny shuffles +
     * K in-place window passes over the sample. */
+  /** AQE must be OFF while a BPE plan is CONSTRUCTED: with AQE on, even a
+    * lazy localCheckpoint's execute() materializes every adaptive query
+    * stage eagerly — action jobs at construction, violating the zero-jobs
+    * contract.  Non-adaptive execute() just builds the RDD chain lazily;
+    * the conf is restored in the finally, and the OUTER query still runs
+    * under whatever the session has — only the lineage-truncated inner
+    * rounds (small, fixed-shape shuffles that AQE would not improve) are
+    * pinned non-adaptive.  Query CONSTRUCTION is single-threaded per
+    * session by library convention (the same contract as
+    * Dedup.withLineageCutConfs — all `queries` entries build their plan
+    * synchronously); a concurrent construction on the same session could
+    * observe the toggled value for the duration of `body`, and a
+    * construction-time crash restores the conf on this thread before the
+    * exception unwinds. */
+  private[queries] def withBpeConstructionConfs[T](s: SparkSession)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrior = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try body
+    finally aqePrior match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None => s.conf.unset(aqeKey)
+    }
+  }
+
+  private def bpeWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy(col("doc_id")).orderBy(col("seq"))
+
+  /** One PERSISTED relation per round: the adjacency view (occ + next
+    * token + dense row index, all from a single window pass).  Both
+    * consumers of a round — the argmax job and the merge application —
+    * read the cached blocks, so a round materializes its input once.
+    * Lineage truncation per round, all LAZY: re-wrap the round's
+    * relation as a fresh LogicalRDD (createDataFrame over its .rdd —
+    * no job with AQE off; even a lazy localCheckpoint launches one)
+    * and persist the wrapper so the round's consumers and the next
+    * round share one materialization.  Without the truncation the k-th
+    * round's plan nests k crossJoin+window subtrees and Catalyst
+    * re-optimization of the growing tree dominates wall time (measured
+    * min-of-2: 21 s → ~3 s at sf0.1).  Call inside
+    * [[withBpeConstructionConfs]]. */
+  private def bpeAdjacency(s: SparkSession,
+      occ: DataFrame): DataFrame = {
+    val computed = occ
+      .withColumn("ntok", lead(col("tok"), 1).over(bpeWindow))
+      .withColumn("rn", row_number().over(bpeWindow))
+    s.createDataFrame(computed.rdd, computed.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** One greedy left-to-right merge pass of the 1-row rule `best(l, r)`
+    * over an adjacency relation, returning the NEXT round's adjacency.
+    * Chain arithmetic rides the DENSE row index rn (seq keeps gaps
+    * after deletions but rn re-derives densely every round):
+    * candidates overlapping = consecutive rn, greedy = even offset
+    * from the chain start.  Shared verbatim by the t20 trainer's round
+    * body and the t21 application loop — the application IS the
+    * trainer's merge step, just with the rule given instead of argmaxed. */
+  private def bpeMergePass(s: SparkSession, adj: DataFrame,
+      best: DataFrame): DataFrame = {
+    val wCum = bpeWindow
+    val flagged = adj.crossJoin(broadcast(best))
+      .withColumn("cand", col("tok") === col("l") && col("ntok") === col("r"))
+      .withColumn("chain_start", max(when(col("cand") &&
+        !coalesce(lag(col("cand"), 1).over(wCum), lit(false)), col("rn")))
+        .over(wCum))
+      .withColumn("is_m",
+        col("cand") && (col("rn") - col("chain_start")) % 2 === 0)
+      .withColumn("is_d", coalesce(lag(col("is_m"), 1).over(wCum), lit(false)))
+    bpeAdjacency(s, flagged.filter(!col("is_d"))
+      .select(col("doc_id"), col("seq"),
+        when(col("is_m"), concat(col("tok"), col("r")))
+          .otherwise(col("tok")).as("tok")))
+  }
+
+  /** (doc_id, seq, tok) occurrences of `docs` — the BPE state relation. */
+  private def bpeOcc(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("seq", "tok")))
+
+  /** The t20 trainer loop on the 5% id-sample: returns the per-round
+    * 1-row argmax relations (`best(l, r, c)`, rank = position + 1) and
+    * the sample's final post-merge adjacency.  Call inside
+    * [[withBpeConstructionConfs]]. */
+  private[queries] def bpeTrainLoop(s: SparkSession,
+      dir: String): (Seq[DataFrame], DataFrame) = {
+    var adj = bpeAdjacency(s,
+      bpeOcc(Tables.documents(s, dir).filter(col("doc_id") % 20 === 0))
+        .repartition(col("doc_id")))
+    val bests = (1 to BpeRounds).map { _ =>
+      val best = adj.filter(col("ntok").isNotNull)
+        .groupBy(col("tok").as("l"), col("ntok").as("r"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
+      adj = bpeMergePass(s, adj, best)
+      best
+    }
+    (bests, adj)
+  }
+
+  /** Applies an ordered merge-rule list to an occurrence relation —
+    * rank order, one greedy pass per rule (exactly what the trainer's
+    * own merge step does each round).  Returns the final adjacency.
+    * Call inside [[withBpeConstructionConfs]]. */
+  private[queries] def bpeApplyMerges(s: SparkSession, occ: DataFrame,
+      bests: Seq[DataFrame]): DataFrame =
+    bests.foldLeft(bpeAdjacency(s, occ.repartition(col("doc_id"))))(
+      (adj, best) => bpeMergePass(s, adj, best))
+
+  /** Entry point for the spec's round-trip check: the sample's own
+    * occurrences re-encoded through [[bpeApplyMerges]]. */
+  private[queries] def bpeSampleOcc(s: SparkSession, dir: String): DataFrame =
+    bpeOcc(Tables.documents(s, dir).filter(col("doc_id") % 20 === 0))
+
   val t20BpeTrain = NamedQuery(
     "t20_bpe_train",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // AQE must be OFF while this plan is CONSTRUCTED: with AQE on,
-      // even a lazy localCheckpoint's execute() materializes every
-      // adaptive query stage eagerly — action jobs at construction,
-      // violating the zero-jobs contract.  Non-adaptive execute() just
-      // builds the RDD chain lazily; the conf is restored immediately
-      // (try/finally), and the OUTER query still runs under whatever
-      // the session has — only the checkpointed inner rounds (small,
-      // fixed-shape shuffles that AQE would not improve) are pinned
-      // non-adaptive.
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqePrior = s.conf.getOption(aqeKey)
-      s.conf.set(aqeKey, "false")
-      try {
-      val wCum = Window.partitionBy(col("doc_id")).orderBy(col("seq"))
-      // One PERSISTED relation per round: the adjacency view (occ + next
-      // token + dense row index, all from a single window pass).  Both
-      // consumers of a round — the argmax job and the merge application —
-      // read the cached blocks, so a round materializes the sample once.
-      // Lineage truncation per round, all LAZY: re-wrap the round's
-      // relation as a fresh LogicalRDD (createDataFrame over its .rdd —
-      // no job with AQE off; even a lazy localCheckpoint launches one)
-      // and persist the wrapper so the round's two consumers (argmax
-      // job, merge application) and the next round share one
-      // materialization.  Without the truncation the k-th round's plan
-      // nests k crossJoin+window subtrees and Catalyst re-optimization
-      // of the growing tree dominates wall time (measured min-of-2:
-      // 21 s → ~3 s at sf0.1).
-      def adjacency(occ: org.apache.spark.sql.DataFrame) = {
-        val computed = occ
-          .withColumn("ntok", lead(col("tok"), 1).over(wCum))
-          .withColumn("rn", row_number().over(wCum))
-        s.createDataFrame(computed.rdd, computed.schema)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
-      var adj = adjacency(Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "" &&
-          col("doc_id") % 20 === 0)
-        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("seq", "tok")))
-        .repartition(col("doc_id")))
-      val bests = (1 to BpeRounds).map { k =>
-        val best = adj.filter(col("ntok").isNotNull)
-          .groupBy(col("tok").as("l"), col("ntok").as("r"))
-          .agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("l"), col("r")).limit(1)
-        // chain arithmetic rides the DENSE row index rn (seq keeps gaps
-        // after deletions but rn re-derives densely every round):
-        // candidates overlapping = consecutive rn, greedy = even offset
-        // from the chain start.
-        val flagged = adj.crossJoin(broadcast(best))
-          .withColumn("cand", col("tok") === col("l") && col("ntok") === col("r"))
-          .withColumn("chain_start", max(when(col("cand") &&
-            !coalesce(lag(col("cand"), 1).over(wCum), lit(false)), col("rn")))
-            .over(wCum))
-          .withColumn("is_m",
-            col("cand") && (col("rn") - col("chain_start")) % 2 === 0)
-          .withColumn("is_d", coalesce(lag(col("is_m"), 1).over(wCum), lit(false)))
-        adj = adjacency(flagged.filter(!col("is_d"))
-          .select(col("doc_id"), col("seq"),
-            when(col("is_m"), concat(col("tok"), col("r")))
-              .otherwise(col("tok")).as("tok")))
-        best.select(lit(k).as("merge_rank"), col("l").as("left_tok"),
+    (s, dir) => withBpeConstructionConfs(s) {
+      val (bests, _) = bpeTrainLoop(s, dir)
+      bests.zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("merge_rank"), col("l").as("left_tok"),
           col("r").as("right_tok"), col("c").cast("long").as("pair_count"))
-      }
-      bests.reduce(_ unionAll _).orderBy(col("merge_rank"))
-      } finally aqePrior match {
-        case Some(v) => s.conf.set(aqeKey, v)
-        case None => s.conf.unset(aqeKey)
-      }
+      }.reduce(_ unionAll _).orderBy(col("merge_rank"))
     },
     Some {
       val stages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
@@ -1496,12 +1546,105 @@ object TextOps {
       "windowed greedy non-overlap, one doc_id partitioning throughout; " +
       "FULL value oracle via unrolled materialized stages")
 
+  // ---------------------------------------------------------------- t21
+  /** One unrolled DuckDB stage of the merge APPLICATION over the full
+    * corpus (focc$k → focc${k+1}) — [[bpeStageSql]] minus the argmax:
+    * the rule comes from the trainer's best$k stage instead of fcnt. */
+  private def bpeApplyStageSql(k: Int): String = s"""
+  fadj$k AS MATERIALIZED (SELECT doc_id, seq, tok,
+    lead(tok) OVER (PARTITION BY doc_id ORDER BY seq) AS ntok FROM focc$k),
+  fcand$k AS (SELECT a.doc_id, a.seq FROM fadj$k a
+    JOIN best$k b ON a.tok = b.l AND a.ntok = b.r),
+  fkept$k AS MATERIALIZED (SELECT doc_id, seq FROM (
+      SELECT doc_id, seq, row_number() OVER (
+        PARTITION BY doc_id, seq - rn ORDER BY seq) AS pick
+      FROM (SELECT doc_id, seq, row_number() OVER (
+              PARTITION BY doc_id ORDER BY seq) AS rn FROM fcand$k) t) u
+    WHERE pick % 2 = 1),
+  fmerged$k AS (SELECT o.doc_id, o.seq,
+      CASE WHEN km.seq IS NOT NULL
+           THEN o.tok || (SELECT r FROM best$k) ELSE o.tok END AS tok,
+      CASE WHEN kd.seq IS NOT NULL THEN 1 ELSE 0 END AS del
+    FROM focc$k o
+    LEFT JOIN fkept$k km ON km.doc_id = o.doc_id AND km.seq = o.seq
+    LEFT JOIN fkept$k kd ON kd.doc_id = o.doc_id AND kd.seq = o.seq - 1),
+  focc${k + 1} AS MATERIALIZED (SELECT doc_id,
+      row_number() OVER (PARTITION BY doc_id ORDER BY seq) AS seq, tok
+    FROM fmerged$k WHERE del = 0)"""
+
+  /** BPE merge APPLICATION — the consumer of t20's artifact, closing the
+    * tokenizer loop: train on the 5% sample (t20's loop, composed — same
+    * single source of truth discipline as d13/s9), then ENCODE the whole
+    * corpus with the learned rules in rank order, one greedy
+    * left-to-right pass per rule ([[bpeMergePass]] — the application IS
+    * the trainer's merge step, so trainer and encoder can never disagree
+    * on merge semantics; BpeTrainSpec pins the round-trip).  Output: the
+    * per-source encoding budget — tokens before/after, merges applied,
+    * compression in integer basis points — the number a tokenizer
+    * deployment actually reports.
+    *
+    * Scale shape: the full-corpus occurrence relation partitions by
+    * doc_id ONCE and every application round reuses that partitioning
+    * with in-partition window sorts; a round's only data movement is the
+    * broadcast of its 1-row rule.  K rounds over N tokens = K linear
+    * passes, no corpus-width shuffle after the initial partitioning —
+    * the trainer's sample-bound cost plus a strictly linear encode, the
+    * right 100 TB shape for corpus tokenization. */
+  val t21BpeApply = NamedQuery(
+    "t21_bpe_apply",
+    (s, dir) => withBpeConstructionConfs(s) {
+      val (bests, _) = bpeTrainLoop(s, dir)
+      val adj0 = bpeAdjacency(s,
+        bpeOcc(Tables.documents(s, dir)).repartition(col("doc_id")))
+      val adjN = bests.foldLeft(adj0)((adj, best) => bpeMergePass(s, adj, best))
+      val before = adj0.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+      val after = adjN.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(before, "doc_id").join(after, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nb")).as("tokens_before"),
+          sum(col("na")).as("tokens_after"),
+          (sum(col("nb")) - sum(col("na"))).as("merges_applied"),
+          expr("sum(na) * 10000 DIV sum(nb)").as("compression_bp"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val trainStages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
+      val applyStages = (0 until BpeRounds).map(bpeApplyStageSql).mkString(",")
+      raw"""WITH tok0 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
+        FROM documents
+        WHERE text IS NOT NULL AND text <> '' AND doc_id % 20 = 0),
+      occ0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM tok0),$trainStages,
+      ftok0 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      focc0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM ftok0),$applyStages,
+      b AS (SELECT doc_id, count(*) AS nb FROM focc0 GROUP BY doc_id),
+      a AS (SELECT doc_id, count(*) AS na FROM focc$BpeRounds GROUP BY doc_id),
+      j AS (SELECT d.source, b.nb, a.na FROM documents d
+            JOIN b ON b.doc_id = d.doc_id JOIN a ON a.doc_id = d.doc_id)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(nb) AS BIGINT) AS tokens_before,
+        CAST(sum(na) AS BIGINT) AS tokens_after,
+        CAST(sum(nb) - sum(na) AS BIGINT) AS merges_applied,
+        CAST(sum(na) * 10000 // sum(nb) AS BIGINT) AS compression_bp
+      FROM j GROUP BY source ORDER BY source"""
+    },
+    doc = "BPE merge application (t20's 8 learned rules, rank order, " +
+      "greedy per-rule passes over the FULL corpus): per-source " +
+      "before/after token budget + integer-bp compression; FULL value " +
+      "oracle replaying the trainer stages then the application stages")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
     t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
-    t15TypoPairs, t19EncodingQa, t20BpeTrain,
+    t15TypoPairs, t19EncodingQa, t20BpeTrain, t21BpeApply,
     d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
     c2Contamination, c7NgramDecontamination)
 }

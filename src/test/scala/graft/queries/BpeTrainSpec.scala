@@ -65,5 +65,48 @@ class BpeTrainSpec extends SparkSpec {
     // the decoy pair must not have been learned (sample filter held)
     assert(!got.exists(m => m._2.contains("zz") || m._3.contains("yy")),
       s"decoy document leaked into the training sample: $got")
+
+    // ---- t21: the application loop round-trips the trainer's final state.
+    // Re-encoding the SAMPLE with the learned rule list must land exactly
+    // on the trainer's final occurrence table (the trainer applied those
+    // same rules incrementally as it learned them).
+    val (bests, finalAdj) = TextOps.withBpeConstructionConfs(spark) {
+      TextOps.bpeTrainLoop(spark, dir)
+    }
+    val reApplied = TextOps.withBpeConstructionConfs(spark) {
+      TextOps.bpeApplyMerges(spark, TextOps.bpeSampleOcc(spark, dir), bests)
+    }
+    def occSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("doc_id", "rn", "tok").collect()
+        .map(r => (r.getLong(0), r.getInt(1) + ":" + r.getString(2))).toSet
+    assert(occSet(reApplied) == occSet(finalAdj),
+      "apply(t20 merges) does not round-trip the trainer's final occurrence table")
+
+    // ---- t21: full-corpus encode == plain-Scala reference application.
+    // The decoy doc (outside the training sample) IS encoded — rules
+    // just never match it — so the reference applies the same rule list
+    // to every document, greedy left-to-right, rank order.
+    def referenceApply(doc: Seq[String]): Seq[String] =
+      expected.foldLeft(doc) { case (d, (_, l, r, _)) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == l && d(i + 1) == r) { out += (l + r); i += 2 }
+          else { out += d(i); i += 1 }
+        }
+        out.toList
+      }
+    val allDocs = sampled ++ decoy
+    val wantBefore = allDocs.map(_._2.split("\\s+").length.toLong).sum
+    val wantAfter = allDocs.map(d => referenceApply(d._2.split("\\s+").toSeq).length.toLong).sum
+    val t21 = TextOps.t21BpeApply.fn(spark, dir).collect()
+    assert(t21.length == 1 && t21.head.getAs[String]("source") == "s0")
+    assert(t21.head.getAs[Long]("n_docs") == allDocs.length.toLong)
+    assert(t21.head.getAs[Long]("tokens_before") == wantBefore,
+      s"tokens_before ${t21.head.getAs[Long]("tokens_before")} != $wantBefore")
+    assert(t21.head.getAs[Long]("tokens_after") == wantAfter,
+      s"tokens_after ${t21.head.getAs[Long]("tokens_after")} != $wantAfter")
+    assert(t21.head.getAs[Long]("merges_applied") == wantBefore - wantAfter)
+    assert(t21.head.getAs[Long]("compression_bp") == wantAfter * 10000 / wantBefore)
   }
 }

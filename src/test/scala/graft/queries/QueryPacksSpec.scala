@@ -52,27 +52,42 @@ class QueryPacksSpec extends SparkSpec {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         js.stageInfos.foreach(si => sites.add(si.name): Unit)
     }
-    // STRUCTURAL EXEMPTION — t20_bpe_train: an ITERATIVE trainer whose
-    // round-k plan consumes round-(k−1)'s lineage-truncated relation.
-    // Wiring any truncation (lazy localCheckpoint, createDataFrame over
-    // .rdd) through a plan that contains broadcast joins makes Spark
-    // submit the broadcast-future jobs while the RDD chain is being
-    // BUILT — inherent to declarative multi-round algorithms, not a
-    // hidden driver action: nothing is collected to the driver (grep the
-    // query body), the work those jobs do is exactly the training
-    // rounds, and the cheaper alternative (a driver loop collecting each
-    // round's argmax) is the pattern this suite exists to forbid.
+    // STRUCTURAL ALLOWLIST — t20_bpe_train / t21_bpe_apply: ITERATIVE
+    // plans whose round-k subtree consumes round-(k−1)'s
+    // lineage-truncated relation.  Wiring any truncation (lazy
+    // localCheckpoint, createDataFrame over .rdd) through a plan that
+    // contains broadcast joins makes Spark submit the broadcast-future
+    // jobs while the RDD chain is being BUILT — inherent to declarative
+    // multi-round algorithms, not a hidden driver action: nothing is
+    // collected to the driver, and the work those jobs do is exactly the
+    // training/encode rounds.  Rather than SKIP these queries (which
+    // would let a regression — say an accidental collect in the argmax
+    // loop — go undetected), they run under a NARROW allowlist: only the
+    // broadcast-future execution site and the stages of the
+    // lineage-cut RDD chain those futures compute are permitted; any
+    // driver-side action (collect/count/take/first/…) names its stage
+    // after that call site and fails the gate.
+    val iterative = Set("t20_bpe_train", "t21_bpe_apply")
+    val metadataSite = (s: String) => s.startsWith("parquet at") || s.startsWith("json at")
+    val iterativeAllowed = (s: String) => metadataSite(s) ||
+      s.startsWith("$anonfun$withThreadLocalCaptured") || // broadcast exchange future
+      s.startsWith("rdd at ")                             // lineage-cut chain stages
     spark.sparkContext.addSparkListener(listener)
     try {
       SparkEntry.queries.foreach {
-        case ("t20_bpe_train", _) => ()
+        case (name, _) if iterative(name) => ()
         case (_, fn) => fn(spark, sf()): Unit
       }
       Thread.sleep(2000) // listener bus is async; let job-start events land
-      val actions = sites.toArray(Array.empty[String])
-        .filterNot(s => s.startsWith("parquet at") || s.startsWith("json at"))
+      val actions = sites.toArray(Array.empty[String]).filterNot(metadataSite)
       assert(actions.isEmpty,
         s"query construction launched action job(s): ${actions.mkString(", ")}")
+      sites.clear()
+      iterative.foreach(name => SparkEntry.queries(name)(spark, sf()): Unit)
+      Thread.sleep(2000)
+      val offLimits = sites.toArray(Array.empty[String]).filterNot(iterativeAllowed)
+      assert(offLimits.isEmpty,
+        s"iterative construction ran non-allowlisted job site(s): ${offLimits.mkString(", ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
