@@ -324,7 +324,19 @@ object PlanAudit {
       why = "exactly 2 data shuffles: the value-collapse hash and one " +
         "shared per-source exchange feeding BOTH windows AND the final " +
         "conditional-min agg (no quantile join, only the ordered output " +
-        "range-partitions) — a 3rd means a window or the agg re-shuffled"))
+        "range-partitions) — a 3rd means a window or the agg re-shuffled"),
+    // round-8 additions (a13 binned drift, t21 BPE application)
+    Expect("a13_binned_drift", "ReadSchema: struct<ts:timestamp,event_type:string,value:double>",
+      "the binned-drift scan must prune events to the 3 needed columns"),
+    Expect("a13_binned_drift", "partial_sum(CASE WHEN (period",
+      "the per-period counters must map-side-combine in the (type, bin) " +
+        "collapse — the one full-data shuffle carries at most " +
+        "|types|*256 rows, never raw events (2 = the d0+d1 counter pair)",
+      maxCount = 2),
+    Expect("a13_binned_drift", "hashpartitioning(", maxCount = 2,
+      why = "exactly 2 data shuffles: the (type, bin) collapse and one " +
+        "per-type exchange shared by the KS windows and the final max " +
+        "agg — the 1-row min/max cuts row joins in as a broadcast"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

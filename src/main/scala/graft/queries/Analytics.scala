@@ -566,9 +566,99 @@ object Analytics {
       "table's calendar halves, exact integer D*n0*n1 statistic in basis " +
       "points; FULL value oracle")
 
+  /** Bin count for a13's pre-bucketed drift walk.  256 bins bound the
+    * walk relation at |types|·256 rows regardless of how many distinct
+    * values the metric takes — the knob a deployment sizes against its
+    * alerting resolution (more bins = tighter D bound, wider walk). */
+  private val DriftBins = 256L
+
+  /** Pre-bucketed KS drift — a12's own documented 100 TB path made
+    * real: a12's walk width is |types|·|distinct values|, which for a
+    * truly CONTINUOUS metric grows with the data (at 100 TB the
+    * collapsed relation itself becomes the bottleneck).  a13 bounds it:
+    * values pre-bucket into [[DriftBins]] fixed-width integer-boundary
+    * bins — the cut parameters (global floor-min/max) come from ONE
+    * 1-row aggregate broadcast back (c8's broadcast-cuts pattern), bin
+    * assignment is scan-side integer arithmetic (`floor` then int64
+    * scale/DIV — exact in both engines, no float division to drift) —
+    * and the identical exact KS walk runs over bin indices.
+    *
+    * The statistic is EXACTLY the two-sample KS distance of the binned
+    * distributions, and because every bin boundary is one of the exact
+    * walk's own prefix positions, D_binned ≤ D_exact always, with
+    * D_exact − D_binned bounded by the largest single-bin mass — the
+    * KsDriftSpec pins both inequalities against a12 on the driver
+    * corpus.  A deployment that needs per-type bin ranges swaps the
+    * 1-row aggregate for a per-type groupBy joined on type — same
+    * shape, one extra tiny shuffle. */
+  val a13BinnedDrift = NamedQuery(
+    "a13_binned_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val cuts = ev.agg((min(col("us")) + max(col("us"))).as("minmax"),
+        floor(min(col("value"))).cast("long").as("fmin"),
+        floor(max(col("value"))).cast("long").as("fmax"))
+      val counted = ev.crossJoin(broadcast(cuts))
+        .withColumn("period", (col("us") * 2 > col("minmax")).cast("int"))
+        .withColumn("bin", expr(
+          s"(CAST(floor(value) AS BIGINT) - fmin) * $DriftBins DIV (fmax - fmin + 1)"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("period") === 1, 1L).otherwise(0L)).as("d1"))
+      val cum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("event_type"))
+      counted
+        .withColumn("c0", sum(col("d0")).over(cum))
+        .withColumn("c1", sum(col("d1")).over(cum))
+        .withColumn("n0", sum(col("d0")).over(tot))
+        .withColumn("n1", sum(col("d1")).over(tot))
+        .filter(col("n0") > 0 && col("n1") > 0)
+        .groupBy(col("event_type"))
+        .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
+          max(abs(col("c0") * col("n1") - col("c1") * col("n0"))).as("ks_scaled"))
+        // decimal(38) basis-point step — same overflow reasoning as a12
+        .withColumn("ks_bp",
+          expr("CAST((CAST(ks_scaled AS DECIMAL(38,0)) * 10000) div " +
+            "(CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH ev AS (
+        SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE value IS NOT NULL),
+      cuts AS (SELECT min(us) + max(us) AS minmax,
+        CAST(floor(min(value)) AS BIGINT) AS fmin,
+        CAST(floor(max(value)) AS BIGINT) AS fmax FROM ev),
+      counted AS (
+        SELECT event_type,
+          (CAST(floor(value) AS BIGINT) - fmin) * $DriftBins // (fmax - fmin + 1) AS bin,
+          CAST(sum(CASE WHEN us * 2 <= minmax THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+          CAST(sum(CASE WHEN us * 2 > minmax THEN 1 ELSE 0 END) AS BIGINT) AS d1
+        FROM ev CROSS JOIN cuts GROUP BY 1, 2),
+      walked AS (
+        SELECT event_type,
+          CAST(sum(d0) OVER cum AS BIGINT) AS c0,
+          CAST(sum(d1) OVER cum AS BIGINT) AS c1,
+          CAST(sum(d0) OVER tot AS BIGINT) AS n0,
+          CAST(sum(d1) OVER tot AS BIGINT) AS n1
+        FROM counted
+        WINDOW cum AS (PARTITION BY event_type ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               tot AS (PARTITION BY event_type))
+      SELECT event_type, max(n0) AS n0, max(n1) AS n1,
+        CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS ks_scaled,
+        CAST(max(abs(c0 * n1 - c1 * n0)) * 10000 // (max(n0) * max(n1)) AS BIGINT) AS ks_bp
+      FROM walked WHERE n0 > 0 AND n1 > 0
+      GROUP BY event_type ORDER BY event_type"""),
+    doc = "pre-bucketed KS drift: 256 fixed integer-boundary bins from " +
+      "one broadcast min/max row, exact KS walk over bin indices — the " +
+      "bounded-width variant of a12 for continuous metrics; FULL value oracle")
+
   def all: Seq[NamedQuery] = Seq(
     a1Metrics, a2EmojiMood, a3Distribution, a4TokenTop10, a5SourceTop10,
     o1Timeline, o2LatestN, o3RecentDisplay, a7NullRepair, aApproxDistinct,
     a8TrendingBursts, a9AnomalyZscore, a10HeavyHitters, a11WeightedQuantiles,
-    a12DistributionDrift)
+    a12DistributionDrift, a13BinnedDrift)
 }
