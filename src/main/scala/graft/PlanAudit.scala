@@ -302,6 +302,10 @@ object PlanAudit {
       why = "every harness join (ground truth, per-tier hits, per-tier " +
         "counts) is over <=k*|queries| rows and must broadcast — an SMJ " +
         "means a tiny relation got shuffled"),
+    Expect("s10_index_recall", "SortMergeJoin", present = false,
+      why = "the index-tier harness (IVF/PQ vs exact) joins the same " +
+        "<=k*|queries|-row relations as s9 and must broadcast throughout — " +
+        "an SMJ means a tiny relation got shuffled"),
     // round-7 additions (m6 audio QA, t19 encoding QA)
     Expect("m6_audio_stats", "ReadSchema: struct<doc_id:bigint,text:string>",
       "the audio-blob scan must prune documents to (doc_id, text)"),

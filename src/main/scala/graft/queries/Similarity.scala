@@ -1089,62 +1089,117 @@ object Similarity {
     * tier queries (each already gated broadcast/bucketed); the harness
     * itself joins three ≤k·|queries|-row relations — broadcast
     * territory at any SF. */
-  val s9AnnRecall = NamedQuery(
-    "s9_ann_recall",
-    (s, dir) => {
-      // exact feeds base + two per-tier joins, each approx feeds a join +
-      // a count: persist both so the composed tier pipelines (the actual
-      // heavy lifting) execute once, not once per consumer.
-      val exact = s1AnnBruteForce.fn(s, dir)
-        .filter(col("rn") <= 5).select(col("q_id"), col("nn_id"))
+  /** The shared recall@5 harness body: each named tier's REAL oracled
+    * pipeline is scored against s1's exact top-5 per query — composed
+    * verbatim (single source of truth), so the recall numbers inherit
+    * the tiers' own value-oracle guarantees end to end.  Split across
+    * two queries (s9: the LSH tiers; s10: the index tiers) purely so the
+    * gate's per-query isolation doesn't run every ANN pipeline per
+    * harness invocation. */
+  private def recallHarnessFn(tiers: Seq[(String, NamedQuery)])(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // exact feeds base + the per-tier joins, each approx feeds a join +
+    // a count: persist both so the composed tier pipelines (the actual
+    // heavy lifting) execute once, not once per consumer.
+    val exact = s1AnnBruteForce.fn(s, dir)
+      .filter(col("rn") <= 5).select(col("q_id"), col("nn_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = exact.groupBy(col("q_id")).agg(count(lit(1)).as("exact_k"))
+    def recallOf(tier: String, approxFull: DataFrame) = {
+      val approx = approxFull.select(col("q_id"), col("nn_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val base = exact.groupBy(col("q_id")).agg(count(lit(1)).as("exact_k"))
-      def recallOf(tier: String, approxFull: org.apache.spark.sql.DataFrame) = {
-        val approx = approxFull.select(col("q_id"), col("nn_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val hits = approx.join(broadcast(exact), Seq("q_id", "nn_id"))
-          .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-        val ak = approx.groupBy(col("q_id")).agg(count(lit(1)).as("approx_k"))
-        base.join(broadcast(ak), Seq("q_id"), "left")
-          .join(broadcast(hits), Seq("q_id"), "left")
-          .select(lit(tier).as("tier"), col("q_id"), col("exact_k"),
-            coalesce(col("approx_k"), lit(0L)).as("approx_k"),
-            coalesce(col("hits"), lit(0L)).as("hits"),
-            expr("(coalesce(hits, 0L) * 10000) div exact_k").as("recall_bp"))
-      }
-      recallOf("lsh", s2AnnLsh.fn(s, dir))
-        .unionAll(recallOf("multiprobe", s5AnnMultiProbe.fn(s, dir)))
-        .orderBy(col("tier"), col("q_id"))
-    },
-    Some(s"""WITH exact_full AS (${s1AnnBruteForce.oracle.get}),
+      val hits = approx.join(broadcast(exact), Seq("q_id", "nn_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      val ak = approx.groupBy(col("q_id")).agg(count(lit(1)).as("approx_k"))
+      base.join(broadcast(ak), Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
+        .select(lit(tier).as("tier"), col("q_id"), col("exact_k"),
+          coalesce(col("approx_k"), lit(0L)).as("approx_k"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          expr("(coalesce(hits, 0L) * 10000) div exact_k").as("recall_bp"))
+    }
+    tiers.map { case (name, q) => recallOf(name, q.fn(s, dir)) }
+      .reduce(_ unionAll _)
+      .orderBy(col("tier"), col("q_id"))
+  }
+
+  /** The same harness as DuckDB SQL, composing each tier's own oracle. */
+  private def recallHarnessSql(tiers: Seq[(String, NamedQuery)]): String = {
+    val tierCtes = tiers.map { case (name, q) =>
+      s"a_$name AS (SELECT q_id, nn_id FROM (${q.oracle.get}) t)"
+    }.mkString(",\n        ")
+    val scored = tiers.map { case (name, _) =>
+      s"""SELECT '$name' AS tier, b.q_id, b.exact_k,
+            (SELECT count(*) FROM a_$name a WHERE a.q_id = b.q_id) AS approx_k,
+            (SELECT count(*) FROM a_$name a JOIN exact e
+              ON a.q_id = e.q_id AND a.nn_id = e.nn_id
+              WHERE a.q_id = b.q_id) AS hits
+          FROM base b"""
+    }.mkString("\n          UNION ALL ")
+    s"""WITH exact_full AS (${s1AnnBruteForce.oracle.get}),
         exact AS (SELECT q_id, nn_id FROM exact_full WHERE rn <= 5),
         base AS (SELECT q_id, count(*) AS exact_k FROM exact GROUP BY q_id),
-        a_lsh AS (SELECT q_id, nn_id FROM (${s2AnnLsh.oracle.get}) t),
-        a_mp AS (SELECT q_id, nn_id FROM (${s5AnnMultiProbe.oracle.get}) t),
+        $tierCtes,
         scored AS (
-          SELECT 'lsh' AS tier, b.q_id, b.exact_k,
-            (SELECT count(*) FROM a_lsh a WHERE a.q_id = b.q_id) AS approx_k,
-            (SELECT count(*) FROM a_lsh a JOIN exact e
-              ON a.q_id = e.q_id AND a.nn_id = e.nn_id
-              WHERE a.q_id = b.q_id) AS hits
-          FROM base b
-          UNION ALL
-          SELECT 'multiprobe' AS tier, b.q_id, b.exact_k,
-            (SELECT count(*) FROM a_mp a WHERE a.q_id = b.q_id) AS approx_k,
-            (SELECT count(*) FROM a_mp a JOIN exact e
-              ON a.q_id = e.q_id AND a.nn_id = e.nn_id
-              WHERE a.q_id = b.q_id) AS hits
-          FROM base b)
+          $scored)
       SELECT tier, q_id, CAST(exact_k AS BIGINT) AS exact_k,
         CAST(approx_k AS BIGINT) AS approx_k, CAST(hits AS BIGINT) AS hits,
         CAST(hits * 10000 // exact_k AS BIGINT) AS recall_bp
-      FROM scored ORDER BY tier, q_id"""),
-    doc = "ANN recall@5 harness: single-probe (s2) and multi-probe (s5) " +
-      "LSH scored against s1's exact top-5 per query, integer basis-point " +
-      "recall, composed from the tiers' own oracled pipelines")
+      FROM scored ORDER BY tier, q_id"""
+  }
+
+  /** ANN recall evaluation — the harness a production similarity
+    * deployment runs CONTINUOUSLY, not once: every approximate tier is
+    * measured against the exact ground truth (s1's brute-force top-k)
+    * per query point, and a recall regression (an index drifting out of
+    * date, a re-trained quantizer, a bad bucket split) pages before
+    * users notice.  Here the two LSH tiers are scored at k=5:
+    * single-probe (s2) vs multi-probe (s5) — multi-probe's whole reason
+    * to exist is the recall it buys back at 9× probed volume, and this
+    * query MEASURES that dominance instead of asserting it.
+    *
+    * Recall@5 is pure integer arithmetic (hits·10⁴ div k, floor), and
+    * each tier's candidate pipeline is the REAL oracled query's own
+    * `fn`/oracle SQL — see [[recallHarnessFn]].
+    *
+    * Scale shape: all the heavy lifting happens inside the composed
+    * tier queries (each already gated broadcast/bucketed); the harness
+    * itself joins three ≤k·|queries|-row relations — broadcast
+    * territory at any SF. */
+  val s9AnnRecall = {
+    val tiers = Seq("lsh" -> s2AnnLsh, "multiprobe" -> s5AnnMultiProbe)
+    NamedQuery(
+      "s9_ann_recall",
+      recallHarnessFn(tiers),
+      Some(recallHarnessSql(tiers)),
+      doc = "ANN recall@5 harness: single-probe (s2) and multi-probe (s5) " +
+        "LSH scored against s1's exact top-5 per query, integer basis-point " +
+        "recall, composed from the tiers' own oracled pipelines")
+  }
+
+  /** The INDEX-tier recall harness — s9's measurement extended to the
+    * tiers a production ANN deployment actually serves from: IVF (s4 —
+    * coarse lists, probe the nearest IvfProbe) and PQ/ADC (s7 — product
+    * quantization with asymmetric distance re-ranked over PqCand
+    * candidates).  Both tiers trade recall for probe volume in ways
+    * that RETRAIN with the data (centroids, codebooks), which is
+    * exactly why a deployment re-scores them continuously: a stale
+    * codebook shows up here as a recall drop long before it shows up in
+    * user metrics.  Same harness body, same integer recall arithmetic,
+    * same composed-from-oracled-tiers guarantee as s9. */
+  val s10IndexRecall = {
+    val tiers = Seq("ivf" -> s4AnnIvf, "pq" -> s7AnnPq)
+    NamedQuery(
+      "s10_index_recall",
+      recallHarnessFn(tiers),
+      Some(recallHarnessSql(tiers)),
+      doc = "ANN recall@5 harness over the index tiers: IVF (s4) and " +
+        "PQ/ADC (s7) scored against s1's exact top-5 per query, integer " +
+        "basis-point recall, composed from the tiers' own oracled pipelines")
+  }
 
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
-      s3LabelCentroids, d11SemanticDedup, s9AnnRecall)
+      s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall)
 }

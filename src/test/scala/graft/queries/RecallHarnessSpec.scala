@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{NamedQuery, SparkSpec}
 
 /** Invariants of the two recall harnesses (s9, d13) and the weighted
   * quantiles (a11) at sf0.001 — properties the DuckDB oracle checks only
@@ -21,6 +21,28 @@ class RecallHarnessSpec extends SparkSpec {
     rows.foreach { case (tier, q, k, hits, bp) =>
       assert(k == 5 && hits <= k && bp == hits * 10000 / k,
         s"$tier q$q: inconsistent (k=$k, hits=$hits, bp=$bp)")
+    }
+  }
+
+  test("s10: index-tier recall agrees with an independent recount of s4/s7 vs s1") {
+    val rows = Similarity.s10IndexRecall.fn(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 10, s"5 queries x 2 tiers expected, got ${rows.length}")
+    // independent recount: collect each tier's own top-5 sets and
+    // intersect with s1's exact top-5, bypassing the harness joins
+    def top5(q: NamedQuery): Map[Long, Set[Long]] =
+      q.fn(spark, sf()).filter(org.apache.spark.sql.functions.col("rn") <= 5)
+        .select("q_id", "nn_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = top5(Similarity.s1AnnBruteForce)
+    val byTier = Map("ivf" -> top5(Similarity.s4AnnIvf), "pq" -> top5(Similarity.s7AnnPq))
+    rows.foreach { case (tier, q, k, ak, hits, bp) =>
+      val want = byTier(tier).getOrElse(q, Set.empty).intersect(exact(q)).size.toLong
+      assert(k == 5 && hits == want && bp == hits * 10000 / k,
+        s"$tier q$q: harness says hits=$hits, recount says $want (k=$k, bp=$bp)")
+      assert(ak == byTier(tier).getOrElse(q, Set.empty).size.toLong,
+        s"$tier q$q: approx_k mismatch")
     }
   }
 
