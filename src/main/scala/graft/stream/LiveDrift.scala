@@ -1,0 +1,145 @@
+package graft.stream
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** LIVE distribution-drift monitor — the streaming form of the batch
+  * `a13` query (which is itself `a12`'s bounded-width KS drift): per
+  * event_type, a 256-bin value histogram is maintained in keyed state
+  * and, each time a finalized window folds in, the two-sample
+  * Kolmogorov–Smirnov statistic is recomputed against a BROADCAST
+  * reference distribution (the serving-skew alarm a deployed pipeline
+  * pages on: "the live value distribution no longer looks like the
+  * training corpus").
+  *
+  * Identical arithmetic to `a13` (`queries/Analytics.scala`): the same
+  * integer-boundary bin assignment (`(floor(v) − fmin)·bins DIV
+  * (fmax − fmin + 1)`, clamped to the grid — out-of-range live values
+  * accumulate in the edge bins instead of corrupting state), and the
+  * same exact integer statistic D·n_live·n_ref = max over the bin walk
+  * of |c_live·n_ref − c_ref·n_live|, reported in basis points with the
+  * product carried in BigInt so the 10⁴ step cannot overflow (a12's
+  * decimal(38) reasoning).  `LiveDriftParitySpec` pins live≡batch
+  * against the oracled a13 on the replayed real events table — the
+  * sixth live≡batch parity pair (q15/T6, T10, T11, T12, a8/a9, this).
+  *
+  * == Two-stage shape (the 100 TB design, as [[LiveHeavyHitters]]) ==
+  *
+  * Raw events first bin scan-side and count per watermarked tumbling
+  * window: the partial HashAggregate map-side-combines, so no matter
+  * the value cardinality the shuffle and the windowed state carry AT
+  * MOST |types|·bins rows per window — a13's bounded-walk contract
+  * applied to the stream.  Stage 2 is keyed by event_type (|types|
+  * tiny groups), folds finalized window deltas into one bins-counter
+  * array per type, and emits a drift alert per updated type per batch
+  * against the reference histogram riding the closure (bins longs per
+  * type — broadcast territory by construction).
+  *
+  * Replay hygiene: within a stage-2 batch windows fold in event-time
+  * order and a window ≤ the newest folded one is a checkpoint-replayed
+  * duplicate — dropped whole, making the operator idempotent across
+  * restarts (the [[LiveHeavyHitters]]/[[AnomalyZscore]] contract).
+  */
+object LiveDrift {
+
+  final case class Event(event_type: String, value: Double, ts: java.sql.Timestamp)
+
+  /** Finalized per-window delta: window `window_start` added `n` events
+    * of `event_type` to histogram bin `bin`. */
+  final case class BinDelta(event_type: String, bin: Int,
+      window_start: java.sql.Timestamp, event_ts: java.sql.Timestamp, n: Long)
+
+  /** Stage-2 state per type: newest folded window start + histogram. */
+  final case class Hist(lastStart: Long, counts: Seq[Long])
+
+  /** One alert per updated type per batch: live-vs-reference KS after
+    * folding windows up to `upto`. */
+  final case class DriftAlert(event_type: String, upto: java.sql.Timestamp,
+      n_live: Long, n_ref: Long, ks_scaled: Long, ks_bp: Long)
+
+  /** a13's exact integer KS of a live histogram against a reference
+    * histogram on the same grid: (n_live, n_ref, ks_scaled, ks_bp).
+    * ks_bp is 0 when either side is empty (KS undefined — the volume
+    * alarms own that case, as in a12/a13's n>0 filters). */
+  def ksAgainst(live: Seq[Long], ref: Seq[Long]): (Long, Long, Long, Long) = {
+    require(live.length == ref.length,
+      s"histogram grids differ: ${live.length} vs ${ref.length} bins")
+    val nL = live.sum
+    val nR = ref.sum
+    var cL = 0L; var cR = 0L; var ks = 0L; var i = 0
+    while (i < live.length) {
+      cL += live(i); cR += ref(i)
+      ks = math.max(ks, math.abs(cL * nR - cR * nL))
+      i += 1
+    }
+    val bp = if (nL > 0 && nR > 0)
+      (BigInt(ks) * 10000 / (BigInt(nL) * BigInt(nR))).toLong
+    else 0L
+    (nL, nR, ks, bp)
+  }
+
+  /** Live drift alerts over `events` against `reference` (per-type
+    * histograms on the [fmin, fmax] × `bins` grid — in production the
+    * profile of the training corpus, here a13's period-0 side). */
+  def monitor(events: Dataset[Event], reference: Map[String, Seq[Long]],
+      fmin: Long, fmax: Long, bins: Int = 256, windowSec: Long = 3600L,
+      watermarkDelay: String = "0 seconds")(
+      implicit spark: SparkSession): Dataset[DriftAlert] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    require(fmax >= fmin, s"empty value grid: [$fmin, $fmax]")
+    reference.foreach { case (t, h) =>
+      require(h.length == bins, s"reference '$t' has ${h.length} bins, grid has $bins")
+    }
+
+    // stage 1: scan-side bin assignment (a13's integer arithmetic,
+    // clamped to the grid), then a watermarked tumbling-window count —
+    // the partial agg combines before the shuffle; a finalized window
+    // yields ≤ |types|·bins tiny delta rows.
+    val binCol = greatest(lit(0), least(lit(bins - 1),
+      expr(s"(CAST(floor(value) AS BIGINT) - ${fmin}L) * $bins DIV (${fmax}L - ${fmin}L + 1)")))
+      .cast("int")
+    val deltas: Dataset[BinDelta] = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("event_type"), binCol.as("bin"))
+      .groupBy(window(col("ts"), s"$windowSec seconds"),
+        col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"), col("window.start").as("window_start"),
+        window_time(col("window")).as("event_ts"), col("n"))
+      .as[BinDelta]
+
+    // stage 2: |types| tiny groups, each folding its finalized window
+    // deltas into one histogram; emits one alert per updated type.
+    deltas
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Hist, DriftAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, batch: Iterator[BinDelta], state: GroupState[Hist]) =>
+          var lastStart = state.getOption.map(_.lastStart).getOrElse(Long.MinValue)
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(new Array[Long](bins))
+          var touched = false
+          batch.toSeq.groupBy(_.window_start.getTime).toSeq.sortBy(_._1)
+            .foreach { case (start, cells) =>
+              if (start > lastStart) { // else checkpoint-replayed duplicate
+                cells.foreach { c =>
+                  require(c.bin >= 0 && c.bin < bins,
+                    s"bin ${c.bin} out of [0, $bins) — clamp broken?")
+                  counts(c.bin) += c.n
+                }
+                lastStart = start
+                touched = true
+              }
+            }
+          if (!touched) Iterator.empty
+          else {
+            state.update(Hist(lastStart, counts.toVector))
+            val ref = reference.getOrElse(typ, Seq.fill(bins)(0L))
+            val (nL, nR, ks, bp) = ksAgainst(counts.toSeq, ref)
+            Iterator.single(DriftAlert(typ,
+              new java.sql.Timestamp(lastStart), nL, nR, ks, bp))
+          }
+      }
+  }
+}
