@@ -217,6 +217,9 @@ object Similarity {
     (s, dir) => {
       graft.sentiment.GraftFunctions.register(s)
       import org.apache.spark.sql.expressions.Window
+      // 4 consumers (seeds, first assignment, final lists, query side)
+      // would otherwise re-scan and re-quantize the corpus 4×; persist
+      // MEMORY_AND_DISK (must spill, not OOM — the d3-shingles rule).
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         // quantized vector as array<double> holding exact small integers:
@@ -224,6 +227,7 @@ object Similarity {
         .withColumn("qv", transform(col("emb"),
           x => floor(x * QuantScale)).cast("array<double>"))
         .withColumn("vv", dot(col("qv"), col("qv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // Argmin over the broadcast centroid set via ONE aggregate: map-side
       // combine collapses the k×-exploded rows back to one per vector
@@ -256,6 +260,15 @@ object Similarity {
         .select(col("list_id"),
           transform(col("pc"), x => x.getField("c")).as("cent"))
         .withColumn("cc", dot(col("cent"), col("cent")))
+        // the centroid relation is IvfLists tiny rows but DERIVING it is
+        // a full O(n·k) assignment pass — and BOTH consumers (the final
+        // list assignment and the query-side probe) broadcast it, so
+        // without a persist the whole k-means training subtree executes
+        // twice (visible as two identical ObjectHashAggregate…Generate
+        // chains in the round-7 EXPLAIN).  Modest at the driver SFs
+        // (the vector corpus is tiny); at a real vector count the
+        // duplicated pass is the dominant cost of the query.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lists = nearest(e, centroids)
 
       // query side: probe the IvfProbe nearest lists by the same metric
@@ -658,11 +671,15 @@ object Similarity {
         .withColumn("qv", transform(col("emb"),
           x => floor(x * QuantScale)).cast("array<double>"))
       // the m-th subvector of every grid vector: (vec_id, m, sv, svv)
+      // 4 consumers (seeds, both codebook assignments, the query side)
+      // would re-explode the corpus into its PqM subvectors each time;
+      // persist MEMORY_AND_DISK (must spill, not OOM).
       val sub = e
         .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
         .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
         .withColumn("svv", dot(col("sv"), col("sv")))
         .select(col("vec_id"), col("m"), col("sv"), col("svv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-subspace argmin assignment via ONE min_by aggregate (the s4
       // plan shape: map-side combine collapses the K-fold join fan-out)
       def nearestCode(points: DataFrame, cents: DataFrame): DataFrame =
@@ -686,6 +703,11 @@ object Similarity {
         .select(col("m"), col("code"),
           transform(col("pc"), x => x.getField("c")).as("cent"))
         .withColumn("cc", dot(col("cent"), col("cent")))
+        // tiny (PqM·PqK rows) but derived by a full per-subspace
+        // assignment pass; both consumers (the corpus coding and the
+        // query-side ADC table) broadcast it — persist so the codebook
+        // trains once, not twice (the s4-centroids fix, same shape).
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codes = nearestCode(sub, cents1)
         .select(col("vec_id"), col("m"), col("code"))
       // ADC: per-query distance table over all (m, code) centroids
@@ -998,7 +1020,12 @@ object Similarity {
         .select(col("list_id"),
           transform(col("pc"), x => x.getField("c")).as("cent"))
         .withColumn("cc", dot(col("cent"), col("cent")))
+      // 3 consumers (both pair sides + the final kept-join) would each
+      // re-derive the whole k-means assignment — including the centroid
+      // training subtree — without a persist (the s4-centroids fix);
+      // MEMORY_AND_DISK so the labeled corpus spills rather than OOMs.
       val m = nearestWithDist(e, centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // ONE shuffle on list_id; pairs never leave their cluster.
       val lhs = m.select(col("list_id"), col("vec_id").as("ia"),

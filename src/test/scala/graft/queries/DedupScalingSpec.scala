@@ -21,21 +21,23 @@ class DedupScalingSpec extends AnyFunSuite {
     java.nio.file.Files.readAllLines(p).asScala.toSeq
   }
 
-  private val Row = raw"\|\s*(\d)x\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|.*".r
+  private val Row =
+    raw"\|\s*(\d)x\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|.*".r
 
-  private lazy val table: Map[Int, (Double, Double)] = lines.collect {
-    case Row(k, off, on) => k.toInt -> (off.toDouble, on.toDouble)
+  private lazy val table: Map[Int, (Double, Double, Double)] = lines.collect {
+    case Row(k, off, on, banded) => k.toInt -> (off.toDouble, on.toDouble, banded.toDouble)
   }.toMap
 
-  test("both curves present at 1x/2x/4x") {
+  test("all three curves present at 1x/2x/4x") {
     assert(table.keySet == Set(1, 2, 4), s"rows found: ${table.keySet}")
     assert(lines.exists(_.contains("cache off")) && lines.exists(_.contains("cache on")))
+    assert(lines.exists(_.contains("banded")), "banded pair-source curve missing")
     assert(lines.exists(_.contains("DedupScalingSweep")), "regeneration recipe missing")
   }
 
-  test("wall-time growth exponent < 2 for both cache modes") {
-    for ((mode, pick) <- Seq[(String, ((Double, Double)) => Double)](
-        "off" -> (_._1), "on" -> (_._2))) {
+  test("wall-time growth exponent < 2 for every mode") {
+    for ((mode, pick) <- Seq[(String, ((Double, Double, Double)) => Double)](
+        "off" -> (_._1), "on" -> (_._2), "banded" -> (_._3))) {
       val w1 = pick(table(1)); val w4 = pick(table(4))
       val exp = math.log(w4 / w1) / math.log(4.0)
       assert(exp < 2.0, f"cache $mode: exponent $exp%.2f reached quadratic ($w1%.2f s → $w4%.2f s)")
@@ -43,7 +45,7 @@ class DedupScalingSpec extends AnyFunSuite {
   }
 
   test("shared dup-graph cache still pays at 4x") {
-    val (off4, on4) = table(4)
+    val (off4, on4, _) = table(4)
     assert(on4 <= off4 * 1.05,
       f"cached composition ($on4%.2f s) no longer beats uncached ($off4%.2f s) at 4x")
   }

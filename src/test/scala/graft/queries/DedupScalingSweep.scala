@@ -65,10 +65,13 @@ object DedupScalingSweep {
 
     // mode -> k -> min-of-2 composition wall (s).  Cache cleared before
     // every timed run: ON measures one-derivation-three-consumers within
-    // a run, never reuse across runs.
-    def timeComposition(dir: String, cache: Boolean): Double = {
-      spark.conf.set("spark.graft.dupgraph.cache", cache.toString)
-      (1 to 2).map { _ =>
+    // a run, never reuse across runs.  Modes: per-query isolation on the
+    // exact pair source ("off"), the shared dup-graph on the exact source
+    // ("on"), and the shared graph on the d13-certified banded source
+    // ("banded" — spark.graft.dedup.pairs=banded, the 100 TB config).
+    def timeComposition(dir: String, confs: Seq[(String, String)]): Double = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t = (1 to 2).map { _ =>
         Dedup.clearDupGraphCache()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -76,18 +79,24 @@ object DedupScalingSweep {
         composition.foreach(q => graft.SparkEntry.queries(q)(spark, dir).count(): Unit)
         (System.nanoTime() - t0) / 1e9
       }.min
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      t
     }
+    val modes = Seq(
+      "off" -> Seq("spark.graft.dupgraph.cache" -> "false"),
+      "on" -> Seq("spark.graft.dupgraph.cache" -> "true"),
+      "banded" -> Seq("spark.graft.dupgraph.cache" -> "true",
+        "spark.graft.dedup.pairs" -> "banded"))
 
-    val results = for (cache <- Seq(false, true); k <- sizes)
-      yield (cache, k, timeComposition(dirs(k), cache))
-    spark.conf.unset("spark.graft.dupgraph.cache")
+    val results = for ((mode, confs) <- modes; k <- sizes)
+      yield (mode, k, timeComposition(dirs(k), confs))
     Dedup.clearDupGraphCache()
     val load1 = loadAvg()
 
-    def wall(cache: Boolean, k: Int): Double =
-      results.collectFirst { case (c, kk, w) if c == cache && kk == k => w }.get
-    def exponent(cache: Boolean): Double =
-      math.log(wall(cache, 4) / wall(cache, 1)) / math.log(4.0)
+    def wall(mode: String, k: Int): Double =
+      results.collectFirst { case (m, kk, w) if m == mode && kk == k => w }.get
+    def exponent(mode: String): Double =
+      math.log(wall(mode, 4) / wall(mode, 1)) / math.log(4.0)
 
     val md = new StringBuilder
     md ++= "# Dedup-tier wall-time scaling (c1 + d6 + d9 composition)\n\n"
@@ -96,18 +105,34 @@ object DedupScalingSweep {
     md ++= "linearly, so super-linear growth below would be the engine's own).\n"
     md ++= f"min-of-2 runs, local[$cpus%s], load avg $load0%.2f -> $load1%.2f.\n"
     md ++= "Regenerate: `sbt \"Test/runMain graft.queries.DedupScalingSweep\"`.\n\n"
-    md ++= "| corpus | cache off (s) | cache on (s) | on/off |\n|---|---|---|---|\n"
+    md ++= "Modes: per-query isolation / shared dup-graph cache, both on the\n"
+    md ++= "exact pair join; `banded` = shared cache + `spark.graft.dedup.pairs=\n"
+    md ++= "banded` (d3's MinHash-banded pair source — result-identical, certified\n"
+    md ++= "by the d13 audit + DedupPairSourceSpec; candidates come from bounded\n"
+    md ++= "band-bucket occupancy instead of shingle co-occurrence).\n\n"
+    md ++= "| corpus | cache off (s) | cache on (s) | banded (s) | on/off | banded/on |\n"
+    md ++= "|---|---|---|---|---|---|\n"
     sizes.foreach { k =>
-      val off = wall(false, k); val on = wall(true, k)
-      md ++= f"| ${k}x | $off%.2f | $on%.2f | ${on / off}%.2f |\n"
+      val off = wall("off", k); val on = wall("on", k); val bd = wall("banded", k)
+      md ++= f"| ${k}x | $off%.2f | $on%.2f | $bd%.2f | ${on / off}%.2f | ${bd / on}%.2f |\n"
     }
     md ++= f"\nGrowth exponent 1x->4x (log4 of the wall ratio; linear = 1, quadratic = 2):\n"
-    md ++= f"- cache off: **${exponent(false)}%.2f**\n"
-    md ++= f"- cache on:  **${exponent(true)}%.2f**\n"
+    md ++= f"- cache off: **${exponent("off")}%.2f**\n"
+    md ++= f"- cache on:  **${exponent("on")}%.2f**\n"
+    md ++= f"- banded:    **${exponent("banded")}%.2f**\n"
+    md ++= "\nStorage-block hygiene: queries that persist intermediates (the\n"
+    md ++= "dedup tier, s9/s10, d13, t20/t21) rely on driver GC + Spark's\n"
+    md ++= "ContextCleaner to reclaim blocks once the plan objects are\n"
+    md ++= "unreachable — an explicit unpersist inside a query body could pull\n"
+    md ++= "blocks out from under a concurrent consumer of the same plan.\n"
+    md ++= "Timed harnesses therefore clear the cache BETWEEN runs (Bench,\n"
+    md ++= "this sweep), and long-lived sessions should do the same or rely\n"
+    md ++= "on MEMORY_AND_DISK eviction, which keeps stale blocks from\n"
+    md ++= "pressuring execution memory.\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.md"), md.toString)
     println(md.toString)
     spark.stop()
-    if (exponent(false) >= 2.0 || exponent(true) >= 2.0) {
+    if (modes.exists { case (m, _) => exponent(m) >= 2.0 }) {
       System.err.println("SCALING SWEEP FAILED: growth exponent reached quadratic")
       sys.exit(1)
     }
