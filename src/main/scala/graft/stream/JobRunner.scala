@@ -18,7 +18,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   *    (batchId, numInputRows, rows/sec);
   *  - the removed windowed aggregation (T6) can be started as a third query;
   *  - live trend/burst detection (T10, `TrendBurst`) as a fourth — the
-  *    tracking the reference defers to a human watching the dashboard.
+  *    tracking the reference defers to a human watching the dashboard;
+  *  - live anomaly (T10b) and distribution-drift (T13) alerts as fifth
+  *    and sixth queries — volume- and shape-level alarms off the same
+  *    enriched lineage.
   */
 object JobRunner {
 
@@ -55,7 +58,21 @@ object JobRunner {
       withAnomalies: Boolean = false,
       anomalyWindowSec: Long = 3600L,
       anomalyWatermark: String = "2 hours",
-      anomalyBaseline: Int = 24)
+      anomalyBaseline: Int = 24,
+      // T13: live distribution-drift alerts (stream/LiveDrift, the
+      // streaming form of batch a13) as a sixth query off the same
+      // lineage — the per-platform SENTIMENT-SCORE DISTRIBUTION measured
+      // by exact integer KS against a broadcast reference profile
+      // (production: the profile of a healthy baseline period).  Scores
+      // ride the monitor's integer grid as score·10⁴ ∈ [−10⁴, 10⁴], so
+      // bin boundaries stay integer-exact; bursts/anomalies alarm on
+      // VOLUME, this alarms on SHAPE (a sentiment split whose mean and
+      // volume look normal still pages here).
+      withDrift: Boolean = false,
+      driftReference: Map[String, Seq[Long]] = Map.empty,
+      driftBins: Int = 256,
+      driftWindowSec: Long = 3600L,
+      driftWatermark: String = "2 hours")
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -83,8 +100,10 @@ object JobRunner {
       // from readers.
       Seq(cfg.checkpointPath, cfg.checkpointPath + "_windowed",
         cfg.checkpointPath + "_bursts", cfg.checkpointPath + "_anomalies",
+        cfg.checkpointPath + "_drift",
         cfg.outputPath, cfg.outputPath + "_windowed",
-        cfg.outputPath + "_bursts", cfg.outputPath + "_anomalies")
+        cfg.outputPath + "_bursts", cfg.outputPath + "_anomalies",
+        cfg.outputPath + "_drift")
         .foreach(p => deleteRecursively(new java.io.File(p)))
       cfg.windowedOutputPath.foreach(p => deleteRecursively(new java.io.File(p)))
     }
@@ -126,7 +145,25 @@ object JobRunner {
         queryName = "anomaly_output").start())
     } else None
 
-    Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies)
+    val drift = if (cfg.withDrift) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val evs = Enrich.withEventTime(enriched)
+        .select(col("platform").as("event_type"),
+          // widen BEFORE scaling: float·int would multiply in float and
+          // a last-ulp wobble could flip a bin edge vs any double recount
+          (col("sentiment_score").cast("double") * 10000).as("value"),
+          col("event_ts").as("ts"))
+        .as[LiveDrift.Event]
+      val alerts = LiveDrift.monitor(evs, cfg.driftReference,
+        fmin = -10000L, fmax = 10000L, bins = cfg.driftBins,
+        windowSec = cfg.driftWindowSec, watermarkDelay = cfg.driftWatermark)(spark)
+      Some(Sinks.jsonFiles(alerts.toDF(), cfg.outputPath + "_drift",
+        cfg.checkpointPath + "_drift", cfg.fileTrigger,
+        queryName = "drift_output").start())
+    } else None
+
+    Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies ++ drift)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

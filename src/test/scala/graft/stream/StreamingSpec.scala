@@ -116,6 +116,54 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the planted :03 spike, got ${flags.mkString(";")}")
   }
 
+  test("JobRunner fans a sixth drift query off the shared lineage (T13)") {
+    val in = tmp("graft-din"); val out = tmp("graft-dout"); val cp = tmp("graft-dcp")
+    // 4-bin sentiment grid; the reference profile for platform "x" puts
+    // all mass in the bottom (most-negative) bin — a negative baseline —
+    // while the planted posts are positive, so the final alert must show
+    // a large KS distance.  The exact statistic is recounted from the
+    // file sink's own enriched output through the same grid arithmetic.
+    val bins = 4
+    val ref = Map("x" -> Seq(3L, 0L, 0L, 0L))
+    def post(sec: Int, n: Int): Seq[String] = (0 until n).map(i =>
+      s"""{"text": "i love this product ${i}", "user": "d$sec$i", "platform": "x", "timestamp": "2024-01-01 12:00:0$sec"}""")
+    writePosts(in, "b1.json", post(1, 3) ++ Seq(
+      """{"text": "i love this too", "user": "dz", "platform": "x", "timestamp": "2024-01-01 12:00:30"}"""))
+    val r = JobRunner.run(spark, FileJsonSource(in),
+      fastCfg(out, cp).copy(withDrift = true, driftReference = ref,
+        driftBins = bins, driftWindowSec = 1L, driftWatermark = "0 seconds"))
+    r.processAllAvailable()
+    // batch 2 advances the watermark past :30 so every b1 window finalizes
+    writePosts(in, "b2.json", Seq(
+      """{"text": "i love this even more", "user": "dw", "platform": "x", "timestamp": "2024-01-01 12:01:00"}"""))
+    r.processAllAvailable(); r.stopAll()
+    assert(r.queries.size == 2, "file sink + drift query expected (console/windowed off)")
+    // recount from the enriched output: every b1 post (ts <= :30) is
+    // folded; b2's own window never finalizes
+    val hist = new Array[Long](bins)
+    readOut(out)
+      .filter(col("platform") === "x" && col("timestamp") < "2024-01-01 12:01:00")
+      .select("sentiment_score").collect().foreach { row =>
+        val v = row.getFloat(0).toDouble * 10000
+        val bin = math.min(bins - 1L, math.max(0L,
+          (math.floor(v).toLong + 10000L) * bins / 20001L)).toInt
+        hist(bin) += 1L
+      }
+    val want = LiveDrift.ksAgainst(hist.toSeq, ref("x"))
+    val s = spark
+    import s.implicits._
+    val alerts = spark.read
+      .schema("event_type STRING, upto TIMESTAMP, n_live BIGINT, n_ref BIGINT, " +
+        "ks_scaled BIGINT, ks_bp BIGINT")
+      .json(out + "_drift").as[LiveDrift.DriftAlert].collect()
+    assert(alerts.nonEmpty, "no drift alerts emitted")
+    val last = alerts.maxBy(_.upto.getTime)
+    assert((last.n_live, last.n_ref, last.ks_scaled, last.ks_bp) == want,
+      s"final alert $last != recount $want over hist ${hist.toSeq}")
+    assert(last.n_live == 4L && last.ks_bp > 5000L,
+      s"planted positive-vs-negative drift should score high: $last")
+  }
+
   test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
     val in = tmp("graft-in2"); val out = tmp("graft-out2"); val cp = tmp("graft-cp2")
     writePosts(in, "b1.json", batch1)
