@@ -488,11 +488,12 @@ object Analytics {
     * The statistic is the two-sample Kolmogorov–Smirnov distance run
     * entirely on the integer grid: with per-period counts n₀, n₁ and
     * cumulative counts c₀(v), c₁(v) walked over the merged distinct
-    * values, D·n₀·n₁ = max |c₀(v)·n₁ − c₁(v)·n₀| — exact int64 (counts
-    * ≤ ~10⁹ per period per type before the product nears 2⁶³), reported
-    * in basis points as D_bp = scaled·10⁴ div (n₀·n₁), the product run
-    * in decimal(38) so the 10⁴ step cannot overflow int64.  No CDF floats,
-    * no p-value approximation — both engines agree bit-for-bit.
+    * values, D·n₀·n₁ = max |c₀(v)·n₁ − c₁(v)·n₀| — the walk products and
+    * the basis-point step both run in decimal(38) (HUGEINT in the
+    * oracle), so no count short of ~10¹⁹ per half can overflow the
+    * statistic; only the REPORTED ks_scaled column is int64 (past that
+    * bound, read ks_bp).  No CDF floats, no p-value approximation — both
+    * engines agree bit-for-bit.
     *
     * Periods: the table's own [min ts, max ts] midpoint (computed as a
     * 1-row aggregate that broadcasts) — deterministic and
@@ -526,16 +527,21 @@ object Analytics {
         .withColumn("n1", sum(col("d1")).over(tot))
         .filter(col("n0") > 0 && col("n1") > 0)
         .groupBy(col("event_type"))
+        // the WALK products run in DECIMAL(38)/HUGEINT too: c·n can reach
+        // n0·n1, which exceeds int64 once each half holds ~3·10⁹ events —
+        // with ANSI on that's a runtime ArithmeticException exactly at
+        // the scale the query targets, with ANSI off a silent wrap.  The
+        // REPORTED ks_scaled column stays int64 (it saturates the output
+        // type only past the same ~9.2e18 bound — report ks_bp there);
+        // ks_bp itself is exact at any count.
         .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
-          max(abs(col("c0") * col("n1") - col("c1") * col("n0"))).as("ks_scaled"))
-        // basis-point step in DECIMAL(38): ks_scaled can reach n0·n1, so
-        // the int64 product ks_scaled·10⁴ would overflow once n0·n1 >
-        // ~9.2e14 (≈3·10⁷ events per half per type) — decimal keeps the
-        // whole division exact to the same bound as the statistic itself
-        // (DuckDB's // is HUGEINT-exact already)
+          max(abs(col("c0").cast("decimal(38,0)") * col("n1") -
+            col("c1").cast("decimal(38,0)") * col("n0"))).as("ks_dec"))
         .withColumn("ks_bp",
-          expr("CAST((CAST(ks_scaled AS DECIMAL(38,0)) * 10000) div " +
+          expr("CAST((ks_dec * 10000) div " +
             "(CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          col("ks_dec").cast("long").as("ks_scaled"), col("ks_bp"))
         .orderBy(col("event_type"))
     },
     Some("""WITH ev AS (
@@ -558,8 +564,9 @@ object Analytics {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                tot AS (PARTITION BY event_type))
       SELECT event_type, max(n0) AS n0, max(n1) AS n1,
-        CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS ks_scaled,
-        CAST(max(abs(c0 * n1 - c1 * n0)) * 10000 // (max(n0) * max(n1)) AS BIGINT) AS ks_bp
+        CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) AS BIGINT) AS ks_scaled,
+        CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) * 10000
+          // (CAST(max(n0) AS HUGEINT) * max(n1)) AS BIGINT) AS ks_bp
       FROM walked WHERE n0 > 0 AND n1 > 0
       GROUP BY event_type ORDER BY event_type"""),
     doc = "two-sample KS distribution drift per event_type between the " +
@@ -617,12 +624,17 @@ object Analytics {
         .withColumn("n1", sum(col("d1")).over(tot))
         .filter(col("n0") > 0 && col("n1") > 0)
         .groupBy(col("event_type"))
+        // DECIMAL(38) walk products + bp step — same reasoning as a12:
+        // c·n reaches n0·n1, past int64 at ~3·10⁹ events per half, which
+        // is exactly the regime this bounded-width variant exists for
         .agg(max(col("n0")).as("n0"), max(col("n1")).as("n1"),
-          max(abs(col("c0") * col("n1") - col("c1") * col("n0"))).as("ks_scaled"))
-        // decimal(38) basis-point step — same overflow reasoning as a12
+          max(abs(col("c0").cast("decimal(38,0)") * col("n1") -
+            col("c1").cast("decimal(38,0)") * col("n0"))).as("ks_dec"))
         .withColumn("ks_bp",
-          expr("CAST((CAST(ks_scaled AS DECIMAL(38,0)) * 10000) div " +
+          expr("CAST((ks_dec * 10000) div " +
             "(CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"))
+        .select(col("event_type"), col("n0"), col("n1"),
+          col("ks_dec").cast("long").as("ks_scaled"), col("ks_bp"))
         .orderBy(col("event_type"))
     },
     Some(s"""WITH ev AS (
@@ -648,8 +660,9 @@ object Analytics {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                tot AS (PARTITION BY event_type))
       SELECT event_type, max(n0) AS n0, max(n1) AS n1,
-        CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS ks_scaled,
-        CAST(max(abs(c0 * n1 - c1 * n0)) * 10000 // (max(n0) * max(n1)) AS BIGINT) AS ks_bp
+        CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) AS BIGINT) AS ks_scaled,
+        CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) * 10000
+          // (CAST(max(n0) AS HUGEINT) * max(n1)) AS BIGINT) AS ks_bp
       FROM walked WHERE n0 > 0 AND n1 > 0
       GROUP BY event_type ORDER BY event_type"""),
     doc = "pre-bucketed KS drift: 256 fixed integer-boundary bins from " +

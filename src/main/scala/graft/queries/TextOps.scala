@@ -1490,9 +1490,7 @@ object TextOps {
     * [[withBpeConstructionConfs]]. */
   private[queries] def bpeTrainLoop(s: SparkSession,
       dir: String): (Seq[DataFrame], DataFrame) = {
-    var adj = bpeAdjacency(s,
-      bpeOcc(Tables.documents(s, dir).filter(col("doc_id") % 20 === 0))
-        .repartition(col("doc_id")))
+    var adj = bpeAdjacency(s, bpeSampleOcc(s, dir).repartition(col("doc_id")))
     val bests = (1 to BpeRounds).map { _ =>
       val best = adj.filter(col("ntok").isNotNull)
         .groupBy(col("tok").as("l"), col("ntok").as("r"))
@@ -1504,17 +1502,24 @@ object TextOps {
     (bests, adj)
   }
 
-  /** Applies an ordered merge-rule list to an occurrence relation —
-    * rank order, one greedy pass per rule (exactly what the trainer's
-    * own merge step does each round).  Returns the final adjacency.
+  /** The initial (pre-merge) adjacency of an occurrence relation —
+    * t21's before-count reads it, and [[bpeApplyMerges]] starts from it.
     * Call inside [[withBpeConstructionConfs]]. */
-  private[queries] def bpeApplyMerges(s: SparkSession, occ: DataFrame,
-      bests: Seq[DataFrame]): DataFrame =
-    bests.foldLeft(bpeAdjacency(s, occ.repartition(col("doc_id"))))(
-      (adj, best) => bpeMergePass(s, adj, best))
+  private[queries] def bpeInitialAdjacency(s: SparkSession, occ: DataFrame): DataFrame =
+    bpeAdjacency(s, occ.repartition(col("doc_id")))
 
-  /** Entry point for the spec's round-trip check: the sample's own
-    * occurrences re-encoded through [[bpeApplyMerges]]. */
+  /** Applies an ordered merge-rule list to an initial adjacency — rank
+    * order, one greedy pass per rule (exactly what the trainer's own
+    * merge step does each round).  Returns the final adjacency.  THE
+    * application loop: t21's fn and BpeTrainSpec's round-trip both call
+    * this, so the spec's guarantee covers the code production t21 runs.
+    * Call inside [[withBpeConstructionConfs]]. */
+  private[queries] def bpeApplyMerges(s: SparkSession, adj0: DataFrame,
+      bests: Seq[DataFrame]): DataFrame =
+    bests.foldLeft(adj0)((adj, best) => bpeMergePass(s, adj, best))
+
+  /** The trainer's 5% id-sample occurrences — the single definition of
+    * the sample, consumed by [[bpeTrainLoop]] and the spec round-trip. */
   private[queries] def bpeSampleOcc(s: SparkSession, dir: String): DataFrame =
     bpeOcc(Tables.documents(s, dir).filter(col("doc_id") % 20 === 0))
 
@@ -1594,9 +1599,8 @@ object TextOps {
     "t21_bpe_apply",
     (s, dir) => withBpeConstructionConfs(s) {
       val (bests, _) = bpeTrainLoop(s, dir)
-      val adj0 = bpeAdjacency(s,
-        bpeOcc(Tables.documents(s, dir)).repartition(col("doc_id")))
-      val adjN = bests.foldLeft(adj0)((adj, best) => bpeMergePass(s, adj, best))
+      val adj0 = bpeInitialAdjacency(s, bpeOcc(Tables.documents(s, dir)))
+      val adjN = bpeApplyMerges(s, adj0, bests)
       val before = adj0.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
       val after = adjN.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
       Tables.documents(s, dir).select(col("doc_id"), col("source"))

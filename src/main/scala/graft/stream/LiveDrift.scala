@@ -31,9 +31,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * MOST |types|·bins rows per window — a13's bounded-walk contract
   * applied to the stream.  Stage 2 is keyed by event_type (|types|
   * tiny groups), folds finalized window deltas into one bins-counter
-  * array per type, and emits a drift alert per updated type per batch
-  * against the reference histogram riding the closure (bins longs per
-  * type — broadcast territory by construction).
+  * array per type — or, with `recentWindows = k`, a ≤k-entry ring of
+  * per-window histograms (the trailing-horizon mode a deployed monitor
+  * runs; see [[monitor]]) — and emits a drift alert per updated type
+  * per batch against the reference histogram riding the closure (bins
+  * longs per type — broadcast territory by construction).
   *
   * Replay hygiene: within a stage-2 batch windows fold in event-time
   * order and a window ≤ the newest folded one is a checkpoint-replayed
@@ -49,8 +51,13 @@ object LiveDrift {
   final case class BinDelta(event_type: String, bin: Int,
       window_start: java.sql.Timestamp, event_ts: java.sql.Timestamp, n: Long)
 
-  /** Stage-2 state per type: newest folded window start + histogram. */
-  final case class Hist(lastStart: Long, counts: Seq[Long])
+  /** One finalized window's own histogram (ring mode). */
+  final case class WindowHist(start: Long, counts: Seq[Long])
+
+  /** Stage-2 state per type: newest folded window start + cumulative
+    * histogram (cumulative mode) or the trailing per-window ring. */
+  final case class Hist(lastStart: Long, counts: Seq[Long],
+      ring: Seq[WindowHist] = Nil)
 
   /** One alert per updated type per batch: live-vs-reference KS after
     * folding windows up to `upto`. */
@@ -59,31 +66,52 @@ object LiveDrift {
 
   /** a13's exact integer KS of a live histogram against a reference
     * histogram on the same grid: (n_live, n_ref, ks_scaled, ks_bp).
-    * ks_bp is 0 when either side is empty (KS undefined — the volume
-    * alarms own that case, as in a12/a13's n>0 filters). */
+    * The walk products run in BigInt — c·n reaches n_live·n_ref, past
+    * int64 once both sides hold ~3·10⁹ events (a long-lived monitor
+    * against a large reference profile gets there), and a wrapped
+    * product would silently under- or over-report the distance.  Only
+    * the REPORTED ks_scaled saturates at Long.MaxValue past the int64
+    * bound (read ks_bp there — it is exact at any count).  ks_bp is 0
+    * when either side is empty (KS undefined — the volume alarms own
+    * that case, as in a12/a13's n>0 filters). */
   def ksAgainst(live: Seq[Long], ref: Seq[Long]): (Long, Long, Long, Long) = {
     require(live.length == ref.length,
       s"histogram grids differ: ${live.length} vs ${ref.length} bins")
     val nL = live.sum
     val nR = ref.sum
-    var cL = 0L; var cR = 0L; var ks = 0L; var i = 0
+    var cL = 0L; var cR = 0L; var ks = BigInt(0); var i = 0
     while (i < live.length) {
       cL += live(i); cR += ref(i)
-      ks = math.max(ks, math.abs(cL * nR - cR * nL))
+      val d = (BigInt(cL) * nR - BigInt(cR) * nL).abs
+      if (d > ks) ks = d
       i += 1
     }
+    val scaled = if (ks > Long.MaxValue) Long.MaxValue else ks.toLong
     val bp = if (nL > 0 && nR > 0)
-      (BigInt(ks) * 10000 / (BigInt(nL) * BigInt(nR))).toLong
+      (ks * 10000 / (BigInt(nL) * BigInt(nR))).toLong
     else 0L
-    (nL, nR, ks, bp)
+    (nL, nR, scaled, bp)
   }
 
   /** Live drift alerts over `events` against `reference` (per-type
     * histograms on the [fmin, fmax] × `bins` grid — in production the
-    * profile of the training corpus, here a13's period-0 side). */
+    * profile of the training corpus, here a13's period-0 side).
+    *
+    * `recentWindows` picks the live side's horizon:
+    *  - 0 (default): CUMULATIVE since stream start — exactly a13's
+    *    period-1-vs-period-0 semantics (the parity mode), right for
+    *    bounded replays and batch-equivalent audits.  Its known trade:
+    *    on an unbounded stream, sensitivity decays with age — a late
+    *    shift must outweigh the whole accumulated history before the
+    *    statistic moves, and the counts grow without bound.
+    *  - k > 0: the live histogram is the SUM OF THE LAST k FINALIZED
+    *    WINDOWS (a per-window ring in state, ≤ k·bins longs per type —
+    *    the AnomalyZscore trailing-baseline pattern).  A deployed
+    *    monitor runs this mode: a full distribution shift shows at
+    *    full strength within k windows of onset, forever. */
   def monitor(events: Dataset[Event], reference: Map[String, Seq[Long]],
       fmin: Long, fmax: Long, bins: Int = 256, windowSec: Long = 3600L,
-      watermarkDelay: String = "0 seconds")(
+      watermarkDelay: String = "0 seconds", recentWindows: Int = 0)(
       implicit spark: SparkSession): Dataset[DriftAlert] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -111,6 +139,8 @@ object LiveDrift {
 
     // stage 2: |types| tiny groups, each folding its finalized window
     // deltas into one histogram; emits one alert per updated type.
+    val recent = recentWindows
+    require(recent >= 0, s"recentWindows must be >= 0, got $recent")
     deltas
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[Hist, DriftAlert](
@@ -119,24 +149,32 @@ object LiveDrift {
           var lastStart = state.getOption.map(_.lastStart).getOrElse(Long.MinValue)
           val counts = state.getOption.map(_.counts.toArray)
             .getOrElse(new Array[Long](bins))
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
           var touched = false
           batch.toSeq.groupBy(_.window_start.getTime).toSeq.sortBy(_._1)
             .foreach { case (start, cells) =>
               if (start > lastStart) { // else checkpoint-replayed duplicate
+                val target =
+                  if (recent == 0) counts else new Array[Long](bins)
                 cells.foreach { c =>
                   require(c.bin >= 0 && c.bin < bins,
                     s"bin ${c.bin} out of [0, $bins) — clamp broken?")
-                  counts(c.bin) += c.n
+                  target(c.bin) += c.n
                 }
+                if (recent > 0)
+                  ring = (ring :+ WindowHist(start, target.toVector)).takeRight(recent)
                 lastStart = start
                 touched = true
               }
             }
           if (!touched) Iterator.empty
           else {
-            state.update(Hist(lastStart, counts.toVector))
+            state.update(Hist(lastStart, counts.toVector, ring))
+            val live =
+              if (recent == 0) counts.toSeq
+              else (0 until bins).map(i => ring.iterator.map(_.counts(i)).sum)
             val ref = reference.getOrElse(typ, Seq.fill(bins)(0L))
-            val (nL, nR, ks, bp) = ksAgainst(counts.toSeq, ref)
+            val (nL, nR, ks, bp) = ksAgainst(live, ref)
             Iterator.single(DriftAlert(typ,
               new java.sql.Timestamp(lastStart), nL, nR, ks, bp))
           }

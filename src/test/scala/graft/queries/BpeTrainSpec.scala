@@ -74,7 +74,8 @@ class BpeTrainSpec extends SparkSpec {
       TextOps.bpeTrainLoop(spark, dir)
     }
     val reApplied = TextOps.withBpeConstructionConfs(spark) {
-      TextOps.bpeApplyMerges(spark, TextOps.bpeSampleOcc(spark, dir), bests)
+      TextOps.bpeApplyMerges(spark,
+        TextOps.bpeInitialAdjacency(spark, TextOps.bpeSampleOcc(spark, dir)), bests)
     }
     def occSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
       df.select("doc_id", "rn", "tok").collect()

@@ -152,6 +152,51 @@ class LiveDriftSpec extends SparkSpec {
       s"post-restart alert ${latest} != closed form $want")
   }
 
+  test("recentWindows ring: a shift shows at full strength within k windows") {
+    // Cumulative mode dilutes a late shift under the accumulated
+    // history; the k-window ring forgets it.  Feed 3 on-reference
+    // windows then 2 fully-shifted ones: with recentWindows=2 the final
+    // live histogram holds ONLY shifted mass → D = 1 (10000 bp), while
+    // cumulative mode still carries the old mass and scores lower.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Map("m" -> Seq(5L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    def feed(input: MemoryStream[LiveDrift.Event], q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      // w0..w2: value 0 (reference bin); w3..w4: value 9 (shifted)
+      input.addData(
+        ev("m", 0.0, "2024-01-01T00:00:10Z"), ev("m", 0.0, "2024-01-01T00:00:20Z"),
+        ev("m", 0.0, "2024-01-01T00:01:10Z"),
+        ev("m", 0.0, "2024-01-01T00:02:10Z"),
+        ev("m", 9.0, "2024-01-01T00:03:10Z"), ev("m", 9.0, "2024-01-01T00:03:20Z"),
+        ev("m", 9.0, "2024-01-01T00:04:10Z"))
+      q.processAllAvailable()
+      input.addData(ev("zz", 0.0, "2024-01-01T02:00:00Z")) // finalize all
+      q.processAllAvailable()
+    }
+    val inRing = MemoryStream[LiveDrift.Event]
+    val qRing = LiveDrift.monitor(inRing.toDS(), ref, Fmin, Fmax, Bins,
+      windowSec = 60L, recentWindows = 2)
+      .writeStream.format("memory").queryName("ld_ring")
+      .outputMode(OutputMode.Append).start()
+    try { feed(inRing, qRing) } finally qRing.stop()
+    val ring = spark.table("ld_ring").as[LiveDrift.DriftAlert].collect()
+      .filter(_.event_type == "m").maxBy(_.upto.getTime)
+    // last 2 windows = w3 (2 events) + w4 (1 event), all shifted mass
+    assert(ring.n_live == 3L && ring.ks_bp == 10000L,
+      s"ring monitor should see only the shifted tail: $ring")
+
+    val inCum = MemoryStream[LiveDrift.Event]
+    val qCum = LiveDrift.monitor(inCum.toDS(), ref, Fmin, Fmax, Bins, windowSec = 60L)
+      .writeStream.format("memory").queryName("ld_cum")
+      .outputMode(OutputMode.Append).start()
+    try { feed(inCum, qCum) } finally qCum.stop()
+    val cum = spark.table("ld_cum").as[LiveDrift.DriftAlert].collect()
+      .filter(_.event_type == "m").maxBy(_.upto.getTime)
+    assert(cum.n_live == 7L && cum.ks_bp < 10000L,
+      s"cumulative monitor should dilute the shift under history: $cum")
+  }
+
   test("a replayed duplicate window is dropped whole (fold idempotence)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
