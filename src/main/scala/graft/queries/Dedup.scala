@@ -60,6 +60,62 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The banding stage over a signature relation: one posexplode over
+    * the per-band linear combinations — NOT a Bands-way union, which
+    * would recompute the signature aggregation once per band.  Shared by
+    * [[bandedJaccardPairs]] and the T14 parity ground truth. */
+  private def signatureBands(sig: org.apache.spark.sql.DataFrame) = {
+    val bandArr = array((0 until Bands).map { b =>
+      (0 until RowsPerBand)
+        .map(r => col(s"h${b * RowsPerBand + r}") * bandC(b)(r))
+        .reduce(_ + _) % P
+    }: _*)
+    sig.select(col("doc_id"), col("n_sh"), posexplode(bandArr).as(Seq("band", "bv")))
+  }
+
+  /** (doc_id, n_sh, band, bv) LSH band keys of every document — d3's
+    * banding stage as a standalone relation (the T14 live candidate
+    * detector's batch ground truth). */
+  def bandKeys(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val sh = TextOps.shingles(s, dir)
+      .select(col("doc_id"), col("shingle"))
+      .withColumn("h0", call_function("graft_charfold", col("shingle")))
+    signatureBands(signatures(sh))
+  }
+
+  /** The SAME band values as pure scalar Column arithmetic over a text
+    * column — no aggregation, so a STREAM can compute them scan-side
+    * (`stream/LiveNearDup`): distinct word-trigram shingles via array
+    * ops, each min-hash an `array_min` over the transformed shingle
+    * array, bands the same linear combinations.  Provably identical to
+    * the aggregate path ([[bandKeys]]) — min over the same distinct set
+    * — pinned by LiveNearDupParitySpec.  Returns array<bigint> of the
+    * `Bands` band values; null/short texts (< 3 tokens) yield an empty
+    * array (no shingles → no bands, matching the batch filter).
+    * Callers must have registered `graft_charfold`
+    * (GraftFunctions.register). */
+  def bandValuesFor(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = split(trim(text), "\\s+")
+    // greatest(..., 1): sequence(1, 0) would DESCEND in Spark; the <3
+    // branch is never evaluated (CaseWhen is lazy) but the bound keeps
+    // the expression total anyway
+    val shingleArr = array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    val sigs = (0 until NumHashes).map { i =>
+      array_min(transform(shingleArr,
+        sh => (call_function("graft_charfold", sh) * hashA(i) + hashB(i)) % P))
+    }
+    val bands = array((0 until Bands).map { b =>
+      (0 until RowsPerBand)
+        .map(r => sigs(b * RowsPerBand + r) * bandC(b)(r))
+        .reduce(_ + _) % P
+    }: _*)
+    when(text.isNotNull && text =!= "" && size(w) >= 3, bands)
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** The identical signature pipeline as DuckDB SQL (constants inlined —
     * the s2-planes technique): h0 fold over shingle chars, 16 min-hashes,
     * per-band linear combination. */
@@ -128,17 +184,8 @@ object Dedup {
       .select(col("doc_id"), col("shingle"))
       .withColumn("h0", call_function("graft_charfold", col("shingle")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = signatures(sh)
     // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
-    // One posexplode over the band-hash array — NOT a 4-way union, which
-    // would recompute the signature aggregation once per band.
-    val bandArr = array((0 until Bands).map { b =>
-      (0 until RowsPerBand)
-        .map(r => col(s"h${b * RowsPerBand + r}") * bandC(b)(r))
-        .reduce(_ + _) % P
-    }: _*)
-    val bands = sig
-      .select(col("doc_id"), col("n_sh"), posexplode(bandArr).as(Seq("band", "bv")))
+    val bands = signatureBands(signatures(sh))
     val left  = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
     val right = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("n_sh").as("sb"))
     val cand = left.join(right, Seq("band", "bv"))

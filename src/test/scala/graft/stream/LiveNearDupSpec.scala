@@ -1,0 +1,74 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Unit behavior of the live near-dup candidate detector: collisions
+  * emit normalized pairs exactly once, short/disjoint texts never pair,
+  * re-delivery is idempotent, cross-batch arrivals pair against history,
+  * and a runaway bucket fails loudly.  Replay ≡ d3's batch candidate
+  * relation is pinned separately in [[LiveNearDupParitySpec]]. */
+class LiveNearDupSpec extends SparkSpec {
+
+  private def doc(id: Long, text: String) = LiveNearDup.DocEvent(id, text)
+
+  // two near-identical texts (share almost all trigram shingles — the
+  // planted collision), one unrelated, one too short to shingle
+  private val a = "the quick brown fox jumps over the lazy dog tonight"
+  private val b = "the quick brown fox jumps over the lazy dog today"
+  private val other = "completely different words about completely other topics entirely here"
+
+  test("colliding docs emit one normalized pair per shared band; disjoint/short docs never pair") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.candidates(input.toDS())
+      .writeStream.format("memory").queryName("lnd_unit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(doc(2, a), doc(1, b), doc(3, other), doc(4, "too short"))
+      q.processAllAvailable()
+      val got = spark.table("lnd_unit").as[LiveNearDup.Candidate].collect()
+      assert(got.nonEmpty, "planted near-identical docs did not collide in any band")
+      assert(got.forall(c => c.doc_a == 1L && c.doc_b == 2L),
+        s"unexpected pairs: ${got.toSeq}")
+      assert(got.map(_.band).distinct.length == got.length,
+        s"same band emitted a pair twice: ${got.toSeq}")
+      // re-delivery (checkpoint replay shape): nothing new is emitted
+      input.addData(doc(2, a), doc(1, b))
+      q.processAllAvailable()
+      assert(spark.table("lnd_unit").count() == got.length.toLong,
+        "re-delivered docs re-emitted their pairs")
+      // a later third copy pairs against BOTH history members
+      input.addData(doc(9, a))
+      q.processAllAvailable()
+      val after = spark.table("lnd_unit").as[LiveNearDup.Candidate].collect()
+      val newPairs = after.map(c => (c.doc_a, c.doc_b)).distinct.toSet
+      assert(newPairs.contains((1L, 9L)) && newPairs.contains((2L, 9L)),
+        s"cross-batch arrival missed history: $newPairs")
+    } finally q.stop()
+  }
+
+  test("a runaway bucket fails loudly at maxBucket instead of silently growing") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.candidates(input.toDS(), maxBucket = 3)
+      .writeStream.format("memory").queryName("lnd_cap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L to 4L).map(i => doc(i, a)): _*)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("exceeded 3 members")),
+        s"expected the loud bucket-cap error, got: ${messages(e)}")
+    } finally q.stop()
+  }
+}
