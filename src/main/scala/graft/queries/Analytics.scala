@@ -541,7 +541,12 @@ object Analytics {
           expr("CAST((ks_dec * 10000) div " +
             "(CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"))
         .select(col("event_type"), col("n0"), col("n1"),
-          col("ks_dec").cast("long").as("ks_scaled"), col("ks_bp"))
+          // SATURATE, don't cast raw: past the int64 bound a bare cast
+          // raises under ANSI (the session default) — the "read ks_bp
+          // there" fallback must stay reachable (LiveDrift.ksAgainst
+          // clamps the same way)
+          least(col("ks_dec"), lit(Long.MaxValue).cast("decimal(38,0)"))
+            .cast("long").as("ks_scaled"), col("ks_bp"))
         .orderBy(col("event_type"))
     },
     Some("""WITH ev AS (
@@ -564,7 +569,8 @@ object Analytics {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                tot AS (PARTITION BY event_type))
       SELECT event_type, max(n0) AS n0, max(n1) AS n1,
-        CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) AS BIGINT) AS ks_scaled,
+        CAST(least(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)),
+          CAST(9223372036854775807 AS HUGEINT)) AS BIGINT) AS ks_scaled,
         CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) * 10000
           // (CAST(max(n0) AS HUGEINT) * max(n1)) AS BIGINT) AS ks_bp
       FROM walked WHERE n0 > 0 AND n1 > 0
@@ -634,7 +640,12 @@ object Analytics {
           expr("CAST((ks_dec * 10000) div " +
             "(CAST(n0 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))) AS BIGINT)"))
         .select(col("event_type"), col("n0"), col("n1"),
-          col("ks_dec").cast("long").as("ks_scaled"), col("ks_bp"))
+          // SATURATE, don't cast raw: past the int64 bound a bare cast
+          // raises under ANSI (the session default) — the "read ks_bp
+          // there" fallback must stay reachable (LiveDrift.ksAgainst
+          // clamps the same way)
+          least(col("ks_dec"), lit(Long.MaxValue).cast("decimal(38,0)"))
+            .cast("long").as("ks_scaled"), col("ks_bp"))
         .orderBy(col("event_type"))
     },
     Some(s"""WITH ev AS (
@@ -660,7 +671,8 @@ object Analytics {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                tot AS (PARTITION BY event_type))
       SELECT event_type, max(n0) AS n0, max(n1) AS n1,
-        CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) AS BIGINT) AS ks_scaled,
+        CAST(least(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)),
+          CAST(9223372036854775807 AS HUGEINT)) AS BIGINT) AS ks_scaled,
         CAST(max(abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0)) * 10000
           // (CAST(max(n0) AS HUGEINT) * max(n1)) AS BIGINT) AS ks_bp
       FROM walked WHERE n0 > 0 AND n1 > 0

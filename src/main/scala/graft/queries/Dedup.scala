@@ -96,13 +96,11 @@ object Dedup {
     * Callers must have registered `graft_charfold`
     * (GraftFunctions.register). */
   def bandValuesFor(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val w = split(trim(text), "\\s+")
-    // greatest(..., 1): sequence(1, 0) would DESCEND in Spark; the <3
-    // branch is never evaluated (CaseWhen is lazy) but the bound keeps
-    // the expression total anyway
-    val shingleArr = array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+    // tokenization and shingling come from TextOps' single definitions —
+    // the live≡batch band parity depends on byte-identical expressions,
+    // so neither is restated here
+    val w = TextOps.tokens(text)
+    val shingleArr = TextOps.shingleArrayOf(w)
     val sigs = (0 until NumHashes).map { i =>
       array_min(transform(shingleArr,
         sh => (call_function("graft_charfold", sh) * hashA(i) + hashB(i)) % P))

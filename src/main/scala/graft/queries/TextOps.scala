@@ -349,6 +349,20 @@ object TextOps {
     else shingleJaccardPairs(s, dir, global).filter(col("jaccard") >= t)
   }
 
+  /** The distinct word-trigram shingle ARRAY of a token-array column —
+    * THE single definition of the dedup tier's shingle set, shared by
+    * the batch explode path ([[shingles]]) and the streaming scalar
+    * band computation (`Dedup.bandValuesFor`): the live≡batch band
+    * parity depends on both paths shingling identically, so neither may
+    * restate this expression.  Caller guards `size(w) >= 3` (the
+    * `greatest` keeps `sequence` from descending when it doesn't — the
+    * expression stays total even under a lazily-guarded branch). */
+  private[queries] def shingleArrayOf(w: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", element_at(w, i),
+        element_at(w, i + 1), element_at(w, i + 2))))
+
   /** Shared shingle machinery: distinct word-trigram shingles per doc. */
   def shingles(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
@@ -356,10 +370,7 @@ object TextOps {
       .withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 3)
     toks.select(col("doc_id"), col("source"),
-      explode(array_distinct(transform(
-        sequence(lit(1), size(col("w")) - 2),
-        i => concat_ws(" ", element_at(col("w"), i),
-          element_at(col("w"), i + 1), element_at(col("w"), i + 2))))).as("shingle"))
+      explode(shingleArrayOf(col("w"))).as("shingle"))
   }
 
   /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin prefix filter,

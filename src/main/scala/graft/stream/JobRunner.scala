@@ -72,7 +72,11 @@ object JobRunner {
       driftReference: Map[String, Seq[Long]] = Map.empty,
       driftBins: Int = 256,
       driftWindowSec: Long = 3600L,
-      driftWatermark: String = "2 hours")
+      driftWatermark: String = "2 hours",
+      // 0 = cumulative since start (a13 parity semantics); k > 0 = the
+      // trailing-k-window ring LiveDrift's docs recommend for a
+      // long-lived deployment (late shifts show at full strength)
+      driftRecentWindows: Int = 0)
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -157,7 +161,8 @@ object JobRunner {
         .as[LiveDrift.Event]
       val alerts = LiveDrift.monitor(evs, cfg.driftReference,
         fmin = -10000L, fmax = 10000L, bins = cfg.driftBins,
-        windowSec = cfg.driftWindowSec, watermarkDelay = cfg.driftWatermark)(spark)
+        windowSec = cfg.driftWindowSec, watermarkDelay = cfg.driftWatermark,
+        recentWindows = cfg.driftRecentWindows)(spark)
       Some(Sinks.jsonFiles(alerts.toDF(), cfg.outputPath + "_drift",
         cfg.checkpointPath + "_drift", cfg.fileTrigger,
         queryName = "drift_output").start())

@@ -55,7 +55,14 @@ object LiveDrift {
   final case class WindowHist(start: Long, counts: Seq[Long])
 
   /** Stage-2 state per type: newest folded window start + cumulative
-    * histogram (cumulative mode) or the trailing per-window ring. */
+    * histogram (cumulative mode; empty in ring mode) or the trailing
+    * per-window ring (empty in cumulative mode) — only the active
+    * mode's structure is serialized.  STATE-SCHEMA NOTE: adding `ring`
+    * changed the flatMapGroupsWithState value schema vs the pre-ring
+    * release; a checkpoint written by that version fails Spark's
+    * state-schema compatibility check LOUDLY at restart (never corrupt
+    * state) — restart such a monitor with a fresh checkpoint
+    * (JobRunner's `freshStart`). */
   final case class Hist(lastStart: Long, counts: Seq[Long],
       ring: Seq[WindowHist] = Nil)
 
@@ -149,6 +156,12 @@ object LiveDrift {
           var lastStart = state.getOption.map(_.lastStart).getOrElse(Long.MinValue)
           val counts = state.getOption.map(_.counts.toArray)
             .getOrElse(new Array[Long](bins))
+          // a checkpoint written under a different mode or bin count is
+          // detectable here (ring mode persists empty counts) — fail
+          // loudly rather than mis-index the restored histogram
+          require(recent > 0 || counts.length == bins,
+            s"restored state has ${counts.length} bins, monitor expects $bins — " +
+              "mode/bins changed across a checkpoint; restart fresh")
           var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
           var touched = false
           batch.toSeq.groupBy(_.window_start.getTime).toSeq.sortBy(_._1)
@@ -169,7 +182,10 @@ object LiveDrift {
             }
           if (!touched) Iterator.empty
           else {
-            state.update(Hist(lastStart, counts.toVector, ring))
+            // ring mode never reads the cumulative vector — persist an
+            // empty one instead of bins dead zero longs per type
+            state.update(Hist(lastStart,
+              if (recent == 0) counts.toVector else Vector.empty, ring))
             val live =
               if (recent == 0) counts.toSeq
               else (0 until bins).map(i => ring.iterator.map(_.counts(i)).sum)
