@@ -76,7 +76,16 @@ object JobRunner {
       // 0 = cumulative since start (a13 parity semantics); k > 0 = the
       // trailing-k-window ring LiveDrift's docs recommend for a
       // long-lived deployment (late shifts show at full strength)
-      driftRecentWindows: Int = 0)
+      driftRecentWindows: Int = 0,
+      // T14: live near-dup candidate detection (stream/LiveNearDup, the
+      // streaming form of d3's banding stage) as a seventh query off
+      // the same lineage — reposts/copypasta surface as candidate pairs
+      // the moment the duplicate arrives.  Posts carry no id, so the
+      // detector keys on a deterministic content hash
+      // (xxhash64(user, text, timestamp) — stable across restarts, so
+      // checkpoint replays stay idempotent by set membership).
+      withNearDups: Boolean = false,
+      nearDupMaxBucket: Int = 100000)
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -104,10 +113,10 @@ object JobRunner {
       // from readers.
       Seq(cfg.checkpointPath, cfg.checkpointPath + "_windowed",
         cfg.checkpointPath + "_bursts", cfg.checkpointPath + "_anomalies",
-        cfg.checkpointPath + "_drift",
+        cfg.checkpointPath + "_drift", cfg.checkpointPath + "_neardups",
         cfg.outputPath, cfg.outputPath + "_windowed",
         cfg.outputPath + "_bursts", cfg.outputPath + "_anomalies",
-        cfg.outputPath + "_drift")
+        cfg.outputPath + "_drift", cfg.outputPath + "_neardups")
         .foreach(p => deleteRecursively(new java.io.File(p)))
       cfg.windowedOutputPath.foreach(p => deleteRecursively(new java.io.File(p)))
     }
@@ -168,7 +177,21 @@ object JobRunner {
         queryName = "drift_output").start())
     } else None
 
-    Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies ++ drift)
+    val nearDups = if (cfg.withNearDups) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      val docEvents = enriched
+        .select(xxhash64(col("user"), col("cleaned_text"), col("timestamp")).as("doc_id"),
+          col("cleaned_text").as("text"))
+        .as[LiveNearDup.DocEvent]
+      val pairs = LiveNearDup.candidates(docEvents,
+        maxBucket = cfg.nearDupMaxBucket)(spark)
+      Some(Sinks.jsonFiles(pairs.toDF(), cfg.outputPath + "_neardups",
+        cfg.checkpointPath + "_neardups", cfg.fileTrigger,
+        queryName = "neardup_output").start())
+    } else None
+
+    Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies ++ drift ++ nearDups)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -164,6 +164,37 @@ class StreamingSpec extends SparkSpec {
       s"planted positive-vs-negative drift should score high: $last")
   }
 
+  test("JobRunner fans a seventh near-dup candidate query off the shared lineage (T14)") {
+    val in = tmp("graft-nin"); val out = tmp("graft-nout"); val cp = tmp("graft-ncp")
+    // two near-identical posts (share almost all trigram shingles) from
+    // different users + one unrelated post; the copy must surface as a
+    // candidate pair keyed by the runner's deterministic content hash
+    // the LiveNearDupSpec fixture pair — known (deterministic hashes) to
+    // collide in at least one band
+    val dupA = "the quick brown fox jumps over the lazy dog tonight"
+    val dupB = "the quick brown fox jumps over the lazy dog today"
+    writePosts(in, "b1.json", Seq(
+      s"""{"text": "$dupA", "user": "n1", "platform": "x", "timestamp": "2024-01-01 12:00:10"}""",
+      s"""{"text": "$dupB", "user": "n2", "platform": "x", "timestamp": "2024-01-01 12:00:20"}""",
+      """{"text": "completely different words about completely other topics entirely", "user": "n3", "platform": "x", "timestamp": "2024-01-01 12:00:30"}"""))
+    val r = JobRunner.run(spark, FileJsonSource(in),
+      fastCfg(out, cp).copy(withNearDups = true))
+    r.processAllAvailable(); r.stopAll()
+    assert(r.queries.size == 2, "file sink + near-dup query expected (console/windowed off)")
+    // expected ids: the runner's own hash over the enriched output rows
+    val ids = readOut(out)
+      .filter(col("user").isin("n1", "n2"))
+      .select(xxhash64(col("user"), col("cleaned_text"), col("timestamp")).as("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length == 2)
+    val pairs = spark.read
+      .schema("doc_a BIGINT, doc_b BIGINT, band INT, bv BIGINT")
+      .json(out + "_neardups").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).distinct
+    assert(pairs.toSeq == Seq((ids(0), ids(1))),
+      s"expected exactly the planted copypasta pair ${(ids(0), ids(1))}, got ${pairs.toSeq}")
+  }
+
   test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
     val in = tmp("graft-in2"); val out = tmp("graft-out2"); val cp = tmp("graft-cp2")
     writePosts(in, "b1.json", batch1)
