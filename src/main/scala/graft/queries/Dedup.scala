@@ -178,10 +178,9 @@ object Dedup {
     graft.sentiment.GraftFunctions.register(s)
     // MEMORY_AND_DISK, never MEMORY_ONLY: exploded shingles are ~10× the
     // corpus (see jaccardPairsPrefixFiltered) — they must spill, not OOM.
-    val sh = TextOps.shingles(s, dir)
+    val sh = constructionPersist(s, TextOps.shingles(s, dir)
       .select(col("doc_id"), col("shingle"))
-      .withColumn("h0", call_function("graft_charfold", col("shingle")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("h0", call_function("graft_charfold", col("shingle"))))
     // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
     val bands = signatureBands(signatures(sh))
     val left  = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
@@ -348,6 +347,24 @@ object Dedup {
     * (all `queries` entries build their plan synchronously); a concurrent
     * construction on the same session could observe the toggled values
     * for the duration of `body`. */
+  /** Registers a construction-time cache entry compiled WITHOUT AQE (or
+    * auto-broadcast) — the same conf scope the lineage cut runs under,
+    * for the same reason: a `.persist()` during query CONSTRUCTION
+    * snapshots its compilation confs into the CacheManager entry, and a
+    * LATER query whose construction canonically matches the cached plan
+    * (e.g. d13's exact pair relation ≡ c1's) adopts the entry — if it
+    * was compiled adaptive, building the adopting query's cut RDD
+    * materializes the cached stages EAGERLY: jobs at construction,
+    * which this library bans (latent since round 7, surfaced when the
+    * query map's iteration order put d13 before c1).  Compiling the
+    * entry non-adaptive keeps the whole chain lazy; the cached subtree
+    * itself is the small end of the dedup funnel, so forgoing AQE on it
+    * costs nothing measurable. */
+  private[queries] def constructionPersist(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withLineageCutConfs(s)(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private def withLineageCutConfs[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val toggles = Seq(
       "spark.sql.adaptive.enabled" -> "false",
@@ -359,28 +376,35 @@ object Dedup {
     }
   }
 
-  /** Cuts `df` from its logical-plan lineage via a lazy `.rdd` boundary
-    * and persists the result (MEMORY_AND_DISK — must spill, not OOM).
+  /** Cuts `df` from its logical-plan lineage via a lazy LogicalRDD
+    * boundary and persists the result (MEMORY_AND_DISK — must spill,
+    * not OOM).
     *
     * Why the cut: an iterated DataFrame EMBEDS another copy of its whole
     * upstream subtree per round, and analyzer/optimizer/codegen time over
     * k copies of that tree — not the data — dominates the query.  Under
-    * AQE, `.rdd` (and even a lazy localCheckpoint) materializes query
-    * stages EAGERLY — jobs during construction, which this library bans —
-    * so the conversion runs with AQE off: the RDD lineage is then built
-    * lazily and nothing executes until the first action, which
-    * materializes the persisted blocks once for all downstream readers.
-    * (Broadcast exchanges also materialize eagerly when the RDD DAG is
-    * built — executeBroadcast submits its job — so the cut subplan
-    * additionally forgoes broadcast joins for shuffle joins; it runs
-    * exactly once and its inputs are the small end of the dedup funnel.) */
+    * AQE, building the execution RDD (and even a lazy localCheckpoint)
+    * materializes query stages EAGERLY — jobs during construction, which
+    * this library bans — so the conversion runs with AQE off: the RDD
+    * lineage is then built lazily and nothing executes until the first
+    * action, which materializes the persisted blocks once for all
+    * downstream readers.  (Broadcast exchanges also materialize eagerly
+    * when the RDD DAG is built — executeBroadcast submits its job — so
+    * the cut subplan additionally forgoes broadcast joins for shuffle
+    * joins; it runs exactly once and its inputs are the small end of
+    * the dedup funnel.)
+    *
+    * The cut is PARTITIONING-PRESERVING
+    * ([[org.apache.spark.sql.graftshim.PartitioningPreservingCut]]):
+    * propagation rounds iterate on the node key, so each round's output
+    * is already hash-partitioned the way the next round's join/agg
+    * needs it — a cut that erased the layout (the public
+    * createDataFrame-over-.rdd form) re-shuffled every round. */
   private def lineageCut(s: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val rdd = withLineageCutConfs(s)(df.rdd)
-    s.createDataFrame(
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      df.schema)
-  }
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withLineageCutConfs(s)(
+      org.apache.spark.sql.graftshim.PartitioningPreservingCut.cut(df))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Connected components over an undirected pair list — the reusable CC
     * core, with two propagation strategies selected by the graph's
@@ -564,7 +588,7 @@ object Dedup {
     }
     if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean))
       dupPairsMemo.computeIfAbsent((s, dir, s"$prefixConf/$source"),
-        _ => build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        _ => constructionPersist(s, build()))
     else build()
   }
 
@@ -812,9 +836,9 @@ object Dedup {
       val exact0 = dupPairs(s, dir, sourceOverride = Some("exact"))
       val exact =
         if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean)) exact0
-        else exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = bandedJaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else constructionPersist(s, exact0)
+      val banded = constructionPersist(s,
+        bandedJaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
       val hits = banded.join(exact, Seq("doc_a", "doc_b"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nb = banded.agg(count(lit(1)).as("n_banded"))

@@ -1461,7 +1461,12 @@ object TextOps {
     val computed = occ
       .withColumn("ntok", lead(col("tok"), 1).over(bpeWindow))
       .withColumn("rn", row_number().over(bpeWindow))
-    s.createDataFrame(computed.rdd, computed.schema)
+    // partitioning-preserving cut: the adjacency leaves here hash-
+    // partitioned by doc_id and sorted (doc_id, seq) — exactly what the
+    // next round's windows need — so the cut must not erase that layout
+    // or every round pays a redundant full shuffle + sort (the public
+    // createDataFrame(df.rdd) cut did; see the shim's scaladoc)
+    org.apache.spark.sql.graftshim.PartitioningPreservingCut.cut(computed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -71,7 +71,7 @@ class QueryPacksSpec extends SparkSpec {
     val metadataSite = (s: String) => s.startsWith("parquet at") || s.startsWith("json at")
     val iterativeAllowed = (s: String) => metadataSite(s) ||
       s.startsWith("$anonfun$withThreadLocalCaptured") || // broadcast exchange future
-      s.startsWith("rdd at ")                             // lineage-cut chain stages
+      s.startsWith("cut at ")                             // lineage-cut chain stages
     spark.sparkContext.addSparkListener(listener)
     try {
       SparkEntry.queries.foreach {
