@@ -347,19 +347,25 @@ object Dedup {
     * (all `queries` entries build their plan synchronously); a concurrent
     * construction on the same session could observe the toggled values
     * for the duration of `body`. */
-  /** Registers a construction-time cache entry compiled WITHOUT AQE (or
-    * auto-broadcast) — the same conf scope the lineage cut runs under,
-    * for the same reason: a `.persist()` during query CONSTRUCTION
-    * snapshots its compilation confs into the CacheManager entry, and a
-    * LATER query whose construction canonically matches the cached plan
-    * (e.g. d13's exact pair relation ≡ c1's) adopts the entry — if it
-    * was compiled adaptive, building the adopting query's cut RDD
-    * materializes the cached stages EAGERLY: jobs at construction,
-    * which this library bans (latent since round 7, surfaced when the
-    * query map's iteration order put d13 before c1).  Compiling the
-    * entry non-adaptive keeps the whole chain lazy; the cached subtree
-    * itself is the small end of the dedup funnel, so forgoing AQE on it
-    * costs nothing measurable. */
+  /** Registers a construction-time cache entry compiled WITHOUT
+    * auto-broadcast (and with AQE pinned off) — the same conf scope the
+    * lineage cut runs under, for the same reason: a `.persist()` during
+    * query CONSTRUCTION snapshots its compilation confs into the
+    * CacheManager entry, and a LATER query whose construction
+    * canonically matches the cached plan (e.g. d13's exact pair
+    * relation ≡ c1's) adopts the entry.  The operative hazard is
+    * BROADCAST exchanges baked into the entry: building the adopting
+    * query's cut RDD prepares the cached child, and each broadcast
+    * exchange submits its relation future — jobs at construction, which
+    * this library bans (latent since round 7, surfaced when the query
+    * map's iteration order put d13 before c1).  Note AQE is NOT the
+    * culprit: Spark 4.1's CacheManager already force-disables AQE for
+    * entry compilation while `canChangeCachedPlanOutputPartitioning`
+    * is false (its default) — the toggle here is defensive against
+    * that conf flipping, and the autoBroadcastJoinThreshold=-1 toggle
+    * is the one doing the work; do not "simplify" it away.  The cached
+    * subtree is the small end of the dedup funnel, so forgoing
+    * broadcasts inside it costs nothing measurable. */
   private[queries] def constructionPersist(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     withLineageCutConfs(s)(
@@ -403,8 +409,7 @@ object Dedup {
   private def lineageCut(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     withLineageCutConfs(s)(
-      org.apache.spark.sql.graftshim.PartitioningPreservingCut.cut(df))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      org.apache.spark.sql.graftshim.PartitioningPreservingCut.cut(df, persist = true))
 
   /** Connected components over an undirected pair list — the reusable CC
     * core, with two propagation strategies selected by the graph's

@@ -1448,13 +1448,15 @@ object TextOps {
     * consumers of a round — the argmax job and the merge application —
     * read the cached blocks, so a round materializes its input once.
     * Lineage truncation per round, all LAZY: re-wrap the round's
-    * relation as a fresh LogicalRDD (createDataFrame over its .rdd —
-    * no job with AQE off; even a lazy localCheckpoint launches one)
-    * and persist the wrapper so the round's consumers and the next
-    * round share one materialization.  Without the truncation the k-th
-    * round's plan nests k crossJoin+window subtrees and Catalyst
-    * re-optimization of the growing tree dominates wall time (measured
-    * min-of-2: 21 s → ~3 s at sf0.1).  Call inside
+    * relation as a fresh LogicalRDD via the layout-preserving cut
+    * (building the execution RDD launches no job with AQE off; even a
+    * lazy localCheckpoint launches one) and persist it so the round's
+    * consumers and the next round share one materialization — the cut
+    * keeps the (doc_id) hash partitioning + (doc_id, seq) ordering, so
+    * later rounds' windows run exchange- and sort-free.  Without the
+    * truncation the k-th round's plan nests k crossJoin+window subtrees
+    * and Catalyst re-optimization of the growing tree dominates wall
+    * time (measured min-of-2: 21 s → ~3 s at sf0.1).  Call inside
     * [[withBpeConstructionConfs]]. */
   private def bpeAdjacency(s: SparkSession,
       occ: DataFrame): DataFrame = {
@@ -1465,9 +1467,9 @@ object TextOps {
     // partitioned by doc_id and sorted (doc_id, seq) — exactly what the
     // next round's windows need — so the cut must not erase that layout
     // or every round pays a redundant full shuffle + sort (the public
-    // createDataFrame(df.rdd) cut did; see the shim's scaladoc)
-    org.apache.spark.sql.graftshim.PartitioningPreservingCut.cut(computed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // createDataFrame(df.rdd) cut did; see the shim's scaladoc).  The
+    // persist rides the cut's RDD (ContextCleaner-reclaimed, row-copied).
+    org.apache.spark.sql.graftshim.PartitioningPreservingCut.cut(computed, persist = true)
   }
 
   /** One greedy left-to-right merge pass of the 1-row rule `best(l, r)`

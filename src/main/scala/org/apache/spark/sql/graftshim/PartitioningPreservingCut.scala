@@ -2,6 +2,7 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.classic.Dataset
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
 
 /** Lineage truncation that KEEPS the physical layout — the one internal
   * Spark API this library touches, for one measured reason.
@@ -24,16 +25,30 @@ import org.apache.spark.sql.execution.LogicalRDD
   * identical to the public cut — same rows, same schema — only the
   * layout metadata survives.
   *
-  * Contract notes, both inherited from the callers' conf scopes:
+  * Persistence is RDD-LEVEL, deliberately: a Dataset-level `.persist`
+  * would register the cut in the session CacheManager, which holds
+  * entries STRONGLY until an explicit unpersist nothing performs —
+  * unbounded growth across constructions in a long-lived session — and
+  * pays a columnar encode/decode per round.  The RDD persist keeps the
+  * pre-existing reclamation contract (SparkContext tracks persisted
+  * RDDs weakly; the ContextCleaner drops blocks once the plan objects
+  * are unreachable).  Rows are COPIED before caching: the execution
+  * RDD yields reused UnsafeRow buffers, and caching them without a
+  * copy would alias every row in a partition to the last one.
+  *
+  * Contract notes, all inherited from the callers' conf scopes:
   * construction stays action-free (building the execution RDD launches
   * no jobs with AQE off — callers already pin that; broadcast subtrees
-  * still submit their futures exactly as under the public cut), and
-  * the wrapped plan must be persisted by the caller if it has multiple
-  * consumers (as before). */
+  * still submit their futures exactly as under the public cut). */
 object PartitioningPreservingCut {
-  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def cut(df: org.apache.spark.sql.DataFrame,
+      persist: Boolean = false): org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    val base = ds.queryExecution.toRdd
+    val rdd =
+      if (persist) base.map(_.copy()).persist(StorageLevel.MEMORY_AND_DISK)
+      else base
     Dataset.ofRows(ds.sparkSession,
-      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+      LogicalRDD.fromDataset(rdd, ds, isStreaming = false))
   }
 }
