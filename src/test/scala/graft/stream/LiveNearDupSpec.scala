@@ -51,6 +51,48 @@ class LiveNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket membership survives a checkpointed restart (third copy pairs with history)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val cp = java.nio.file.Files.createTempDirectory("lnd-cp").toString
+    val out = java.nio.file.Files.createTempDirectory("lnd-out").toString
+    val in = java.nio.file.Files.createTempDirectory("lnd-in").toString
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
+          .mkString("\n").getBytes): Unit
+    def start() = LiveNearDup.candidates(
+      spark.readStream.schema("doc_id BIGINT, text STRING").json(in)
+        .as[LiveNearDup.DocEvent])
+      .writeStream.format("json")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+
+    // run 1: the colliding pair lands in STATE, then STOP
+    val q1 = start()
+    try {
+      writeDocs("b0.json", Seq(1L -> b, 2L -> a))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: a third copy arrives — it must pair against BOTH historical
+    // members (bucket membership crossed the stop inside the state
+    // store; a loss would pair it with nothing)
+    val q2 = start()
+    try {
+      writeDocs("b1.json", Seq(9L -> a))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val pairs = spark.read
+      .schema("doc_a BIGINT, doc_b BIGINT, band INT, bv BIGINT")
+      .json(out).as[LiveNearDup.Candidate].collect()
+      .map(c => (c.doc_a, c.doc_b)).distinct.toSet
+    assert(pairs.contains((1L, 2L)), s"pre-restart pair missing: $pairs")
+    assert(pairs.contains((1L, 9L)) && pairs.contains((2L, 9L)),
+      s"post-restart arrival did not pair with pre-restart members: $pairs")
+  }
+
   test("a runaway bucket fails loudly at maxBucket instead of silently growing") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
