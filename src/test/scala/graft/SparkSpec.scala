@@ -16,4 +16,19 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf(name: String = "sf0.001"): String = s"/root/testdata/$name"
+
+  /** Scaffold for checkpointed-restart tests: input/sink/checkpoint temp
+    * dirs plus a JSON-lines batch writer — the one shape every streaming
+    * operator's restart-survival spec shares (a fix to the write
+    * mechanics, e.g. atomic temp-then-rename drops, lands once here). */
+  final case class RestartDirs(in: String, out: String, cp: String) {
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("\n").getBytes): Unit
+  }
+
+  def restartDirs(prefix: String): RestartDirs = RestartDirs(
+    java.nio.file.Files.createTempDirectory(s"$prefix-in").toString,
+    java.nio.file.Files.createTempDirectory(s"$prefix-out").toString,
+    java.nio.file.Files.createTempDirectory(s"$prefix-cp").toString)
 }

@@ -54,13 +54,11 @@ class LiveNearDupSpec extends SparkSpec {
   test("bucket membership survives a checkpointed restart (third copy pairs with history)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
-    val cp = java.nio.file.Files.createTempDirectory("lnd-cp").toString
-    val out = java.nio.file.Files.createTempDirectory("lnd-out").toString
-    val in = java.nio.file.Files.createTempDirectory("lnd-in").toString
+    val dirs = restartDirs("lnd")
+    import dirs.{cp, in, out}
     def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
-      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
-        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" }
-          .mkString("\n").getBytes): Unit
+      dirs.writeBatch(name,
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" })
     def start() = LiveNearDup.candidates(
       spark.readStream.schema("doc_id BIGINT, text STRING").json(in)
         .as[LiveNearDup.DocEvent])
