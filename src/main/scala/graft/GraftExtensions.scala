@@ -43,6 +43,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ArrayBigrams(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[graft.functions.BpeApplyMerges].getName, "graft_bpe_apply"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BpeApplyMerges(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_charfold"),
       new ExpressionInfo(classOf[graft.functions.CharFold].getName, "graft_charfold"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

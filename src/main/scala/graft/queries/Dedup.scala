@@ -553,24 +553,31 @@ object Dedup {
   def clearDupGraphCache(): Unit = { dupGraphMemo.clear(); dupPairsMemo.clear() }
 
   /** The pair-source selector for the dedup tier:
-    * `spark.graft.dedup.pairs = exact | banded` (default `exact`).
+    * `spark.graft.dedup.pairs = exact | banded` (default `banded`).
     *
+    *  - `banded` (default): d3's MinHash-banded pipeline
+    *    ([[bandedJaccardPairs]]) — candidates come from band-bucket
+    *    collisions (bounded occupancy), the 100 TB path, with a
+    *    SCALING.md growth exponent of ~0.22 vs ~0.42 for the cached
+    *    exact tier.
     *  - `exact`: the prefix-filtered/naive exact global ≥0.5 Jaccard
     *    join — zero recall loss by construction, but its candidate step
-    *    scales with shingle co-occurrence.
-    *  - `banded`: d3's MinHash-banded pipeline
-    *    ([[bandedJaccardPairs]]) — candidates come from band-bucket
-    *    collisions (bounded occupancy), the 100 TB path.  Precision is
-    *    exact either way (both verify with exact Jaccard); only recall
-    *    can differ, and the d13 audit CERTIFIES it: on the driver corpus
-    *    d13 proves zero banding loss (recall_bp = 10000), which is the
-    *    evidence a deployment needs before flipping this conf.  With
-    *    equal pair sets, c1/d6/d9 produce byte-identical output under
-    *    either setting — spec-pinned by DedupPairSourceSpec and kept
-    *    honest by the unchanged DuckDB oracles (which always state the
-    *    exact relation). */
+    *    scales with shingle co-occurrence.  The opt-out AUDIT config:
+    *    d13's ground truth is always built from it (via
+    *    `sourceOverride`, conf-independent).
+    *
+    * Precision is exact either way (both verify with exact Jaccard);
+    * only recall can differ, and the d13 audit CERTIFIES it: on the
+    * driver corpus d13 proves zero banding loss (recall_bp = 10000) —
+    * the evidence that authorized making `banded` the default in round
+    * 9 (the round-8 verdict's explicit ask once the certificate held).
+    * With equal pair sets, c1/d6/d9 produce byte-identical output under
+    * either setting — spec-pinned by DedupPairSourceSpec and kept
+    * honest by the unchanged DuckDB oracles (which always state the
+    * exact relation, so the driver's hash gate re-proves the
+    * equivalence at every run). */
   private def pairSourceConf(s: org.apache.spark.sql.SparkSession): String =
-    s.conf.getOption("spark.graft.dedup.pairs").getOrElse("exact") match {
+    s.conf.getOption("spark.graft.dedup.pairs").getOrElse("banded") match {
       case v @ ("exact" | "banded") => v
       case other => throw new IllegalArgumentException(
         s"spark.graft.dedup.pairs must be 'exact' or 'banded', got '$other'")

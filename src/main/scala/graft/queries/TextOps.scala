@@ -1606,30 +1606,85 @@ object TextOps {
     * compression in integer basis points — the number a tokenizer
     * deployment actually reports.
     *
-    * Scale shape: the full-corpus occurrence relation partitions by
-    * doc_id ONCE and every application round reuses that partitioning
-    * with in-partition window sorts; a round's only data movement is the
-    * broadcast of its 1-row rule.  K rounds over N tokens = K linear
-    * passes, no corpus-width shuffle after the initial partitioning —
-    * the trainer's sample-bound cost plus a strictly linear encode, the
-    * right 100 TB shape for corpus tokenization. */
+    * Scale shape (the `onepass` default — see [[bpeApplyModeConf]]):
+    * BPE application needs NO cross-document state, so the encode is a
+    * single corpus scan — per document, tokenize and run the broadcast
+    * merge table through [[graft.functions.BpeApplyKernel]] (one greedy
+    * pass per rule over the in-memory token array), then one tiny
+    * per-source aggregate.  The corpus is touched exactly once and
+    * nothing corpus-wide materializes; the trainer's sample-bound loop
+    * is the only iterative cost.  The declarative K-pass form (`passes`)
+    * is kept as the executable oracle reference — it is what the DuckDB
+    * oracle unrolls — but re-materialized the full occurrence relation
+    * once per rule for per-document-local work, which made it the
+    * suite's slowest query (round-8 verdict finding #2). */
+  /** t21's per-source encoding-budget summary over per-doc
+    * (source, nb, na) token counts — shared by both application paths. */
+  private def bpeBudgetSummary(perDoc: DataFrame): DataFrame =
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("tokens_before"),
+        sum(col("na")).as("tokens_after"),
+        (sum(col("nb")) - sum(col("na"))).as("merges_applied"),
+        expr("sum(na) * 10000 DIV sum(nb)").as("compression_bp"))
+      .orderBy(col("source"))
+
+  /** `spark.graft.bpe.apply = onepass | passes` (default `onepass`) —
+    * which encoder runs the full-corpus merge application:
+    *
+    *  - `onepass` (production): the merge table rides ONE broadcast
+    *    1-row relation and [[graft.functions.BpeApplyMerges]] applies
+    *    all rules per document inside a single corpus scan — BPE
+    *    application is per-document local, so no adjacency relation,
+    *    no window passes, no per-round materialization: the corpus is
+    *    touched ONCE.  This was the round-8 verdict's top structural
+    *    finding: the declarative form re-materialized the full
+    *    occurrence relation K times for per-document-local work
+    *    (22 s at local[32], the suite's slowest query).
+    *  - `passes`: the declarative K-window-pass form sharing the
+    *    trainer's own [[bpeMergePass]] — the oracle/spec reference
+    *    (the DuckDB oracle unrolls exactly this shape).
+    *
+    * BpeTrainSpec pins the two paths equal on the planted corpus (and
+    * kernel ≡ plain-Scala reference); the driver's DuckDB hash gate
+    * pins the default path against the unrolled oracle every round. */
+  private def bpeApplyModeConf(s: SparkSession): String =
+    s.conf.getOption("spark.graft.bpe.apply").getOrElse("onepass") match {
+      case v @ ("onepass" | "passes") => v
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.bpe.apply must be 'onepass' or 'passes', got '$other'")
+    }
+
   val t21BpeApply = NamedQuery(
     "t21_bpe_apply",
     (s, dir) => withBpeConstructionConfs(s) {
       val (bests, _) = bpeTrainLoop(s, dir)
-      val adj0 = bpeInitialAdjacency(s, bpeOcc(Tables.documents(s, dir)))
-      val adjN = bpeApplyMerges(s, adj0, bests)
-      val before = adj0.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
-      val after = adjN.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
-      Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        .join(before, "doc_id").join(after, "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("nb")).as("tokens_before"),
-          sum(col("na")).as("tokens_after"),
-          (sum(col("nb")) - sum(col("na"))).as("merges_applied"),
-          expr("sum(na) * 10000 DIV sum(nb)").as("compression_bp"))
-        .orderBy(col("source"))
+      if (bpeApplyModeConf(s) == "passes") {
+        val adj0 = bpeInitialAdjacency(s, bpeOcc(Tables.documents(s, dir)))
+        val adjN = bpeApplyMerges(s, adj0, bests)
+        val before = adj0.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+        val after = adjN.groupBy(col("doc_id")).agg(count(lit(1)).as("na"))
+        bpeBudgetSummary(Tables.documents(s, dir).select(col("doc_id"), col("source"))
+          .join(before, "doc_id").join(after, "doc_id"))
+      } else {
+        graft.sentiment.GraftFunctions.register(s)
+        // the 8 one-row argmax relations collapse into ONE broadcast row
+        // holding the rank-ordered merge table (array_sort on the
+        // (rank, l, r) structs orders by rank — the leading field)
+        val mergesRow = bests.zipWithIndex.map { case (b, i) =>
+          b.select(lit(i + 1).as("rank"), col("l"), col("r"))
+        }.reduce(_ unionAll _)
+          .agg(array_sort(collect_list(struct(col("rank"), col("l"), col("r")))).as("ms"))
+          .select(transform(col("ms"),
+            m => struct(m.getField("l"), m.getField("r"))).as("merges"))
+        bpeBudgetSummary(Tables.documents(s, dir)
+          .filter(col("text").isNotNull && col("text") =!= "")
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .crossJoin(broadcast(mergesRow))
+          .select(col("source"), size(col("toks")).cast("long").as("nb"),
+            size(call_function("graft_bpe_apply", col("toks"), col("merges")))
+              .cast("long").as("na")))
+      }
     },
     Some {
       val trainStages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
@@ -1657,9 +1712,11 @@ object TextOps {
       FROM j GROUP BY source ORDER BY source"""
     },
     doc = "BPE merge application (t20's 8 learned rules, rank order, " +
-      "greedy per-rule passes over the FULL corpus): per-source " +
-      "before/after token budget + integer-bp compression; FULL value " +
-      "oracle replaying the trainer stages then the application stages")
+      "greedy non-overlap): per-source before/after token budget + " +
+      "integer-bp compression; default ONE-PASS native encoder " +
+      "(broadcast merge table + graft_bpe_apply, single corpus scan), " +
+      "spark.graft.bpe.apply=passes selects the declarative K-pass " +
+      "reference; FULL value oracle unrolling trainer + application stages")
 
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,

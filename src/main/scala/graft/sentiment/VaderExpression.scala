@@ -75,6 +75,9 @@ object GraftFunctions {
       "graft_charfold",
       exprs => graft.functions.CharFold(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bpe_apply",
+      exprs => graft.functions.BpeApplyMerges(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv",
       exprs => graft.functions.KmvDistinct(exprs.head, exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

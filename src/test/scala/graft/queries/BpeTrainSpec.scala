@@ -100,14 +100,66 @@ class BpeTrainSpec extends SparkSpec {
     val allDocs = sampled ++ decoy
     val wantBefore = allDocs.map(_._2.split("\\s+").length.toLong).sum
     val wantAfter = allDocs.map(d => referenceApply(d._2.split("\\s+").toSeq).length.toLong).sum
-    val t21 = TextOps.t21BpeApply.fn(spark, dir).collect()
-    assert(t21.length == 1 && t21.head.getAs[String]("source") == "s0")
-    assert(t21.head.getAs[Long]("n_docs") == allDocs.length.toLong)
-    assert(t21.head.getAs[Long]("tokens_before") == wantBefore,
-      s"tokens_before ${t21.head.getAs[Long]("tokens_before")} != $wantBefore")
-    assert(t21.head.getAs[Long]("tokens_after") == wantAfter,
-      s"tokens_after ${t21.head.getAs[Long]("tokens_after")} != $wantAfter")
-    assert(t21.head.getAs[Long]("merges_applied") == wantBefore - wantAfter)
-    assert(t21.head.getAs[Long]("compression_bp") == wantAfter * 10000 / wantBefore)
+    // BOTH application paths — the one-pass native encoder (the default)
+    // and the declarative K-window-pass oracle reference — must agree
+    // with the plain-Scala reference AND with each other, byte for byte.
+    // The planted corpus covers the two subtle cases: doc 40's odd
+    // equal-token run (greedy alternation) and doc 60's merge-of-merge.
+    val byMode = Seq("onepass", "passes").map { mode =>
+      spark.conf.set("spark.graft.bpe.apply", mode)
+      try mode -> TextOps.t21BpeApply.fn(spark, dir).collect()
+      finally spark.conf.unset("spark.graft.bpe.apply")
+    }.toMap
+    byMode.foreach { case (mode, t21) =>
+      assert(t21.length == 1 && t21.head.getAs[String]("source") == "s0", s"mode=$mode")
+      assert(t21.head.getAs[Long]("n_docs") == allDocs.length.toLong, s"mode=$mode")
+      assert(t21.head.getAs[Long]("tokens_before") == wantBefore,
+        s"mode=$mode: tokens_before ${t21.head.getAs[Long]("tokens_before")} != $wantBefore")
+      assert(t21.head.getAs[Long]("tokens_after") == wantAfter,
+        s"mode=$mode: tokens_after ${t21.head.getAs[Long]("tokens_after")} != $wantAfter")
+      assert(t21.head.getAs[Long]("merges_applied") == wantBefore - wantAfter, s"mode=$mode")
+      assert(t21.head.getAs[Long]("compression_bp") == wantAfter * 10000 / wantBefore,
+        s"mode=$mode")
+    }
+    assert(byMode("onepass").map(_.toSeq).toSeq == byMode("passes").map(_.toSeq).toSeq,
+      "onepass and passes encoders disagree")
+    // default is the one-pass path (the round-9 flip): an unset conf must
+    // produce the same rows the explicit onepass run did
+    val dflt = TextOps.t21BpeApply.fn(spark, dir).collect()
+    assert(dflt.map(_.toSeq).toSeq == byMode("onepass").map(_.toSeq).toSeq,
+      "default path is not the one-pass encoder")
+    // loud rejection of an unknown mode
+    spark.conf.set("spark.graft.bpe.apply", "bogus")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TextOps.t21BpeApply.fn(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("spark.graft.bpe.apply"))
+    } finally spark.conf.unset("spark.graft.bpe.apply")
+  }
+
+  test("graft_bpe_apply kernel: greedy alternation, merge-of-merge, rule order, empty rules") {
+    val s = spark
+    import s.implicits._
+    graft.sentiment.GraftFunctions.register(spark)
+    def apply(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] = {
+      val df = Seq((toks, merges)).toDF("toks", "ms")
+        .selectExpr("graft_bpe_apply(toks, ms) AS out")
+      df.collect().head.getSeq[String](0)
+    }
+    // odd equal-token run: alternate merges, 5th survives
+    assert(apply(Seq("a", "a", "a", "a", "a"), Seq(("a", "a"))) == Seq("aa", "aa", "a"))
+    // a merged token must NOT cascade within the same rule's pass
+    assert(apply(Seq("x", "x", "y"), Seq(("x", "y"))) == Seq("x", "xy"))
+    // merge-of-merge across rules, rank order respected
+    assert(apply(Seq("the", "quick", "fox"), Seq(("the", "quick"), ("thequick", "fox")))
+      == Seq("thequickfox"))
+    // reversed rank order must NOT find the second merge
+    assert(apply(Seq("the", "quick", "fox"), Seq(("thequick", "fox"), ("the", "quick")))
+      == Seq("thequick", "fox"))
+    // no rules / no matches / single token are identity
+    assert(apply(Seq("a", "b"), Seq.empty) == Seq("a", "b"))
+    assert(apply(Seq("a", "b"), Seq(("z", "z"))) == Seq("a", "b"))
+    assert(apply(Seq("a"), Seq(("a", "a"))) == Seq("a"))
   }
 }

@@ -10,7 +10,12 @@ import graft.{SparkEntry, SparkSpec}
   * occupancy — the 100 TB path).  Equal pair sets make every downstream
   * consumer byte-identical; this spec pins exactly that, plus the audit's
   * own independence from the conf (d13's ground truth must stay exact, or
-  * the flipped tier would be graded against itself). */
+  * the flipped tier would be graded against itself).
+  *
+  * Since round 9 `banded` IS the default (the certificate below is what
+  * authorized the flip); `exact` is the opt-out audit config.  The
+  * default-equals-banded identity is pinned here too, and the driver's
+  * DuckDB gate re-proves default ≡ exact-stated-oracle on every run. */
 class DedupPairSourceSpec extends SparkSpec {
 
   private val ConfKey = "spark.graft.dedup.pairs"
@@ -38,10 +43,14 @@ class DedupPairSourceSpec extends SparkSpec {
     val audit = SparkEntry.queries("d13_banding_recall")(spark, sf()).collect().head
     assert(audit.getAs[Long]("recall_bp") == 10000L,
       s"d13 no longer certifies zero banding loss on the driver corpus: $audit")
-    val exact = consumers.map(n => n -> withPairSource(None)(run(n))).toMap
+    val exact = consumers.map(n => n -> withPairSource(Some("exact"))(run(n))).toMap
     consumers.foreach { name =>
       val banded = withPairSource(Some("banded"))(run(name))
       assert(banded == exact(name), s"$name differs under $ConfKey=banded")
+      // the conf default is banded (the round-9 flip): an unset conf must
+      // take the banded path and land on the same certified output
+      val dflt = withPairSource(None)(run(name))
+      assert(dflt == exact(name), s"$name differs under the unset (banded) default")
     }
   }
 
@@ -51,19 +60,25 @@ class DedupPairSourceSpec extends SparkSpec {
     spark.conf.set(cacheKey, "true")
     try {
       Dedup.clearDupGraphCache()
-      val exactPlan = withPairSource(None)(Dedup.dupPairs(spark, sf()))
+      val exactPlan = withPairSource(Some("exact"))(Dedup.dupPairs(spark, sf()))
       // flipping the source must build a fresh plan, not hand back the
       // memoized exact relation under a banded label (and vice versa)
       val bandedPlan = withPairSource(Some("banded"))(Dedup.dupPairs(spark, sf()))
       assert(!(bandedPlan eq exactPlan), "pair-source flip reused the exact-plan memo")
       assert(withPairSource(Some("banded"))(Dedup.dupPairs(spark, sf())) eq bandedPlan)
+      // the unset default resolves to banded and therefore SHARES the
+      // banded memo entry — one materialization, not two
+      assert(withPairSource(None)(Dedup.dupPairs(spark, sf())) eq bandedPlan,
+        "unset default did not share the banded memo entry")
       val bandedLabels = withPairSource(Some("banded"))(Dedup.clusterLabels(spark, sf()))
-      assert(!(withPairSource(None)(Dedup.clusterLabels(spark, sf())) eq bandedLabels))
+      assert(!(withPairSource(Some("exact"))(Dedup.clusterLabels(spark, sf())) eq bandedLabels))
+      assert(withPairSource(None)(Dedup.clusterLabels(spark, sf())) eq bandedLabels,
+        "unset default did not share the banded labels memo entry")
       // cached-banded results still match the isolated exact run
       val d6Banded = withPairSource(Some("banded"))(run("d6_dup_clusters"))
       val d6Exact = {
         spark.conf.set(cacheKey, "false")
-        try withPairSource(None)(run("d6_dup_clusters"))
+        try withPairSource(Some("exact"))(run("d6_dup_clusters"))
         finally spark.conf.set(cacheKey, "true")
       }
       assert(d6Banded == d6Exact, "cached banded d6 differs from isolated exact d6")
