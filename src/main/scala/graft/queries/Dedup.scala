@@ -114,6 +114,18 @@ object Dedup {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** The distinct word-trigram shingle SET of a text column as scalar
+    * array arithmetic — the VERIFY-side companion of [[bandValuesFor]]
+    * (same single-definition discipline: tokenization and shingling come
+    * from TextOps', so the live verify can never disagree with the batch
+    * tier on what a shingle is).  Null/short texts (< 3 tokens) yield an
+    * empty array, matching the batch filter. */
+  def shingleSetFor(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = TextOps.tokens(text)
+    when(text.isNotNull && text =!= "" && size(w) >= 3, TextOps.shingleArrayOf(w))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** The identical signature pipeline as DuckDB SQL (constants inlined —
     * the s2-planes technique): h0 fold over shingle chars, 16 min-hashes,
     * per-band linear combination. */

@@ -1206,23 +1206,29 @@ object Similarity {
 
   /** The INDEX-tier recall harness — s9's measurement extended to the
     * tiers a production ANN deployment actually serves from: IVF (s4 —
-    * coarse lists, probe the nearest IvfProbe) and PQ/ADC (s7 — product
-    * quantization with asymmetric distance re-ranked over PqCand
-    * candidates).  Both tiers trade recall for probe volume in ways
-    * that RETRAIN with the data (centroids, codebooks), which is
+    * coarse lists, probe the nearest IvfProbe), scalar quantization
+    * (s6 — int8 per-vector symmetric, the memory/bandwidth tier) and
+    * PQ/ADC (s7 — product quantization with asymmetric distance
+    * re-ranked over PqCand candidates).  All three trade recall for
+    * probe volume or precision in ways that RETRAIN or RESCALE with
+    * the data (centroids, codebooks, per-vector scales), which is
     * exactly why a deployment re-scores them continuously: a stale
-    * codebook shows up here as a recall drop long before it shows up in
-    * user metrics.  Same harness body, same integer recall arithmetic,
-    * same composed-from-oracled-tiers guarantee as s9. */
+    * codebook or a saturating scale shows up here as a recall drop
+    * long before it shows up in user metrics.  With s6 added (round 9)
+    * every approximate ANN tier in the library is recall-harnessed:
+    * s2/s5 under s9, s4/s6/s7 here.  Same harness body, same integer
+    * recall arithmetic, same composed-from-oracled-tiers guarantee as
+    * s9. */
   val s10IndexRecall = {
-    val tiers = Seq("ivf" -> s4AnnIvf, "pq" -> s7AnnPq)
+    val tiers = Seq("ivf" -> s4AnnIvf, "pq" -> s7AnnPq, "sq" -> s6AnnQuantized)
     NamedQuery(
       "s10_index_recall",
       recallHarnessFn(tiers),
       Some(recallHarnessSql(tiers)),
-      doc = "ANN recall@5 harness over the index tiers: IVF (s4) and " +
-        "PQ/ADC (s7) scored against s1's exact top-5 per query, integer " +
-        "basis-point recall, composed from the tiers' own oracled pipelines")
+      doc = "ANN recall@5 harness over the index tiers: IVF (s4), " +
+        "int8 scalar quantization (s6) and PQ/ADC (s7) scored against " +
+        "s1's exact top-5 per query, integer basis-point recall, " +
+        "composed from the tiers' own oracled pipelines")
   }
 
   def all: Seq[NamedQuery] =

@@ -85,7 +85,11 @@ object JobRunner {
       // (xxhash64(user, text, timestamp) — stable across restarts, so
       // checkpoint replays stay idempotent by set membership).
       withNearDups: Boolean = false,
-      nearDupMaxBucket: Int = 100000)
+      nearDupMaxBucket: Int = 100000,
+      // true = the composed verify stage (shingle sets in bucket state,
+      // emits d3's VERIFIED relation live — LiveNearDup.verifiedPairs);
+      // false = candidates only (leaner state; verify runs downstream)
+      nearDupVerified: Boolean = false)
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -184,9 +188,11 @@ object JobRunner {
         .select(xxhash64(col("user"), col("cleaned_text"), col("timestamp")).as("doc_id"),
           col("cleaned_text").as("text"))
         .as[LiveNearDup.DocEvent]
-      val pairs = LiveNearDup.candidates(docEvents,
-        maxBucket = cfg.nearDupMaxBucket)(spark)
-      Some(Sinks.jsonFiles(pairs.toDF(), cfg.outputPath + "_neardups",
+      val pairs =
+        if (cfg.nearDupVerified)
+          LiveNearDup.verifiedPairs(docEvents, maxBucket = cfg.nearDupMaxBucket)(spark).toDF()
+        else LiveNearDup.candidates(docEvents, maxBucket = cfg.nearDupMaxBucket)(spark).toDF()
+      Some(Sinks.jsonFiles(pairs, cfg.outputPath + "_neardups",
         cfg.checkpointPath + "_neardups", cfg.fileTrigger,
         queryName = "neardup_output").start())
     } else None

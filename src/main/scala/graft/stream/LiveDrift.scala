@@ -131,11 +131,22 @@ object LiveDrift {
     // clamped to the grid), then a watermarked tumbling-window count —
     // the partial agg combines before the shuffle; a finalized window
     // yields ≤ |types|·bins tiny delta rows.
+    //
+    // The clamp happens in DOUBLE space FIRST: a poison value beyond
+    // the int64 range (or with |v|·bins past 2^63) would otherwise
+    // throw at the ANSI cast/multiply, killing the query AND
+    // crash-looping every restart as the event replays from the
+    // source.  After `least(greatest(v, fmin), fmax)` the cast and
+    // multiply are bounded by the grid; the integer clamp stays as the
+    // backstop for the edge where fmax's double rounding lands one
+    // past the top bin.
+    val clamped = least(greatest(col("value"), lit(fmin.toDouble)), lit(fmax.toDouble))
     val binCol = greatest(lit(0), least(lit(bins - 1),
-      expr(s"(CAST(floor(value) AS BIGINT) - ${fmin}L) * $bins DIV (${fmax}L - ${fmin}L + 1)")))
+      expr(s"(CAST(floor(cv) AS BIGINT) - ${fmin}L) * $bins DIV (${fmax}L - ${fmin}L + 1)")))
       .cast("int")
     val deltas: Dataset[BinDelta] = events
       .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("event_type"), clamped.as("cv"))
       .select(col("ts"), col("event_type"), binCol.as("bin"))
       .groupBy(window(col("ts"), s"$windowSec seconds"),
         col("event_type"), col("bin"))
@@ -157,11 +168,28 @@ object LiveDrift {
           val counts = state.getOption.map(_.counts.toArray)
             .getOrElse(new Array[Long](bins))
           // a checkpoint written under a different mode or bin count is
-          // detectable here (ring mode persists empty counts) — fail
-          // loudly rather than mis-index the restored histogram
-          require(recent > 0 || counts.length == bins,
-            s"restored state has ${counts.length} bins, monitor expects $bins — " +
-              "mode/bins changed across a checkpoint; restart fresh")
+          // detectable here IN BOTH DIRECTIONS (ring mode persists empty
+          // counts, cumulative mode persists exactly `bins`; the Spark
+          // state-schema check can't tell them apart — the schema is
+          // unchanged) — fail loudly rather than mis-index the restored
+          // histogram or silently discard accumulated history on a
+          // cumulative→ring flip
+          state.getOption.foreach { h =>
+            if (recent == 0)
+              require(h.counts.length == bins,
+                s"restored state has ${h.counts.length} bins, monitor expects $bins — " +
+                  "mode/bins changed across a checkpoint; restart fresh")
+            else {
+              require(h.counts.isEmpty,
+                "restored state carries a cumulative histogram but the monitor runs " +
+                  "in ring mode (recentWindows > 0) — mode changed across a " +
+                  "checkpoint; restart fresh")
+              require(h.ring.forall(_.counts.length == bins),
+                s"restored ring has a window with ${h.ring.map(_.counts.length).distinct} " +
+                  s"bins, monitor expects $bins — bins changed across a checkpoint; " +
+                  "restart fresh")
+            }
+          }
           var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
           var touched = false
           batch.toSeq.groupBy(_.window_start.getTime).toSeq.sortBy(_._1)

@@ -12,14 +12,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * aggregation), and a per-(band, bucket) keyed state emits a candidate
   * pair the moment two documents collide in any band.
   *
-  * This is the PRODUCTION shape of streaming dedup: candidates stream
-  * out with bounded per-event work, and the exact-Jaccard VERIFY —
-  * which needs both documents' shingle sets — runs downstream in batch
-  * over the (tiny) candidate stream, exactly as d3's verify step does.
-  * Pigeonhole recall carries over unchanged from the batch tier: any
-  * pair the batch banding would catch collides in the same band here,
-  * because the band values are identical (LiveNearDupParitySpec pins
-  * replay ≡ d3's candidate relation on the real corpus).
+  * Two stages, both streaming: [[candidates]] emits raw band-bucket
+  * collisions with bounded per-event work, and [[verifiedPairs]]
+  * composes the exact-Jaccard verify INTO the bucket state (members
+  * carry their shingle sets), emitting d3's full verified relation
+  * live.  Pigeonhole recall carries over unchanged from the batch
+  * tier: any pair the batch banding would catch collides in the same
+  * band here, because the band values are identical
+  * (LiveNearDupParitySpec pins replay ≡ d3's candidate relation AND
+  * replay ≡ d3's verified relation on the real corpus).
   *
   * == Scale shape ==
   *
@@ -87,6 +88,102 @@ object LiveNearDup {
             s"band bucket ($band, $bv) exceeded $maxBucket members — " +
               "boilerplate-grade duplication; raise maxBucket or dedup upstream")
           if (seen.size != existing.size) state.update(Bucket(seen.toVector))
+          out.result().iterator
+      }
+  }
+
+  /** One band-key row carrying the document's distinct shingle set. */
+  final case class DocShingles(doc_id: Long, band: Int, bv: Long,
+      shingles: Seq[String])
+
+  /** A bucket member with its shingle set (the verify-side state). */
+  final case class Member(doc_id: Long, shingles: Seq[String])
+
+  /** A verified bucket's membership. */
+  final case class ShingleBucket(members: Seq[Member])
+
+  /** An emitted VERIFIED pair: doc_a < doc_b collided in (band, bv) AND
+    * their exact shingle Jaccard is ≥ 0.5 — the same relation d3's batch
+    * verify emits (round-4 jaccard included).  As with [[Candidate]],
+    * the same pair may be emitted by several bands (identical jaccard
+    * from any band); `.dropDuplicates("doc_a", "doc_b")` downstream
+    * yields d3's distinct relation. */
+  final case class VerifiedPair(doc_a: Long, doc_b: Long, jaccard: Double,
+      band: Int, bv: Long)
+
+  /** LIVE VERIFIED near-dup pairs — [[candidates]] composed with d3's
+    * exact-Jaccard verify, completing the streaming dedup pipeline (the
+    * round-8 verdict's "missing" item 3): each bucket's state carries
+    * its members' distinct shingle SETS, so the verify runs in the same
+    * stateful operator the collision is detected in — per-event work
+    * stays bounded (|bucket| set intersections) and NO re-scan of a
+    * static document relation happens per micro-batch, which is what a
+    * stream-static verify join would cost at 100 TB.
+    *
+    * Arithmetic parity with the batch tier is structural: the shingle
+    * set is [[graft.queries.Dedup.shingleSetFor]] (the same
+    * single-definition expression the batch tier shingles with), the
+    * intersection is over distinct shingles exactly as d3's
+    * candidate-scoped join counts them, and the rounding is Spark's own
+    * `round(x, 4)` semantics (`BigDecimal.decimal`, HALF_UP).
+    * `LiveNearDupParitySpec` pins replay ≡ `bandedJaccardPairs` (d3's
+    * full verified relation) on the real corpus.
+    *
+    * State cost vs [[candidates]]: each member's shingle set rides in
+    * every bucket it occupies (×Bands replication) — the same order of
+    * data the batch tier shuffles through its shingle join, held
+    * instead in the state store.  `maxBucket` bounds the hot-bucket
+    * blowup LOUDLY exactly as in [[candidates]]; a deployment that
+    * needs leaner state trades exactness for it by carrying the h0
+    * shingle HASHES instead (collision probability |A|·|B|/p per pair,
+    * p ≈ 2³⁰) — not done here because the parity contract is
+    * byte-exactness with d3. */
+  def verifiedPairs(docs: Dataset[DocEvent], maxBucket: Int = 100000)(
+      implicit spark: SparkSession): Dataset[VerifiedPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.sentiment.GraftFunctions.register(spark)
+    val banded: Dataset[DocShingles] = docs
+      .select(col("doc_id"),
+        posexplode(graft.queries.Dedup.bandValuesFor(col("text"))).as(Seq("band", "bv")),
+        graft.queries.Dedup.shingleSetFor(col("text")).as("shingles"))
+      .select(col("doc_id"), col("band"), col("bv"), col("shingles"))
+      .as[DocShingles]
+    banded
+      .groupByKey(r => (r.band, r.bv))
+      .flatMapGroupsWithState[ShingleBucket, VerifiedPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, bv), rows: Iterator[DocShingles], state: GroupState[ShingleBucket]) =>
+          val existing = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val byId = scala.collection.mutable.LinkedHashMap(
+            existing.map(m => m.doc_id -> m).toSeq: _*)
+          val out = Seq.newBuilder[VerifiedPair]
+          // in-batch arrivals verify against earlier members AND each
+          // other, in sorted order so emission is deterministic per batch;
+          // a replayed member re-emits nothing (set-membership idempotence)
+          rows.toSeq.groupBy(_.doc_id).toSeq.sortBy(_._1).foreach { case (id, rs) =>
+            if (!byId.contains(id)) {
+              val sNew = rs.head.shingles
+              val setNew = sNew.toSet
+              byId.valuesIterator.foreach { m =>
+                val inter = m.shingles.count(setNew.contains) // both sides distinct
+                val union = m.shingles.size + sNew.size - inter
+                if (union > 0) {
+                  val j = BigDecimal.decimal(inter.toDouble / union)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (j >= 0.5)
+                    out += VerifiedPair(math.min(m.doc_id, id), math.max(m.doc_id, id),
+                      j, band, bv)
+                }
+              }
+              byId(id) = Member(id, sNew)
+            }
+          }
+          require(byId.size <= maxBucket,
+            s"band bucket ($band, $bv) exceeded $maxBucket members — " +
+              "boilerplate-grade duplication; raise maxBucket or dedup upstream")
+          if (byId.size != existing.size)
+            state.update(ShingleBucket(byId.values.toVector))
           out.result().iterator
       }
   }

@@ -41,17 +41,22 @@ class LiveDriftSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ld_unit")
       .outputMode(OutputMode.Append).start()
     try {
-      // w0: values 0, 1, plus out-of-range 100.0 (→ bin 9) and −5.0 (→ bin 0)
+      // w0: values 0, 1, plus out-of-range 100.0 (→ bin 9) and −5.0 (→ bin 0),
+      // and POISON values past the int64 range (±1e300): the clamp must run
+      // in double space BEFORE the ANSI cast/multiply, or a single such
+      // event kills the query and crash-loops every restart (ADVICE r8)
       input.addData(ev("m", 0.0, "2024-01-01T00:00:10Z"),
         ev("m", 1.0, "2024-01-01T00:00:20Z"),
         ev("m", 100.0, "2024-01-01T00:00:30Z"),
-        ev("m", -5.0, "2024-01-01T00:00:40Z"))
+        ev("m", -5.0, "2024-01-01T00:00:40Z"),
+        ev("m", 1e300, "2024-01-01T00:00:50Z"),
+        ev("m", -1e300, "2024-01-01T00:00:55Z"))
       q.processAllAvailable()
       input.addData(ev("m", 1.0, "2024-01-01T00:01:10Z")) // finalizes w0
       q.processAllAvailable()
       val a0 = spark.table("ld_unit").as[LiveDrift.DriftAlert].collect()
       assert(a0.length == 1, s"got ${a0.toSeq}")
-      val liveHist0 = Seq(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)
+      val liveHist0 = Seq(3L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2L)
       val want0 = LiveDrift.ksAgainst(liveHist0, ref("m"))
       assert((a0.head.n_live, a0.head.n_ref, a0.head.ks_scaled, a0.head.ks_bp) == want0,
         s"got ${a0.head}, want $want0")
@@ -61,7 +66,7 @@ class LiveDriftSpec extends SparkSpec {
       q.processAllAvailable()
       val latest = spark.table("ld_unit").as[LiveDrift.DriftAlert].collect()
         .filter(_.event_type == "m").maxBy(_.upto.getTime)
-      val liveHist1 = Seq(2L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)
+      val liveHist1 = Seq(3L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2L)
       val want1 = LiveDrift.ksAgainst(liveHist1, ref("m"))
       assert((latest.n_live, latest.n_ref, latest.ks_scaled, latest.ks_bp) == want1)
     } finally q.stop()

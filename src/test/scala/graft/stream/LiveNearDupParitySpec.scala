@@ -17,8 +17,13 @@ import org.apache.spark.sql.streaming.OutputMode
   *  2. CANDIDATE parity: replaying the corpus through the streaming
   *     bucket state yields exactly d3's candidate pair set (the
   *     distinct self-join of the band keys) — so the live detector's
-  *     recall guarantee IS the batch tier's, and d3's exact verify can
-  *     run downstream over the streamed candidates unchanged. */
+  *     recall guarantee IS the batch tier's.
+  *  3. VERIFIED parity: the composed live verify stage
+  *     (`verifiedPairs` — shingle sets carried in bucket state, exact
+  *     Jaccard at emission) yields exactly d3's full verified relation
+  *     `(doc_a, doc_b, jaccard)` after the cross-band distinct — the
+  *     round-8 verdict's missing stage, closing the live pipeline at
+  *     the same relation the batch tier ends on. */
 class LiveNearDupParitySpec extends SparkSpec {
 
   test("scalar band values == batch signature bands; replayed candidates == d3's cand set (sf0.01)") {
@@ -67,6 +72,41 @@ class LiveNearDupParitySpec extends SparkSpec {
         s"live candidates diverge from d3's banding: only-live=${live.diff(truth).take(5)} " +
           s"only-batch=${truth.diff(live).take(5)} (live=${live.size}, batch=${truth.size})")
       assert(truth.nonEmpty, "corpus planted no banding collisions — parity is vacuous")
+    } finally q.stop()
+  }
+
+  test("replayed verified pairs == d3's full verified relation (sf0.01)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sf("sf0.01")
+
+    val batch = Dedup.bandedJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "corpus planted no verified near-dups — parity is vacuous")
+
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => LiveNearDup.DocEvent(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.verifiedPairs(input.toDS())
+      .writeStream.format("memory").queryName("lnd_vparity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val perBand = spark.table("lnd_vparity").as[LiveNearDup.VerifiedPair].collect()
+      // cross-band re-detections must carry the identical jaccard —
+      // then the distinct relation IS d3's
+      val live = perBand.map(p => (p.doc_a, p.doc_b, p.jaccard)).toSet
+      assert(live.map(p => (p._1, p._2)).size == live.size,
+        "the same pair carried different jaccard values across bands")
+      assert(live == batch,
+        s"live verified pairs diverge from d3: only-live=${live.diff(batch).take(5)} " +
+          s"only-batch=${batch.diff(live).take(5)} (live=${live.size}, batch=${batch.size})")
     } finally q.stop()
   }
 }

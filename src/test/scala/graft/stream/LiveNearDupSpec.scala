@@ -91,6 +91,72 @@ class LiveNearDupSpec extends SparkSpec {
       s"post-restart arrival did not pair with pre-restart members: $pairs")
   }
 
+  test("verified stage: colliding near-identical docs emit jaccard>=0.5 pairs; disjoint docs never do") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.verifiedPairs(input.toDS())
+      .writeStream.format("memory").queryName("lnd_vunit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(doc(2, a), doc(1, b), doc(3, other), doc(4, "too short"))
+      q.processAllAvailable()
+      val got = spark.table("lnd_vunit").as[LiveNearDup.VerifiedPair].collect()
+      assert(got.nonEmpty, "planted near-identical docs did not verify in any band")
+      assert(got.forall(p => p.doc_a == 1L && p.doc_b == 2L), s"unexpected: ${got.toSeq}")
+      // closed-form jaccard of the fixture: 10-token texts → 8 distinct
+      // trigram shingles each, differing only in the final token → 7
+      // shared → 7/9 = 0.7778 at round-4
+      assert(got.forall(_.jaccard == 0.7778), s"jaccard off: ${got.toSeq}")
+      // re-delivery is idempotent
+      input.addData(doc(2, a), doc(1, b))
+      q.processAllAvailable()
+      assert(spark.table("lnd_vunit").count() == got.length.toLong,
+        "re-delivered docs re-emitted their verified pairs")
+    } finally q.stop()
+  }
+
+  test("verified-stage shingle state survives a checkpointed restart") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    val dirs = restartDirs("lndv")
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit =
+      dirs.writeBatch(name,
+        docs.map { case (id, t) => s"""{"doc_id": $id, "text": "$t"}""" })
+    def start() = LiveNearDup.verifiedPairs(
+      spark.readStream.schema("doc_id BIGINT, text STRING").json(dirs.in)
+        .as[LiveNearDup.DocEvent])
+      .writeStream.format("json")
+      .option("path", dirs.out).option("checkpointLocation", dirs.cp)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      writeDocs("b0.json", Seq(1L -> b, 2L -> a))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // the third copy must VERIFY (not just collide) against both
+    // historical members — their shingle sets crossed the stop in state
+    val q2 = start()
+    try {
+      writeDocs("b1.json", Seq(9L -> a))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val pairs = spark.read
+      .schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, band INT, bv BIGINT")
+      .json(dirs.out).as[LiveNearDup.VerifiedPair].collect()
+    val keys = pairs.map(p => (p.doc_a, p.doc_b)).distinct.toSet
+    assert(keys.contains((1L, 2L)), s"pre-restart pair missing: $keys")
+    assert(keys.contains((1L, 9L)) && keys.contains((2L, 9L)),
+      s"post-restart arrival did not verify against pre-restart members: $keys")
+    // doc 9 IS doc 2's text — identical shingle sets → jaccard 1.0
+    assert(pairs.filter(p => (p.doc_a, p.doc_b) == ((2L, 9L))).forall(_.jaccard == 1.0),
+      s"identical docs should verify at jaccard 1.0: ${pairs.toSeq}")
+  }
+
   test("a runaway bucket fails loudly at maxBucket instead of silently growing") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._

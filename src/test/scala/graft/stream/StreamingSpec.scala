@@ -195,6 +195,28 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the planted copypasta pair ${(ids(0), ids(1))}, got ${pairs.toSeq}")
   }
 
+  test("JobRunner's near-dup query runs the composed verify stage under nearDupVerified") {
+    val in = tmp("graft-vin"); val out = tmp("graft-vout"); val cp = tmp("graft-vcp")
+    val dupA = "the quick brown fox jumps over the lazy dog tonight"
+    val dupB = "the quick brown fox jumps over the lazy dog today"
+    writePosts(in, "b1.json", Seq(
+      s"""{"text": "$dupA", "user": "v1", "platform": "x", "timestamp": "2024-01-01 12:00:10"}""",
+      s"""{"text": "$dupB", "user": "v2", "platform": "x", "timestamp": "2024-01-01 12:00:20"}"""))
+    val r = JobRunner.run(spark, FileJsonSource(in),
+      fastCfg(out, cp).copy(withNearDups = true, nearDupVerified = true))
+    r.processAllAvailable(); r.stopAll()
+    val ids = readOut(out)
+      .select(xxhash64(col("user"), col("cleaned_text"), col("timestamp")).as("id"))
+      .collect().map(_.getLong(0)).sorted
+    val pairs = spark.read
+      .schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, band INT, bv BIGINT")
+      .json(out + "_neardups").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2))).distinct
+    // the fixture pair shares 7 of 9 distinct trigram shingles → 0.7778
+    assert(pairs.toSeq == Seq((ids(0), ids(1), 0.7778)),
+      s"expected the planted pair verified at 0.7778, got ${pairs.toSeq}")
+  }
+
   test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
     val in = tmp("graft-in2"); val out = tmp("graft-out2"); val cp = tmp("graft-cp2")
     writePosts(in, "b1.json", batch1)
