@@ -340,7 +340,20 @@ object PlanAudit {
     Expect("a13_binned_drift", "hashpartitioning(", maxCount = 2,
       why = "exactly 2 data shuffles: the (type, bin) collapse and one " +
         "per-type exchange shared by the KS windows and the final max " +
-        "agg — the 1-row min/max cuts row joins in as a broadcast"))
+        "agg — the 1-row min/max cuts row joins in as a broadcast"),
+    // round-9 additions (t21 one-pass encoder)
+    Expect("t21_bpe_apply", "Scan parquet", maxCount = 2,
+      why = "the one-pass encoder touches the corpus EXACTLY ONCE (tree+" +
+        "detail = 2) — the trainer reads only lineage-cut sample " +
+        "relations (Scan ExistingRDD); more parquet scans means a " +
+        "corpus-wide re-read leaked into the default path"),
+    Expect("t21_bpe_apply", "BroadcastNestedLoopJoin Cross BuildRight",
+      "the rank-ordered merge table joins in as ONE broadcast row — the " +
+        "corpus side must never shuffle for the rule application",
+      maxCount = 1),
+    Expect("t21_bpe_apply", "graft_bpe_apply",
+      "the application must run through the codegen'd kernel expression, " +
+        "not window passes"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -1220,7 +1220,16 @@ object Similarity {
     * recall arithmetic, same composed-from-oracled-tiers guarantee as
     * s9. */
   val s10IndexRecall = {
-    val tiers = Seq("ivf" -> s4AnnIvf, "pq" -> s7AnnPq, "sq" -> s6AnnQuantized)
+    // s6 SERVES top-10 (its own contract); recall@5 scores its top-5 cut,
+    // so the sq tier is the oracled s6 pipeline filtered to rn <= 5 —
+    // still composed verbatim (filter over the tier's own fn + oracle),
+    // and approx_k stays 5 like the other tiers
+    val s6Top5 = NamedQuery(
+      "s6_top5_for_recall",
+      (s, dir) => s6AnnQuantized.fn(s, dir).filter(col("rn") <= 5),
+      Some(s"SELECT * FROM (${s6AnnQuantized.oracle.get}) s6full WHERE rn <= 5"),
+      doc = "s6's top-5 cut, harness-internal")
+    val tiers = Seq("ivf" -> s4AnnIvf, "pq" -> s7AnnPq, "sq" -> s6Top5)
     NamedQuery(
       "s10_index_recall",
       recallHarnessFn(tiers),

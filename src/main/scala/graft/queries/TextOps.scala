@@ -1541,10 +1541,39 @@ object TextOps {
   private[queries] def bpeSampleOcc(s: SparkSession, dir: String): DataFrame =
     bpeOcc(Tables.documents(s, dir).filter(col("doc_id") % 20 === 0))
 
+  /** Session-scoped trainer memo for the opt-in
+    * `spark.graft.bpe.cache` path (the `Dedup.dupGraphMemo` discipline):
+    * (session, dataset dir) → the trainer loop's (bests, final
+    * adjacency).  A composed pipeline that runs t20 (inspect the merge
+    * table) and then t21 (encode the corpus) trains ONCE — reusing the
+    * DataFrames reuses the persisted lineage-cut blocks inside them, so
+    * the sample rounds materialize once per session.  Per-query
+    * isolation (the gate contract) stays the default; strong session
+    * refs are intentional (cleared via [[clearBpeCache]]).  The sample
+    * and round count are compile-time constants, so (session, dir) is
+    * the complete build key. */
+  private[queries] val bpeTrainMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+
+  /** Drops memoized trainers (blocks reclaimed by the ContextCleaner
+    * once the plans are unreachable — the [[Dedup.clearDupGraphCache]]
+    * contract). */
+  def clearBpeCache(): Unit = bpeTrainMemo.clear()
+
+  /** [[bpeTrainLoop]], memoized per (session, dir) under
+    * `spark.graft.bpe.cache=true`.  Call inside
+    * [[withBpeConstructionConfs]]. */
+  private def bpeTrainLoopCached(s: SparkSession,
+      dir: String): (Seq[DataFrame], DataFrame) =
+    if (s.conf.getOption("spark.graft.bpe.cache").exists(_.toBoolean))
+      bpeTrainMemo.computeIfAbsent((s, dir), _ => bpeTrainLoop(s, dir))
+    else bpeTrainLoop(s, dir)
+
   val t20BpeTrain = NamedQuery(
     "t20_bpe_train",
     (s, dir) => withBpeConstructionConfs(s) {
-      val (bests, _) = bpeTrainLoop(s, dir)
+      val (bests, _) = bpeTrainLoopCached(s, dir)
       bests.zipWithIndex.map { case (best, i) =>
         best.select(lit(i + 1).as("merge_rank"), col("l").as("left_tok"),
           col("r").as("right_tok"), col("c").cast("long").as("pair_count"))
@@ -1658,7 +1687,7 @@ object TextOps {
   val t21BpeApply = NamedQuery(
     "t21_bpe_apply",
     (s, dir) => withBpeConstructionConfs(s) {
-      val (bests, _) = bpeTrainLoop(s, dir)
+      val (bests, _) = bpeTrainLoopCached(s, dir)
       if (bpeApplyModeConf(s) == "passes") {
         val adj0 = bpeInitialAdjacency(s, bpeOcc(Tables.documents(s, dir)))
         val adjN = bpeApplyMerges(s, adj0, bests)

@@ -137,10 +137,16 @@ object LiveDrift {
     // throw at the ANSI cast/multiply, killing the query AND
     // crash-looping every restart as the event replays from the
     // source.  After `least(greatest(v, fmin), fmax)` the cast and
-    // multiply are bounded by the grid; the integer clamp stays as the
-    // backstop for the edge where fmax's double rounding lands one
-    // past the top bin.
-    val clamped = least(greatest(col("value"), lit(fmin.toDouble)), lit(fmax.toDouble))
+    // multiply are bounded by the grid (±Infinity clamps to the edges
+    // the same way); NaN needs its own guard — it propagates through
+    // least/greatest and still throws at the ANSI cast — and lands in
+    // the bottom edge bin (a sentinel-garbage reading, counted rather
+    // than crash-looping; the batch a13 has no NaN contract at all —
+    // it would raise).  The integer clamp stays as the backstop for
+    // the edge where fmax's double rounding lands one past the top
+    // bin.
+    val clamped = when(isnan(col("value")), lit(fmin.toDouble))
+      .otherwise(least(greatest(col("value"), lit(fmin.toDouble)), lit(fmax.toDouble)))
     val binCol = greatest(lit(0), least(lit(bins - 1),
       expr(s"(CAST(floor(cv) AS BIGINT) - ${fmin}L) * $bins DIV (${fmax}L - ${fmin}L + 1)")))
       .cast("int")

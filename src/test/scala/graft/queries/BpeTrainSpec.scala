@@ -138,6 +138,29 @@ class BpeTrainSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.bpe.apply")
   }
 
+  test("spark.graft.bpe.cache: t20+t21 share one memoized trainer; results unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-cache").toString
+    Seq((0L, "a b a b a b c", "en", "s0", 13L), (20L, "a b a b x y", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def rows(name: String): Seq[Seq[Any]] =
+      graft.SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+    val isolated = Seq("t20_bpe_train", "t21_bpe_apply").map(n => n -> rows(n)).toMap
+    spark.conf.set("spark.graft.bpe.cache", "true")
+    try {
+      TextOps.clearBpeCache()
+      val cached = Seq("t20_bpe_train", "t21_bpe_apply").map(n => n -> rows(n)).toMap
+      assert(TextOps.bpeTrainMemo.size == 1,
+        s"expected ONE shared trainer memo entry, got ${TextOps.bpeTrainMemo.size}")
+      assert(cached == isolated, "memoized trainer changed t20/t21 results")
+    } finally {
+      spark.conf.unset("spark.graft.bpe.cache")
+      TextOps.clearBpeCache()
+    }
+  }
+
   test("graft_bpe_apply kernel: greedy alternation, merge-of-merge, rule order, empty rules") {
     val s = spark
     import s.implicits._

@@ -33,6 +33,8 @@ class DedupScalingSpec extends AnyFunSuite {
     assert(lines.exists(_.contains("cache off")) && lines.exists(_.contains("cache on")))
     assert(lines.exists(_.contains("banded")), "banded pair-source curve missing")
     assert(lines.exists(_.contains("DedupScalingSweep")), "regeneration recipe missing")
+    assert(lines.exists(_.contains("Lineage-cut persist A/B")),
+      "cut-persist A/B section missing — the default's evidence must stay committed")
   }
 
   test("wall-time growth exponent < 2 for every mode") {

@@ -82,15 +82,45 @@ object DedupScalingSweep {
       confs.foreach { case (k, _) => spark.conf.unset(k) }
       t
     }
+    // "off"/"on" PIN the exact pair source: since round 9 the library
+    // default is banded, and these two curves exist precisely to keep the
+    // exact tier's cost measured against it.
     val modes = Seq(
-      "off" -> Seq("spark.graft.dupgraph.cache" -> "false"),
-      "on" -> Seq("spark.graft.dupgraph.cache" -> "true"),
+      "off" -> Seq("spark.graft.dupgraph.cache" -> "false",
+        "spark.graft.dedup.pairs" -> "exact"),
+      "on" -> Seq("spark.graft.dupgraph.cache" -> "true",
+        "spark.graft.dedup.pairs" -> "exact"),
       "banded" -> Seq("spark.graft.dupgraph.cache" -> "true",
         "spark.graft.dedup.pairs" -> "banded"))
 
     val results = for ((mode, confs) <- modes; k <- sizes)
       yield (mode, k, timeComposition(dirs(k), confs))
     Dedup.clearDupGraphCache()
+
+    // Lineage-cut persist A/B (round-9 verdict item 1): the cached exact
+    // composition + t20 (the heaviest cut consumers) on the REAL base
+    // corpus under both spark.graft.cut.persist forms, interleaved
+    // min-of-2 so ambient drift hits both arms alike.
+    def timeOne(q: String, confs: Seq[(String, String)]): Double = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val t = (1 to 2).map { _ =>
+        Dedup.clearDupGraphCache()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, baseDir).count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      t
+    }
+    val cutModes = Seq("rdd", "columnar")
+    val cutAb: Map[(String, String), Double] = (for {
+      rep <- 1 to 2; m <- cutModes; q <- Seq("d6_dup_clusters", "t20_bpe_train")
+    } yield ((m, q, rep), timeOne(q,
+      Seq("spark.graft.cut.persist" -> m, "spark.graft.dedup.pairs" -> "exact"))))
+      .groupBy { case ((m, q, _), _) => (m, q) }
+      .view.mapValues(_.map(_._2).min).toMap
     val load1 = loadAvg()
 
     def wall(mode: String, k: Int): Double =
@@ -120,6 +150,16 @@ object DedupScalingSweep {
     md ++= f"- cache off: **${exponent("off")}%.2f**\n"
     md ++= f"- cache on:  **${exponent("on")}%.2f**\n"
     md ++= f"- banded:    **${exponent("banded")}%.2f**\n"
+    md ++= "\n## Lineage-cut persist A/B (`spark.graft.cut.persist`)\n\n"
+    md ++= "Interleaved min-of-2 x2 on the real base corpus, exact pair source\n"
+    md ++= "(the heaviest cut consumers). `rdd` = row-copied execution-RDD\n"
+    md ++= "persist under a layout-advertising LogicalRDD; `columnar` = a\n"
+    md ++= "CacheManager-free InMemoryRelation (same weak ContextCleaner\n"
+    md ++= "reclamation either way). The winner is the library default.\n\n"
+    md ++= "| query | rdd (s) | columnar (s) |\n|---|---|---|\n"
+    Seq("d6_dup_clusters", "t20_bpe_train").foreach { q =>
+      md ++= f"| $q | ${cutAb(("rdd", q))}%.2f | ${cutAb(("columnar", q))}%.2f |\n"
+    }
     md ++= "\nStorage-block hygiene: queries that persist intermediates (the\n"
     md ++= "dedup tier, s9/s10, d13, t20/t21) rely on driver GC + Spark's\n"
     md ++= "ContextCleaner to reclaim blocks once the plan objects are\n"

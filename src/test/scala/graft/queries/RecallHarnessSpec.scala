@@ -24,11 +24,11 @@ class RecallHarnessSpec extends SparkSpec {
     }
   }
 
-  test("s10: index-tier recall agrees with an independent recount of s4/s7 vs s1") {
+  test("s10: index-tier recall agrees with an independent recount of s4/s6/s7 vs s1") {
     val rows = Similarity.s10IndexRecall.fn(spark, sf()).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))
-    assert(rows.length == 10, s"5 queries x 2 tiers expected, got ${rows.length}")
+    assert(rows.length == 15, s"5 queries x 3 tiers expected, got ${rows.length}")
     // independent recount: collect each tier's own top-5 sets and
     // intersect with s1's exact top-5, bypassing the harness joins
     def top5(q: NamedQuery): Map[Long, Set[Long]] =
@@ -36,7 +36,8 @@ class RecallHarnessSpec extends SparkSpec {
         .select("q_id", "nn_id").collect()
         .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val exact = top5(Similarity.s1AnnBruteForce)
-    val byTier = Map("ivf" -> top5(Similarity.s4AnnIvf), "pq" -> top5(Similarity.s7AnnPq))
+    val byTier = Map("ivf" -> top5(Similarity.s4AnnIvf), "pq" -> top5(Similarity.s7AnnPq),
+      "sq" -> top5(Similarity.s6AnnQuantized))
     rows.foreach { case (tier, q, k, ak, hits, bp) =>
       val want = byTier(tier).getOrElse(q, Set.empty).intersect(exact(q)).size.toLong
       assert(k == 5 && hits == want && bp == hits * 10000 / k,

@@ -50,13 +50,17 @@ class LiveDriftSpec extends SparkSpec {
         ev("m", 100.0, "2024-01-01T00:00:30Z"),
         ev("m", -5.0, "2024-01-01T00:00:40Z"),
         ev("m", 1e300, "2024-01-01T00:00:50Z"),
-        ev("m", -1e300, "2024-01-01T00:00:55Z"))
+        ev("m", -1e300, "2024-01-01T00:00:55Z"),
+        ev("m", Double.NaN, "2024-01-01T00:00:57Z"),
+        ev("m", Double.PositiveInfinity, "2024-01-01T00:00:58Z"),
+        ev("m", Double.NegativeInfinity, "2024-01-01T00:00:59Z"))
       q.processAllAvailable()
       input.addData(ev("m", 1.0, "2024-01-01T00:01:10Z")) // finalizes w0
       q.processAllAvailable()
       val a0 = spark.table("ld_unit").as[LiveDrift.DriftAlert].collect()
       assert(a0.length == 1, s"got ${a0.toSeq}")
-      val liveHist0 = Seq(3L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2L)
+      // bin 0: {0.0, -5.0, -1e300, NaN, -Inf}; bin 9: {100.0, 1e300, +Inf}
+      val liveHist0 = Seq(5L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3L)
       val want0 = LiveDrift.ksAgainst(liveHist0, ref("m"))
       assert((a0.head.n_live, a0.head.n_ref, a0.head.ks_scaled, a0.head.ks_bp) == want0,
         s"got ${a0.head}, want $want0")
@@ -66,7 +70,7 @@ class LiveDriftSpec extends SparkSpec {
       q.processAllAvailable()
       val latest = spark.table("ld_unit").as[LiveDrift.DriftAlert].collect()
         .filter(_.event_type == "m").maxBy(_.upto.getTime)
-      val liveHist1 = Seq(3L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2L)
+      val liveHist1 = Seq(5L, 2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3L)
       val want1 = LiveDrift.ksAgainst(liveHist1, ref("m"))
       assert((latest.n_live, latest.n_ref, latest.ks_scaled, latest.ks_bp) == want1)
     } finally q.stop()
