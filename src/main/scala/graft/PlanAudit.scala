@@ -353,7 +353,19 @@ object PlanAudit {
       maxCount = 1),
     Expect("t21_bpe_apply", "graft_bpe_apply",
       "the application must run through the codegen'd kernel expression, " +
-        "not window passes"))
+        "not window passes"),
+    // round-9 additions (d14 incremental dedup, s11 embedding drift)
+    Expect("d14_incremental_dedup", "BroadcastHashJoin",
+      "the incoming batch's band keys must PROBE the bucket relation " +
+        "(broadcast batch side) — the incremental path exists so the " +
+        "archive is never re-joined against itself"),
+    Expect("s11_embedding_drift", "TakeOrderedAndProject", maxCount = 2,
+      why = "the top-5 moved dimensions must be a per-partition heap + " +
+        "merge, never a global sort (tree+detail = 2)"),
+    Expect("s11_embedding_drift", "hashpartitioning(", maxCount = 2,
+      why = "exactly 2 data shuffles (the 64-row dim aggregate and the " +
+        "1-row period counts) — the per-dim sums must map-side-combine " +
+        "below them"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

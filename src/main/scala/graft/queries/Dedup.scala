@@ -889,6 +889,77 @@ object Dedup {
       "against d2's exact >=0.5 Jaccard ground truth, recall/precision " +
       "in integer basis points, composed from the oracled tiers")
 
+  // ---------------------------------------------------------------- d14
+  /** INCREMENTAL near-dup detection — the production shape of dedup at
+    * 100 TB, where the corpus is NEVER re-deduped whole: an INCOMING
+    * batch (here the deterministic `doc_id % 10 = 7` slice, standing in
+    * for "today's crawl") is checked against the EXISTING corpus by
+    * joining only the incoming documents' band keys against the full
+    * band-bucket relation — at scale the existing side is a STORED
+    * index maintained across ingests, so per-batch cost is
+    * |incoming| × bucket occupancy, never corpus × corpus.  Candidates
+    * with ≥1 incoming side verify with the same exact-Jaccard step as
+    * d3, and each verified pair is labeled `new-old` (incoming doc hit
+    * the archive) or `new-new` (two docs inside the batch — the
+    * self-dedup of the batch rides the same join).
+    *
+    * Correctness is compositional: the output is EXACTLY d3's full
+    * verified relation restricted to pairs touching the incoming slice
+    * (spec-pinned against d3's own pipeline; the DuckDB oracle filters
+    * d3's oracle the same way), so the incremental path can never find
+    * or lose a pair the batch tier wouldn't. */
+  val d14IncrementalDedup = NamedQuery(
+    "d14_incremental_dedup",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 7
+      val sh = constructionPersist(s, TextOps.shingles(s, dir)
+        .select(col("doc_id"), col("shingle"))
+        .withColumn("h0", call_function("graft_charfold", col("shingle"))))
+      val bands = signatureBands(signatures(sh))
+      // incoming side only on the left: the equi-join probes the full
+      // bucket relation with just the batch's keys (at 100 TB: a stored
+      // index; incoming bands broadcast if the batch is small)
+      val inc = bands.filter(isNew(col("doc_id")))
+        .select(col("band"), col("bv"), col("doc_id").as("doc_i"), col("n_sh").as("si"))
+      val allB = bands
+        .select(col("band"), col("bv"), col("doc_id").as("doc_o"), col("n_sh").as("so"))
+      val cand = inc.join(allB, Seq("band", "bv"))
+        .filter(col("doc_i") =!= col("doc_o"))
+        // normalize (a < b) as (id, n_sh) structs so sizes travel with ids
+        .withColumn("pa", when(col("doc_i") < col("doc_o"),
+          struct(col("doc_i").as("id"), col("si").as("n")))
+          .otherwise(struct(col("doc_o").as("id"), col("so").as("n"))))
+        .withColumn("pb", when(col("doc_i") < col("doc_o"),
+          struct(col("doc_o").as("id"), col("so").as("n")))
+          .otherwise(struct(col("doc_i").as("id"), col("si").as("n"))))
+        .select(col("pa.id").as("doc_a"), col("pb.id").as("doc_b"),
+          col("pa.n").as("sa"), col("pb.n").as("sb"))
+        .distinct()
+      val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("jaccard",
+          round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          when(isNew(col("doc_a")) && isNew(col("doc_b")), "new-new")
+            .otherwise("new-old").as("pair_type"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""SELECT doc_a, doc_b, jaccard,
+        CASE WHEN doc_a % 10 = 7 AND doc_b % 10 = 7 THEN 'new-new'
+             ELSE 'new-old' END AS pair_type
+      FROM ($d3OracleSql) d3full
+      WHERE doc_a % 10 = 7 OR doc_b % 10 = 7
+      ORDER BY doc_a, doc_b"""),
+    doc = "incremental dedup: the doc_id%10=7 incoming slice checked " +
+      "against the full corpus via a one-sided band-key probe + exact " +
+      "verify; output == d3's relation restricted to pairs touching the " +
+      "batch, labeled new-old/new-new; FULL value oracle composing d3's")
+
   def all: Seq[NamedQuery] = Seq(d3MinHashLsh, d4SimHash, d6DupClusters, d8SpanDedup,
-    d9ClusterCanonical, d13BandingRecall)
+    d9ClusterCanonical, d13BandingRecall, d14IncrementalDedup)
 }

@@ -1240,8 +1240,74 @@ object Similarity {
         "composed from the tiers' own oracled pipelines")
   }
 
+  // ---------------------------------------------------------------- s11
+  /** EMBEDDING-SPACE drift — the multimodal companion of a13's value
+    * drift: when the corpus (or the encoder) shifts, the per-dimension
+    * means of the embedding distribution move, and a deployment wants
+    * to know WHICH dimensions moved most before retraining an index or
+    * an ANN quantizer on stale geometry (a moved dimension invalidates
+    * s4's centroids and s7's codebooks — the indexes s10 re-scores).
+    *
+    * Exact integer arithmetic end to end (the a13 discipline applied to
+    * vectors): each component quantizes to `floor(x·2²⁰)` (a
+    * power-of-two scale — the multiply and floor are EXACT on float-
+    * valued doubles in both engines), periods split by `vec_id % 2`
+    * (standing in for before/after snapshots), and the per-dimension
+    * statistic is the cross-multiplied mean gap `|s1·n0 − s0·n1|` — no
+    * division, no float accumulation, so the whole pipeline replays
+    * bit-for-bit in DuckDB (float SUM order-dependence is exactly what
+    * the quantization avoids).  Top-5 moved dimensions, fully ordered.
+    *
+    * Scale shape: one posexplode → a (dim)-keyed partial-agg (map-side
+    * combines to ≤ 64 rows per task) → one 64-row shuffle; the 1-row
+    * period counts broadcast.  Magnitudes: |q| ≤ 2²³ here, so
+    * s·n ≈ 2⁵² at sf0.1 — int64-safe; past ~10⁹ vectors the sums cast
+    * to decimal(38) (a12's regime note). */
+  val s11EmbeddingDrift = NamedQuery(
+    "s11_embedding_drift",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val x = e.select((col("vec_id") % 2).cast("int").as("period"),
+        posexplode(transform(col("emb"),
+          v => floor(v * lit(1048576.0)).cast("long"))).as(Seq("dim", "q")))
+      val counts = e.agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+      x.groupBy(col("dim"))
+        .agg(sum(when(col("period") === 0, col("q")).otherwise(0L)).as("s0"),
+          sum(when(col("period") === 1, col("q")).otherwise(0L)).as("s1"))
+        .crossJoin(broadcast(counts))
+        .withColumn("shift_scaled", abs(col("s1") * col("n0") - col("s0") * col("n1")))
+        .orderBy(col("shift_scaled").desc, col("dim"))
+        .limit(5)
+        .select(col("dim"), col("n0"), col("n1"), col("s0"), col("s1"),
+          col("shift_scaled"))
+        .orderBy(col("shift_scaled").desc, col("dim"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        x AS (SELECT vec_id % 2 AS period,
+                CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+                CAST(floor(unnest(emb) * 1048576) AS BIGINT) AS q
+              FROM e),
+        n AS (SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                     CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+              FROM e),
+        g AS (SELECT dim,
+                CAST(sum(CASE WHEN period = 0 THEN q ELSE 0 END) AS BIGINT) AS s0,
+                CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS s1
+              FROM x GROUP BY dim)
+      SELECT dim, n0, n1, s0, s1, abs(s1 * n0 - s0 * n1) AS shift_scaled
+      FROM g CROSS JOIN n
+      ORDER BY shift_scaled DESC, dim LIMIT 5"""),
+    doc = "embedding-space drift: per-dimension integer-exact " +
+      "cross-multiplied mean gap between vec_id-parity snapshots " +
+      "(floor(x*2^20) quantization), top-5 moved dimensions; " +
+      "FULL value oracle")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
-      s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall)
+      s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
+      s11EmbeddingDrift)
 }
