@@ -32,10 +32,17 @@ object Bench {
     // ~20%; a high busy% flags a contended artifact without a judge re-run.
     def cpuJiffies(): Option[(Long, Long)] =
       try {
-        val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().trim.split("\\s+").drop(1).map(_.toLong)
-        val idle = cols(3) + (if (cols.length > 4) cols(4) else 0L) // idle + iowait
-        Some((cols.sum - idle, cols.sum))
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          // first 8 fields only (user nice system idle iowait irq softirq
+          // steal): guest/guest_nice are already folded into user/nice by
+          // the kernel, so summing them would double-count guest time on
+          // virtualization hosts — the sysstat/htop convention
+          val cols = src.getLines().next().trim.split("\\s+")
+            .drop(1).take(8).map(_.toLong)
+          val idle = cols(3) + (if (cols.length > 4) cols(4) else 0L) // idle + iowait
+          Some((cols.sum - idle, cols.sum))
+        } finally src.close()
       } catch { case _: Throwable => None }
     val cpuBefore = cpuJiffies()
     val loadBefore = loadAvg()
@@ -85,6 +92,7 @@ object Bench {
         catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}" }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        graft.queries.TextOps.clearBpeCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         t
       }
@@ -115,6 +123,7 @@ object Bench {
       }
       confs.foreach { case (k, _) => spark.conf.unset(k) }
       graft.queries.Dedup.clearDupGraphCache()
+      graft.queries.TextOps.clearBpeCache()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       ts

@@ -201,7 +201,19 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .distinct()
-    // verify candidates with exact shingle Jaccard (candidate-scoped join)
+    verifyExactJaccard(cand, sh).select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** d3's exact-Jaccard VERIFY over a candidate relation
+    * `(doc_a, doc_b, sa, sb)` against a shingle relation
+    * `(doc_id, shingle)`: candidate-scoped intersection join, round-4
+    * jaccard, ≥ 0.5 filter.  THE single definition of the verify step —
+    * shared by [[bandedJaccardPairs]] and the d14 incremental path, so
+    * their spec-pinned equivalence ("the incremental path can never
+    * disagree with d3") is structural, not copy-discipline.  Returns
+    * `(doc_a, doc_b, sa, sb, n_inter, jaccard)`. */
+  private def verifyExactJaccard(cand: org.apache.spark.sql.DataFrame,
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
@@ -210,7 +222,6 @@ object Dedup {
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val d3MinHashLsh = NamedQuery(
@@ -936,14 +947,7 @@ object Dedup {
         .select(col("pa.id").as("doc_a"), col("pb.id").as("doc_b"),
           col("pa.n").as("sa"), col("pb.n").as("sb"))
         .distinct()
-      val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      cand.join(shA, "doc_a").join(shB, Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-        .agg(count(lit(1)).as("n_inter"))
-        .withColumn("jaccard",
-          round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
-        .filter(col("jaccard") >= 0.5)
+      verifyExactJaccard(cand, sh)
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           when(isNew(col("doc_a")) && isNew(col("doc_b")), "new-new")
             .otherwise("new-old").as("pair_type"))

@@ -1259,10 +1259,13 @@ object Similarity {
     * the quantization avoids).  Top-5 moved dimensions, fully ordered.
     *
     * Scale shape: one posexplode → a (dim)-keyed partial-agg (map-side
-    * combines to ≤ 64 rows per task) → one 64-row shuffle; the 1-row
-    * period counts broadcast.  Magnitudes: |q| ≤ 2²³ here, so
-    * s·n ≈ 2⁵² at sf0.1 — int64-safe; past ~10⁹ vectors the sums cast
-    * to decimal(38) (a12's regime note). */
+    * combines to ≤ 64 rows per task) → one 64-row shuffle — counts ride
+    * the SAME aggregate as the sums, PER DIMENSION, so null embeddings
+    * (encoder failures) and ragged arrays contribute to exactly the
+    * dimensions they carry: each dimension's mean gap uses its own
+    * denominators, never a row count the sums didn't see.  Magnitudes:
+    * |q| ≤ 2²³ here, so s·n ≈ 2⁵² at sf0.1 — int64-safe; past ~10⁹
+    * vectors the sums cast to decimal(38) (a12's regime note). */
   val s11EmbeddingDrift = NamedQuery(
     "s11_embedding_drift",
     (s, dir) => {
@@ -1271,13 +1274,11 @@ object Similarity {
       val x = e.select((col("vec_id") % 2).cast("int").as("period"),
         posexplode(transform(col("emb"),
           v => floor(v * lit(1048576.0)).cast("long"))).as(Seq("dim", "q")))
-      val counts = e.agg(
-        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
       x.groupBy(col("dim"))
         .agg(sum(when(col("period") === 0, col("q")).otherwise(0L)).as("s0"),
-          sum(when(col("period") === 1, col("q")).otherwise(0L)).as("s1"))
-        .crossJoin(broadcast(counts))
+          sum(when(col("period") === 1, col("q")).otherwise(0L)).as("s1"),
+          sum(when(col("period") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("period") === 1, 1L).otherwise(0L)).as("n1"))
         .withColumn("shift_scaled", abs(col("s1") * col("n0") - col("s0") * col("n1")))
         .orderBy(col("shift_scaled").desc, col("dim"))
         .limit(5)
@@ -1290,16 +1291,14 @@ object Similarity {
                 CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
                 CAST(floor(unnest(emb) * 1048576) AS BIGINT) AS q
               FROM e),
-        n AS (SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-                     CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-              FROM e),
         g AS (SELECT dim,
                 CAST(sum(CASE WHEN period = 0 THEN q ELSE 0 END) AS BIGINT) AS s0,
-                CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS s1
+                CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
               FROM x GROUP BY dim)
       SELECT dim, n0, n1, s0, s1, abs(s1 * n0 - s0 * n1) AS shift_scaled
-      FROM g CROSS JOIN n
-      ORDER BY shift_scaled DESC, dim LIMIT 5"""),
+      FROM g ORDER BY shift_scaled DESC, dim LIMIT 5"""),
     doc = "embedding-space drift: per-dimension integer-exact " +
       "cross-multiplied mean gap between vec_id-parity snapshots " +
       "(floor(x*2^20) quantization), top-5 moved dimensions; " +

@@ -1550,11 +1550,14 @@ object TextOps {
     * the sample rounds materialize once per session.  Per-query
     * isolation (the gate contract) stays the default; strong session
     * refs are intentional (cleared via [[clearBpeCache]]).  The sample
-    * and round count are compile-time constants, so (session, dir) is
-    * the complete build key. */
+    * and round count are compile-time constants; the ONE conf that
+    * shapes the build — `spark.graft.cut.persist`, baked into every
+    * round's cut leaves — is part of the key (the
+    * `Dedup.clusterLabels` keying discipline: flipping it mid-session
+    * must build the other form, never silently replay the old one). */
   private[queries] val bpeTrainMemo =
     new java.util.concurrent.ConcurrentHashMap[
-      (SparkSession, String), (Seq[DataFrame], DataFrame)]()
+      (SparkSession, String, String), (Seq[DataFrame], DataFrame)]()
 
   /** Drops memoized trainers (blocks reclaimed by the ContextCleaner
     * once the plans are unreachable — the [[Dedup.clearDupGraphCache]]
@@ -1566,9 +1569,10 @@ object TextOps {
     * [[withBpeConstructionConfs]]. */
   private def bpeTrainLoopCached(s: SparkSession,
       dir: String): (Seq[DataFrame], DataFrame) =
-    if (s.conf.getOption("spark.graft.bpe.cache").exists(_.toBoolean))
-      bpeTrainMemo.computeIfAbsent((s, dir), _ => bpeTrainLoop(s, dir))
-    else bpeTrainLoop(s, dir)
+    if (s.conf.getOption("spark.graft.bpe.cache").exists(_.toBoolean)) {
+      val cutForm = s.conf.getOption("spark.graft.cut.persist").getOrElse("rdd")
+      bpeTrainMemo.computeIfAbsent((s, dir, cutForm), _ => bpeTrainLoop(s, dir))
+    } else bpeTrainLoop(s, dir)
 
   val t20BpeTrain = NamedQuery(
     "t20_bpe_train",

@@ -105,6 +105,7 @@ object DedupScalingSweep {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val t = (1 to 2).map { _ =>
         Dedup.clearDupGraphCache()
+        TextOps.clearBpeCache() // a memoized trainer would void the t20 arm
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
