@@ -157,24 +157,29 @@ class LiveNearDupSpec extends SparkSpec {
       s"identical docs should verify at jaccard 1.0: ${pairs.toSeq}")
   }
 
-  test("a runaway bucket fails loudly at maxBucket instead of silently growing") {
+  test("a runaway bucket fails loudly at maxBucket instead of silently growing (both stages)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[LiveNearDup.DocEvent]
-    val q = LiveNearDup.candidates(input.toDS(), maxBucket = 3)
-      .writeStream.format("memory").queryName("lnd_cap")
-      .outputMode(OutputMode.Append).start()
-    try {
-      input.addData((1L to 4L).map(i => doc(i, a)): _*)
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      def messages(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty
-        else Option(t.getMessage).toSeq ++ messages(t.getCause)
-      assert(messages(e).exists(_.contains("exceeded 3 members")),
-        s"expected the loud bucket-cap error, got: ${messages(e)}")
-    } finally q.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for ((name, ds) <- Seq[(String, org.apache.spark.sql.Dataset[_])](
+        "cand" -> { val in = MemoryStream[LiveNearDup.DocEvent]
+          in.addData((1L to 4L).map(i => doc(i, a)): _*)
+          LiveNearDup.candidates(in.toDS(), maxBucket = 3) },
+        "verified" -> { val in = MemoryStream[LiveNearDup.DocEvent]
+          in.addData((1L to 4L).map(i => doc(i, a)): _*)
+          LiveNearDup.verifiedPairs(in.toDS(), maxBucket = 3) })) {
+      val q = ds.writeStream.format("memory").queryName(s"lnd_cap_$name")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        assert(messages(e).exists(_.contains("exceeded 3 members")),
+          s"$name: expected the loud bucket-cap error, got: ${messages(e)}")
+      } finally q.stop()
+    }
   }
 }
