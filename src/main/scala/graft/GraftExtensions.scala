@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BpeApplyMerges(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_band_values"),
+      new ExpressionInfo(classOf[graft.functions.BandValues].getName, "graft_band_values"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BandValues(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_charfold"),
       new ExpressionInfo(classOf[graft.functions.CharFold].getName, "graft_charfold"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -19,37 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val RowsPerBand = NumHashes / Bands
-
-  /** splitmix64 — deterministic pseudo-random constants (public mixing
-    * recipe; same generator as the s2 hyperplanes). */
-  private def mix64(x: Long): Long = {
-    var h = x * 0x9E3779B97F4A7C15L
-    h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
-    h ^= h >>> 27; h *= 0x94D049BB133111EBL
-    h ^ (h >>> 31)
-  }
-
-  /** Universal-hash MinHash family over the mod-prime base hash
-    * ([[graft.functions.CharFoldKernel]]): `h_i = (a_i·h0 + b_i) mod p`
-    * with fixed pseudo-random (a, b) — the textbook Carter–Wegman family.
-    * Every intermediate fits int64 (a, h0 < p ≈ 2^30 ⟹ a·h0 < 2^60), so
-    * the WHOLE pipeline — base fold, 16 min-hashes, band combination —
-    * replays exactly in DuckDB, which promoted d3 from a rows-only check
-    * to a full value oracle (the round-2 xxhash64 form was JVM-only). */
-  private val P = graft.functions.CharFoldKernel.Prime
-  private val hashA: Seq[Long] =
-    (0 until NumHashes).map(i => math.floorMod(mix64(0xA000L + i), P - 1) + 1)
-  private val hashB: Seq[Long] =
-    (0 until NumHashes).map(i => math.floorMod(mix64(0xB000L + i), P))
-  /** Per-band combination coefficients: band value = (Σ c_r·h_r) mod p —
-    * 4 products < 2^60 each, sum < 2^62, int64-safe in both engines. */
-  private val bandC: Seq[Seq[Long]] = (0 until Bands).map { b =>
-    (0 until RowsPerBand).map(r =>
-      math.floorMod(mix64(0xC000L + b * 16 + r), P - 1) + 1)
-  }
+  /** The MinHash/LSH hash family — defined ONCE in
+    * [[graft.functions.MinHashFamily]] (this aggregate pipeline, the
+    * inlined oracle literals, and the native scan-side kernel
+    * `graft_band_values` all read the same derivation): Carter–Wegman
+    * `h_i = (a_i·h0 + b_i) mod p` over the mod-prime base hash, every
+    * intermediate int64-safe, so the WHOLE pipeline — base fold, 16
+    * min-hashes, band combination — replays exactly in DuckDB (which
+    * promoted d3 from a rows-only check to a full value oracle; the
+    * round-2 xxhash64 form was JVM-only). */
+  private val family = graft.functions.MinHashFamily
+  private val NumHashes = family.NumHashes
+  private val Bands = family.Bands
+  private val RowsPerBand = family.RowsPerBand
+  private[queries] def mix64(x: Long): Long = family.mix64(x)
+  private val P = family.P
+  private val hashA: Seq[Long] = family.hashA
+  private val hashB: Seq[Long] = family.hashB
+  private val bandC: Seq[Seq[Long]] = family.bandC
 
   /** MinHash signatures: per doc, 16 universal-family min-hashes of its
     * distinct word-trigram shingles. */
@@ -98,19 +85,15 @@ object Dedup {
   def bandValuesFor(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // tokenization and shingling come from TextOps' single definitions —
     // the live≡batch band parity depends on byte-identical expressions,
-    // so neither is restated here
+    // so neither is restated here.  The banding itself runs through the
+    // native one-pass kernel (graft_band_values): the unrolled Column
+    // form folded the charfold base hash once PER LANE — 16× the
+    // hashing — because Catalyst cannot CSE across distinct lambda
+    // bodies; BandValuesSpec pins kernel ≡ that unrolled form.
     val w = TextOps.tokens(text)
     val shingleArr = TextOps.shingleArrayOf(w)
-    val sigs = (0 until NumHashes).map { i =>
-      array_min(transform(shingleArr,
-        sh => (call_function("graft_charfold", sh) * hashA(i) + hashB(i)) % P))
-    }
-    val bands = array((0 until Bands).map { b =>
-      (0 until RowsPerBand)
-        .map(r => sigs(b * RowsPerBand + r) * bandC(b)(r))
-        .reduce(_ + _) % P
-    }: _*)
-    when(text.isNotNull && text =!= "" && size(w) >= 3, bands)
+    when(text.isNotNull && text =!= "" && size(w) >= 3,
+      call_function("graft_band_values", shingleArr))
       .otherwise(array().cast("array<bigint>"))
   }
 

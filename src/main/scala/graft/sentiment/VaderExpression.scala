@@ -78,6 +78,9 @@ object GraftFunctions {
       "graft_bpe_apply",
       exprs => graft.functions.BpeApplyMerges(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_band_values",
+      exprs => graft.functions.BandValues(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv",
       exprs => graft.functions.KmvDistinct(exprs.head, exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
