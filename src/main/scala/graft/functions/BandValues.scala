@@ -22,7 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the LiveNearDupParitySpec band-key parity vs the batch aggregate
   * path holds transitively). */
 object BandValuesKernel {
-  import MinHashFamily._
+  import MinHashFamily.{Bands, NumHashes, P, RowsPerBand}
+
+  // primitive copies of the family constants: the IndexedSeq forms box
+  // every Long, and this loop runs 16 lookups per shingle on the
+  // per-event streaming path — flat Array[Long] reads keep it unboxed
+  private val hashAArr: Array[Long] = MinHashFamily.hashA.toArray
+  private val hashBArr: Array[Long] = MinHashFamily.hashB.toArray
+  private val bandCFlat: Array[Long] = MinHashFamily.bandC.flatten.toArray
 
   /** Null shingle elements are skipped (as `array_min` skips nulls); an
     * input with no non-null shingle yields all-null band values (what
@@ -39,7 +46,7 @@ object BandValuesKernel {
         val h0 = CharFoldKernel.fold(shingles.getUTF8String(i))
         var j = 0
         while (j < NumHashes) {
-          val h = (h0 * hashA(j) + hashB(j)) % P
+          val h = (h0 * hashAArr(j) + hashBArr(j)) % P
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -52,7 +59,10 @@ object BandValuesKernel {
       while (b < Bands) {
         var s = 0L
         var r = 0
-        while (r < RowsPerBand) { s += mins(b * RowsPerBand + r) * bandC(b)(r); r += 1 }
+        while (r < RowsPerBand) {
+          s += mins(b * RowsPerBand + r) * bandCFlat(b * RowsPerBand + r)
+          r += 1
+        }
         out(b) = s % P
         b += 1
       }

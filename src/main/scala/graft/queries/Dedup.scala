@@ -32,7 +32,7 @@ object Dedup {
   private val NumHashes = family.NumHashes
   private val Bands = family.Bands
   private val RowsPerBand = family.RowsPerBand
-  private[queries] def mix64(x: Long): Long = family.mix64(x)
+  private def mix64(x: Long): Long = family.mix64(x)
   private val P = family.P
   private val hashA: Seq[Long] = family.hashA
   private val hashB: Seq[Long] = family.hashB
@@ -71,17 +71,19 @@ object Dedup {
     signatureBands(signatures(sh))
   }
 
-  /** The SAME band values as pure scalar Column arithmetic over a text
-    * column — no aggregation, so a STREAM can compute them scan-side
+  /** The SAME band values as a scalar expression over a text column —
+    * no aggregation, so a STREAM can compute them scan-side
     * (`stream/LiveNearDup`): distinct word-trigram shingles via array
-    * ops, each min-hash an `array_min` over the transformed shingle
-    * array, bands the same linear combinations.  Provably identical to
+    * ops, then ALL band values in one pass over the shingle array
+    * through the native `graft_band_values` kernel (one base-hash fold
+    * per shingle feeding all 16 min-hash lanes).  Provably identical to
     * the aggregate path ([[bandKeys]]) — min over the same distinct set
-    * — pinned by LiveNearDupParitySpec.  Returns array<bigint> of the
-    * `Bands` band values; null/short texts (< 3 tokens) yield an empty
-    * array (no shingles → no bands, matching the batch filter).
-    * Callers must have registered `graft_charfold`
-    * (GraftFunctions.register). */
+    * — pinned by LiveNearDupParitySpec, and kernel ≡ the unrolled
+    * 16-lane Column form by BandValuesSpec.  Returns array<bigint> of
+    * the `Bands` band values; null/short texts (< 3 tokens) yield an
+    * empty array (no shingles → no bands, matching the batch filter).
+    * Callers must have registered `graft_band_values`
+    * (GraftFunctions.register does). */
   def bandValuesFor(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     // tokenization and shingling come from TextOps' single definitions —
     // the live≡batch band parity depends on byte-identical expressions,

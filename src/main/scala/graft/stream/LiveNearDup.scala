@@ -7,8 +7,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * of the batch dedup tier's banding stage (d3 /
   * `Dedup.bandedJaccardPairs`): as documents arrive, each computes its
   * MinHash band keys SCAN-SIDE (`Dedup.bandValuesFor` — the same
-  * Carter–Wegman family as d3, as pure scalar arithmetic: an
-  * `array_min` per hash over the distinct-shingle array, no
+  * Carter–Wegman family as d3, evaluated by the one-pass native
+  * `graft_band_values` kernel over the distinct-shingle array, no
   * aggregation), and a per-(band, bucket) keyed state emits a candidate
   * pair the moment two documents collide in any band.
   *

@@ -38,13 +38,16 @@ class BandValuesSpec extends SparkSpec {
         "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
           "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
           "element_at(w, i + 2))))").as("sh"))
-    val mismatches = docs
-      .select(call_function("graft_band_values", col("sh")).as("k"),
-        unrolledBands(col("sh")).as("u"))
-      .filter(col("k") =!= col("u"))
-      .count()
-    assert(mismatches == 0L, s"$mismatches documents band differently under the kernel")
-    assert(docs.count() >= 100, "fixture too small to be meaningful")
+    val cached = docs.persist()
+    try {
+      assert(cached.count() >= 100, "fixture too small to be meaningful")
+      val mismatches = cached
+        .select(call_function("graft_band_values", col("sh")).as("k"),
+          unrolledBands(col("sh")).as("u"))
+        .filter(col("k") =!= col("u"))
+        .count()
+      assert(mismatches == 0L, s"$mismatches documents band differently under the kernel")
+    } finally { cached.unpersist(); () }
   }
 
   test("kernel edge cases: single/duplicate/null-element shingle arrays") {
