@@ -161,6 +161,43 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("graft_bpe_apply kernel == plain-Scala greedy reference on 300 seeded random cases") {
+    // Deterministic sweep (seed 42) over adversarial small alphabets:
+    // tokens drawn from {a, b, ab, c, ca} make rule outputs collide with
+    // existing tokens (merge "a"+"b" yields the real token "ab"), which
+    // is exactly where a wrong greedy/cascade rule would diverge.  All
+    // 300 cases evaluate in ONE DataFrame pass.
+    val s = spark
+    import s.implicits._
+    graft.sentiment.GraftFunctions.register(spark)
+    def referenceApply(doc: Seq[String], rules: Seq[(String, String)]): Seq[String] =
+      rules.foldLeft(doc) { case (d, (l, r)) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < d.length) {
+          if (i + 1 < d.length && d(i) == l && d(i + 1) == r) { out += (l + r); i += 2 }
+          else { out += d(i); i += 1 }
+        }
+        out.toList
+      }
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "ab", "c", "ca")
+    val cases = (0 until 300).map { id =>
+      val toks = Seq.fill(rnd.nextInt(21))(alphabet(rnd.nextInt(alphabet.length)))
+      val rules = Seq.fill(rnd.nextInt(5))(
+        (alphabet(rnd.nextInt(alphabet.length)), alphabet(rnd.nextInt(alphabet.length))))
+      (id, toks, rules)
+    }
+    val got = cases.toDF("id", "toks", "ms")
+      .selectExpr("id", "graft_bpe_apply(toks, ms) AS out")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    cases.foreach { case (id, toks, rules) =>
+      val want = referenceApply(toks, rules)
+      assert(got(id) == want,
+        s"case $id: toks=$toks rules=$rules\n kernel=${got(id)}\n ref=$want")
+    }
+  }
+
   test("graft_bpe_apply kernel: greedy alternation, merge-of-merge, rule order, empty rules") {
     val s = spark
     import s.implicits._
