@@ -148,6 +148,34 @@ object Bench {
       else Some(runTier("banded", Seq(
         "spark.graft.dupgraph.cache" -> "true",
         "spark.graft.dedup.pairs" -> "banded")))
+    // t21 apply-only isolation (round-9 verdict #3): the headline t21
+    // number buries a fresh ~2 s t20 train (spark.graft.bpe.cache
+    // defaults off — the gate's per-query isolation).  Run t21 twice
+    // under the cache conf: run 1 pays the train and populates the
+    // session memo (persisted sample-round blocks), run 2 reuses the
+    // trained merge table, so its wall time is the APPLY-ONLY cost of
+    // the one-pass kernel encoder — the number the "apply ≤ 1.5 s"
+    // criterion is about.  Deliberately NOT min-of-N (the runTier
+    // single-pass rationale): a repeat of run 2 would re-read fully
+    // warm corpus pages and flatter the number.
+    val bpeTier: Option[(Double, Double)] =
+      if (tiersOff) None
+      else {
+        spark.conf.set("spark.graft.bpe.cache", "true")
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries("t21_bpe_apply")(spark, sfDir).count(): Unit }
+          catch { case e: Throwable => errors += s"bpe:t21_bpe_apply: ${e.getClass.getSimpleName}" }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val trainPlusApply = one()
+        val applyOnly = one()
+        spark.conf.unset("spark.graft.bpe.cache")
+        graft.queries.TextOps.clearBpeCache()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        Some((trainPlusApply, applyOnly))
+      }
     val loadAfter = loadAvg()
     val cpuBusyPct: Option[Double] = for {
       (b0, t0) <- cpuBefore; (b1, t1) <- cpuJiffies() if t1 > t0
@@ -164,7 +192,13 @@ object Bench {
     }.getOrElse("null")
     val tierJson = tierJsonOf(cacheTier)
     val bandedJson = tierJsonOf(bandedTier)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"dupgraph_exact_tier":$tierJson,"dupgraph_banded_tier":$bandedJson,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    // "dupgraph_cache_tier" is a ONE-ROUND transition alias for
+    // "dupgraph_exact_tier" (renamed in round 9): a cross-round parser
+    // keyed to the old name reads the same value instead of silently
+    // reading nothing.  Drop it in round 11.
+    val bpeTrainPlusApply = bpeTier.map(t => f"${t._1}%.2f").getOrElse("null")
+    val bpeApplyOnly = bpeTier.map(t => f"${t._2}%.2f").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"dupgraph_exact_tier":$tierJson,"dupgraph_cache_tier":$tierJson,"dupgraph_banded_tier":$bandedJson,"bpe_train_plus_apply_s":$bpeTrainPlusApply,"bpe_apply_only_s":$bpeApplyOnly,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     // Compact trailer: the driver's artifact keeps only the LAST 2000 chars
     // of output, and the full JSON line above is ~6 kB, so without this the
     // artifact loses total_s and most per-query numbers (round-7 verdict
@@ -185,7 +219,7 @@ object Bench {
     def prodSubtotal(t: Option[Seq[(String, Double)]]): String = t.map(ts =>
       f"${ts.filterNot(_._1 == "d13_banding_recall").map(_._2).sum}%.2f").getOrElse("null")
     val busyJson = cpuBusyPct.map(p => f"$p%.1f").getOrElse("null")
-    println(f"""{"summary":true,"total_s":$total%.2f,"cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"repeat":$repeat,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cpu_busy_pct":$busyJson,"dupgraph_exact_tier_total_s":$tierTotal,"dupgraph_banded_tier_total_s":$bandedTotal,"dupgraph_exact_c1d6d9_s":${prodSubtotal(cacheTier)},"dupgraph_banded_c1d6d9_s":${prodSubtotal(bandedTier)},"n_errors":${errors.size},"slowest":$slowest}""")
+    println(f"""{"summary":true,"total_s":$total%.2f,"cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"repeat":$repeat,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cpu_busy_pct":$busyJson,"dupgraph_exact_tier_total_s":$tierTotal,"dupgraph_banded_tier_total_s":$bandedTotal,"dupgraph_exact_c1d6d9_s":${prodSubtotal(cacheTier)},"dupgraph_banded_c1d6d9_s":${prodSubtotal(bandedTier)},"bpe_apply_only_s":$bpeApplyOnly,"n_errors":${errors.size},"slowest":$slowest}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.mkString("; ")}")

@@ -24,7 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    candidates force `r = l`), the case both forms resolve to
   *    "every other position from the run start".
   *
-  * O(Σ|doc| · rules) total, zero allocation beyond the output buffers —
+  * O(Σ|doc| · rules) total, ONE working buffer per document (each rule
+  * compacts it in place — a pass only shrinks the array, so writing the
+  * surviving token at index `out ≤ j` never clobbers an unread slot) —
   * vs the declarative form's K full-corpus window passes.  BpeTrainSpec
   * pins kernel ≡ windowed-pass ≡ plain-Scala reference on the planted
   * corpus, and the t21 oracle (which unrolls the declarative form in
@@ -35,7 +37,7 @@ object BpeApplyKernel {
     * unmerged; a null rule side skips that rule. */
   def apply(toks: ArrayData, merges: ArrayData): ArrayData = {
     val n = toks.numElements()
-    var cur = new Array[UTF8String](n)
+    val cur = new Array[UTF8String](n)
     var curLen = n
     var i = 0
     while (i < n) {
@@ -50,21 +52,21 @@ object BpeApplyKernel {
         if (!rule.isNullAt(0) && !rule.isNullAt(1)) {
           val l = rule.getUTF8String(0)
           val r = rule.getUTF8String(1)
-          val next = new Array[UTF8String](curLen)
+          // in-place compaction: out ≤ j throughout, so cur(out) = t
+          // either rewrites the slot just read or an already-consumed one
           var out = 0
           var j = 0
           while (j < curLen) {
             val t = cur(j)
-            if (out > 0 && t != null && next(out - 1) != null &&
-                next(out - 1).equals(l) && t.equals(r)) {
-              next(out - 1) = UTF8String.concat(l, r)
+            if (out > 0 && t != null && cur(out - 1) != null &&
+                cur(out - 1).equals(l) && t.equals(r)) {
+              cur(out - 1) = UTF8String.concat(l, r)
             } else {
-              next(out) = t
+              cur(out) = t
               out += 1
             }
             j += 1
           }
-          cur = next
           curLen = out
         }
       }

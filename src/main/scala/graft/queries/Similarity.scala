@@ -1260,10 +1260,11 @@ object Similarity {
     *
     * Scale shape: one posexplode → a (dim)-keyed partial-agg (map-side
     * combines to ≤ 64 rows per task) → one 64-row shuffle — counts ride
-    * the SAME aggregate as the sums, PER DIMENSION, so null embeddings
-    * (encoder failures) and ragged arrays contribute to exactly the
-    * dimensions they carry: each dimension's mean gap uses its own
-    * denominators, never a row count the sums didn't see.  Magnitudes:
+    * the SAME aggregate as the sums, PER DIMENSION, and count only
+    * non-null components, so null embeddings (encoder failures), ragged
+    * arrays AND null elements inside an array contribute to exactly the
+    * dimensions they carry values for: each dimension's mean gap uses
+    * its own denominators, never a row count the sums didn't see.  Magnitudes:
     * |q| ≤ 2²³ here, so s·n ≈ 2⁵² at sf0.1 — int64-safe; past ~10⁹
     * vectors the sums cast to decimal(38) (a12's regime note). */
   val s11EmbeddingDrift = NamedQuery(
@@ -1274,11 +1275,15 @@ object Similarity {
       val x = e.select((col("vec_id") % 2).cast("int").as("period"),
         posexplode(transform(col("emb"),
           v => floor(v * lit(1048576.0)).cast("long"))).as(Seq("dim", "q")))
+      // the counts test q IS NOT NULL like the sums implicitly do (a null
+      // q contributes nothing to sum(when(period=…, q))): a null ELEMENT
+      // inside a non-null embedding must not inflate a denominator its
+      // sum never saw — the per-dimension-denominator contract
       x.groupBy(col("dim"))
         .agg(sum(when(col("period") === 0, col("q")).otherwise(0L)).as("s0"),
           sum(when(col("period") === 1, col("q")).otherwise(0L)).as("s1"),
-          sum(when(col("period") === 0, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("period") === 1, 1L).otherwise(0L)).as("n1"))
+          sum(when(col("period") === 0 && col("q").isNotNull, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("period") === 1 && col("q").isNotNull, 1L).otherwise(0L)).as("n1"))
         .withColumn("shift_scaled", abs(col("s1") * col("n0") - col("s0") * col("n1")))
         .orderBy(col("shift_scaled").desc, col("dim"))
         .limit(5)
@@ -1294,8 +1299,8 @@ object Similarity {
         g AS (SELECT dim,
                 CAST(sum(CASE WHEN period = 0 THEN q ELSE 0 END) AS BIGINT) AS s0,
                 CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT) AS s1,
-                CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-                CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+                CAST(sum(CASE WHEN period = 0 AND q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN period = 1 AND q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1
               FROM x GROUP BY dim)
       SELECT dim, n0, n1, s0, s1, abs(s1 * n0 - s0 * n1) AS shift_scaled
       FROM g ORDER BY shift_scaled DESC, dim LIMIT 5"""),

@@ -145,8 +145,21 @@ object LiveDrift {
     // it would raise).  The integer clamp stays as the backstop for
     // the edge where fmax's double rounding lands one past the top
     // bin.
+    //
+    // The UPPER bound additionally caps at the largest double strictly
+    // below 2^63: Long.MaxValue is not double-representable, so for
+    // fmax within 2^10 of it `fmax.toDouble` rounds UP to exactly 2^63
+    // and the clamped value would still throw at the ANSI
+    // CAST(floor(cv) AS BIGINT) — re-opening the crash loop the clamp
+    // exists to prevent.  (The lower edge needs no twin: Long.MinValue
+    // IS exactly −2^63 and casts fine, and `fmin.toDouble` can never
+    // round below it.)  For any fmax under ~2^53 the min() is the
+    // identity; near the top it moves the cap by ≤ 2048 ulps — inside
+    // the top bin either way, and the integer backstop re-clamps.
+    val castSafeHi = java.lang.Math.nextDown(Long.MaxValue.toDouble)
     val clamped = when(isnan(col("value")), lit(fmin.toDouble))
-      .otherwise(least(greatest(col("value"), lit(fmin.toDouble)), lit(fmax.toDouble)))
+      .otherwise(least(greatest(col("value"), lit(fmin.toDouble)),
+        lit(math.min(fmax.toDouble, castSafeHi))))
     val binCol = greatest(lit(0), least(lit(bins - 1),
       expr(s"(CAST(floor(cv) AS BIGINT) - ${fmin}L) * $bins DIV (${fmax}L - ${fmin}L + 1)")))
       .cast("int")

@@ -73,4 +73,29 @@ class EmbeddingDriftSpec extends SparkSpec {
     assert(byDim(0) == ((1L, 2L)) && byDim(2) == ((1L, 1L)),
       s"denominators did not follow the carried dimensions: $got")
   }
+
+  test("a null ELEMENT inside a non-null embedding is out of every denominator") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s11-nullelem").toString
+    // period 0: [1.0, NULL, 3.0] — dim 1's n0 must be 0, not 1 (the sum
+    // never saw the element, so the count must not either); period 1: a
+    // full vector so every dim has a non-degenerate other side
+    Seq(
+      (0L, Seq(Some(1.0f), None, Some(3.0f))),
+      (1L, Seq(Some(2.0f), Some(2.0f), Some(9.0f))))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = run(dir)
+    // hand recount on the floor(x·2^20) grid: q = x·1048576 exactly for
+    // these float values
+    def q(x: Double): Long = math.floor(x * 1048576.0).toLong
+    val want = Seq(
+      (0, 1L, 1L, q(1.0), q(2.0)),
+      (1, 0L, 1L, 0L, q(2.0)),
+      (2, 1L, 1L, q(3.0), q(9.0)))
+      .map { case (d, n0, n1, s0, s1) => (d, n0, n1, s0, s1, math.abs(s1 * n0 - s0 * n1)) }
+      .sortBy(t => (-t._6, t._1))
+    assert(got == want, s"\n got=$got\nwant=$want")
+  }
 }
