@@ -86,6 +86,16 @@ object PlanAudit {
         "final top-k may use a window", maxCount = 2),
     Expect("d3_minhash_lsh", "CartesianProduct",
       "LSH candidates come from a banded equi-join", present = false),
+    // round-10: the hot-bucket occupancy guard must be IN the plan — a
+    // per-row assert_true over a whole-partition window count on the
+    // join key (not a broadcast join: a hint inside this cut-below
+    // subplan would submit its future at construction), so a
+    // boilerplate bucket fails loudly instead of expanding k²
+    Expect("d3_minhash_lsh", "banded dedup hot bucket",
+      "the occupancy guard must survive into the physical plan"),
+    Expect("d3_minhash_lsh", "BroadcastNestedLoopJoin",
+      "candidates, guard and verify are all equi-joins or window counts — " +
+        "nothing may nested-loop", present = false),
     Expect("d4_simhash", "CartesianProduct",
       "SimHash candidates come from a banded equi-join", present = false),
     Expect("d5_embedding_neardup", "CollectLimit",

@@ -178,9 +178,51 @@ object Dedup {
     val sh = constructionPersist(s, TextOps.shingles(s, dir)
       .select(col("doc_id"), col("shingle"))
       .withColumn("h0", call_function("graft_charfold", col("shingle"))))
-    // banding: 4 bands of 4 rows; docs colliding in any band are candidates.
-    val bands = signatureBands(signatures(sh))
-    val left  = bands.select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
+    // banding: 4 bands of 4 rows; docs colliding in any band are
+    // candidates.  The band relation feeds both join sides, so it
+    // persists — the signature aggregation ran once per side before.
+    val bands = constructionPersist(s, signatureBands(signatures(sh)))
+    // HOT-BUCKET GUARD — the streaming twin's discipline
+    // (stream/LiveNearDup.scala maxBucket) applied to the batch join:
+    // the self-join below emits k² candidate pairs for a bucket of
+    // occupancy k, and one boilerplate bucket (a disclaimer, a template
+    // page) at 100 TB is an ALGORITHMIC explosion AQE's skew splitting
+    // cannot cap — it rebalances the shuffle, not the pair count.
+    // Rather than silently attempting the expansion, the LEFT join side
+    // carries a per-bucket occupancy column (a whole-partition window
+    // count on the join key — its exchange is the very (band, bv)
+    // layout the join wants anyway) and a per-row assert_true that
+    // fails LOUDLY above `spark.graft.dedup.maxBucket` (default 100000,
+    // the streaming cap), NAMING the offending bucket and its occupancy
+    // so the operator can raise the cap or pre-split the boilerplate
+    // upstream.  Loud-above-cap (never truncate-above-cap) means the
+    // pair relation is COMPLETE whenever the query returns at all —
+    // truncation can never read as "covered".
+    //
+    // Deliberately NOT the CC guard's broadcast-1-row join wiring: this
+    // relation sits BELOW the dedup tier's lineage cuts, and an
+    // explicit broadcast() inside a cut subplan submits its relation
+    // future while the cut RDD is being BUILT — a job at construction,
+    // which this library bans (withLineageCutConfs suppresses only AUTO
+    // broadcasts, not hints).  The window+filter form is pure
+    // exchanges: nothing executes until the first action.  assert_true
+    // is non-foldable and the filter tests its (null) result, so the
+    // guard survives column pruning; empty corpora pass vacuously (no
+    // rows, no asserts); guarding one side suffices because every
+    // bucket appears on both.
+    val maxBucket = s.conf.getOption("spark.graft.dedup.maxBucket")
+      .map(_.toLong).getOrElse(100000L)
+    val wOcc = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bv"))
+    val left = bands
+      .withColumn("occ", count(lit(1)).over(wOcc))
+      .filter(assert_true(col("occ") <= maxBucket,
+        concat(lit("graft: banded dedup hot bucket: band "), col("band"),
+          lit(" bucket "), col("bv"),
+          lit(" has occupancy "), col("occ"),
+          lit(" > spark.graft.dedup.maxBucket=" + maxBucket +
+            " — the k^2 candidate expansion would dominate the join; " +
+            "raise the cap or pre-split the boilerplate bucket"))).isNull)
+      .select(col("band"), col("bv"), col("doc_id").as("doc_a"), col("n_sh").as("sa"))
     val right = bands.select(col("band"), col("bv"), col("doc_id").as("doc_b"), col("n_sh").as("sb"))
     val cand = left.join(right, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
