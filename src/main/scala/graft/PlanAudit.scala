@@ -375,7 +375,14 @@ object PlanAudit {
     Expect("s11_embedding_drift", "hashpartitioning(", maxCount = 2,
       why = "exactly 2 data shuffles (the 64-row dim aggregate and the " +
         "1-row period counts) — the per-dim sums must map-side-combine " +
-        "below them"))
+        "below them"),
+    // round-10 additions (s12 variance drift — s11's plan shape verbatim)
+    Expect("s12_variance_drift", "TakeOrderedAndProject", maxCount = 2,
+      why = "the top-5 spread-shifted dimensions must be a per-partition " +
+        "heap + merge, never a global sort (tree+detail = 2)"),
+    Expect("s12_variance_drift", "hashpartitioning(", maxCount = 2,
+      why = "exactly 2 data shuffles — the per-dim squared sums must " +
+        "map-side-combine below the 64-row dim aggregate"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

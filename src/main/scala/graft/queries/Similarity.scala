@@ -1605,9 +1605,70 @@ object Similarity {
       "(floor(x*2^20) quantization), top-5 moved dimensions; " +
       "FULL value oracle")
 
+  // ---------------------------------------------------------------- s12
+  /** VARIANCE drift — s11's blind spot closed: a dimension whose mean
+    * holds but whose SPREAD doubles also degrades IVF cells and PQ
+    * codebooks (the indexes partition by distance, not by mean), and
+    * s11's first-moment gap cannot see it.  Same integer-grid
+    * technique applied to the SECOND moment: per dimension, the
+    * cross-multiplied E[x²] gap `|ss1·n0 − ss0·n1|` where
+    * `ss = Σ q²` — no division, no float accumulation, full oracle.
+    *
+    * The grid is COARSER than s11's (`floor(x·2¹⁰)`, not 2²⁰): the
+    * statistic squares the quantized value, so magnitudes go q² ≈ 2²⁰
+    * per element, ss ≈ n·2²⁰, and the cross-multiply ss·n ≈ n²·2²⁰ —
+    * int64-exact through ~3M vectors per snapshot (where s11's linear
+    * form reaches ~10⁹).  Past that, promote the sums to decimal(38)
+    * (the a12 regime note); the 2¹⁰ grid itself keeps ~3 decimal
+    * digits of each component, ample for a top-5 ranking whose input
+    * shifts are multiplicative.
+    *
+    * Scale shape and null contract are s11's verbatim: one posexplode,
+    * one (dim)-keyed partial agg combining map-side to ≤ 64 rows per
+    * task, counts test q IS NOT NULL so null embeddings, ragged arrays
+    * and null elements count only toward dimensions they carry values
+    * for. */
+  val s12VarianceDrift = NamedQuery(
+    "s12_variance_drift",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val x = e.select((col("vec_id") % 2).cast("int").as("period"),
+        posexplode(transform(col("emb"),
+          v => floor(v * lit(1024.0)).cast("long"))).as(Seq("dim", "q")))
+      x.groupBy(col("dim"))
+        .agg(sum(when(col("period") === 0, col("q") * col("q")).otherwise(0L)).as("ss0"),
+          sum(when(col("period") === 1, col("q") * col("q")).otherwise(0L)).as("ss1"),
+          sum(when(col("period") === 0 && col("q").isNotNull, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("period") === 1 && col("q").isNotNull, 1L).otherwise(0L)).as("n1"))
+        .withColumn("spread_scaled", abs(col("ss1") * col("n0") - col("ss0") * col("n1")))
+        .orderBy(col("spread_scaled").desc, col("dim"))
+        .limit(5)
+        .select(col("dim"), col("n0"), col("n1"), col("ss0"), col("ss1"),
+          col("spread_scaled"))
+        .orderBy(col("spread_scaled").desc, col("dim"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        x AS (SELECT vec_id % 2 AS period,
+                CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+                CAST(floor(unnest(emb) * 1024) AS BIGINT) AS q
+              FROM e),
+        g AS (SELECT dim,
+                CAST(sum(CASE WHEN period = 0 THEN q * q ELSE 0 END) AS BIGINT) AS ss0,
+                CAST(sum(CASE WHEN period = 1 THEN q * q ELSE 0 END) AS BIGINT) AS ss1,
+                CAST(sum(CASE WHEN period = 0 AND q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                CAST(sum(CASE WHEN period = 1 AND q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1
+              FROM x GROUP BY dim)
+      SELECT dim, n0, n1, ss0, ss1, abs(ss1 * n0 - ss0 * n1) AS spread_scaled
+      FROM g ORDER BY spread_scaled DESC, dim LIMIT 5"""),
+    doc = "embedding variance drift: per-dimension integer-exact " +
+      "cross-multiplied second-moment gap between vec_id-parity " +
+      "snapshots (floor(x*2^10) grid — squares stay int64), top-5 " +
+      "spread-shifted dimensions; FULL value oracle")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
-      s11EmbeddingDrift, d15EmbedRecall)
+      s11EmbeddingDrift, s12VarianceDrift, d15EmbedRecall)
 }

@@ -74,6 +74,62 @@ class EmbeddingDriftSpec extends SparkSpec {
       s"denominators did not follow the carried dimensions: $got")
   }
 
+  /** Independent s12 recount: floor(x·2¹⁰) grid, squared, per-dim counts. */
+  private def recountVar(e: Seq[(Long, Option[Array[Double]])]): Seq[(Int, Long, Long, Long, Long, Long)] = {
+    val dims = e.flatMap(_._2.map(_.length)).foldLeft(0)(math.max)
+    val s0 = new Array[Long](dims); val s1 = new Array[Long](dims)
+    val c0 = new Array[Long](dims); val c1 = new Array[Long](dims)
+    e.foreach {
+      case (id, Some(v)) =>
+        val (s, c) = if (id % 2 == 0) (s0, c0) else (s1, c1)
+        var d = 0
+        while (d < v.length) {
+          val q = math.floor(v(d) * 1024.0).toLong
+          s(d) += q * q; c(d) += 1; d += 1
+        }
+      case _ => ()
+    }
+    (0 until dims)
+      .map(d => (d, c0(d), c1(d), s0(d), s1(d), math.abs(s1(d) * c0(d) - s0(d) * c1(d))))
+      .sortBy(t => (-t._6, t._1)).take(5)
+  }
+
+  test("s12 top-5 spread-shifted dimensions match a plain-Scala integer recount") {
+    val dir = sf()
+    val e = graft.tables.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getSeq[Float](1)).map(_.map(_.toDouble).toArray)))
+      .toSeq
+    val got = Similarity.s12VarianceDrift.fn(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == recountVar(e), s"\n got=$got\nwant=${recountVar(e)}")
+  }
+
+  test("s12 sees a pure spread shift that s11's mean gap cannot") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s12-spread").toString
+    // dim 0: period 0 = {-1, 1}, period 1 = {-2, 2} — means both exactly 0
+    // (s11 gap 0 on the 2^20 grid: floor(-1·2^20) = -2^20 exactly, etc.),
+    // second moment quadruples; dim 1 constant everywhere.
+    Seq(
+      (0L, Seq(-1.0f, 5.0f)), (2L, Seq(1.0f, 5.0f)),
+      (1L, Seq(-2.0f, 5.0f)), (3L, Seq(2.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val s11 = Similarity.s11EmbeddingDrift.fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(5)).toMap
+    val s12 = Similarity.s12VarianceDrift.fn(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(5)).toMap
+    assert(s11(0) == 0L, s"mean gap should be exactly 0 on dim 0: $s11")
+    // ss0 = 2·1024², ss1 = 2·2048², gap = |ss1·2 − ss0·2| = 4·(2048²−1024²)
+    assert(s12(0) == 4L * (2048L * 2048L - 1024L * 1024L),
+      s"spread gap wrong on dim 0: $s12")
+    assert(s12(1) == 0L, s"constant dim must show zero spread gap: $s12")
+  }
+
   test("a null ELEMENT inside a non-null embedding is out of every denominator") {
     val s = spark
     import s.implicits._
