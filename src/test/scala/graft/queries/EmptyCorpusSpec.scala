@@ -67,7 +67,7 @@ class EmptyCorpusSpec extends SparkSpec {
     val globalAgg = Set("a1_metrics", "a2_emoji_mood", "q21_funnel",
       "t7_rolling_fingerprint", "t9_distinctive_terms", "d1_dedup_exact",
       "d2_ngram_jaccard", "c1_corpus_curation", "t13_vocab_oov",
-      "d13_banding_recall")
+      "d13_banding_recall", "d15_embed_recall")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = try fn(spark, emptyDir).count() catch {
         case e: Throwable =>
