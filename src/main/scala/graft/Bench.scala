@@ -176,6 +176,25 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         Some((trainPlusApply, applyOnly))
       }
+    // Embedding pair-source tier: d7 re-run under
+    // spark.graft.embed.pairs=bucketed — the d15-audited cell-scoped
+    // scale path.  On THIS corpus the bucketed relation is lossy (d15:
+    // recall_bp 6750 at sf0.1) so the headline d7 stays on the exact
+    // default; this number prices the opt-in path a clustered-corpus
+    // deployment would flip to (SCALING.md carries its exponent curve).
+    val embedTier: Option[Double] =
+      if (tiersOff) None
+      else {
+        spark.conf.set("spark.graft.embed.pairs", "bucketed")
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries("d7_embedding_clusters")(spark, sfDir).count(): Unit }
+        catch { case e: Throwable => errors += s"embed:d7: ${e.getClass.getSimpleName}" }
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.conf.unset("spark.graft.embed.pairs")
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        Some(t)
+      }
     val loadAfter = loadAvg()
     val cpuBusyPct: Option[Double] = for {
       (b0, t0) <- cpuBefore; (b1, t1) <- cpuJiffies() if t1 > t0
@@ -198,7 +217,8 @@ object Bench {
     // reading nothing.  Drop it in round 11.
     val bpeTrainPlusApply = bpeTier.map(t => f"${t._1}%.2f").getOrElse("null")
     val bpeApplyOnly = bpeTier.map(t => f"${t._2}%.2f").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"dupgraph_exact_tier":$tierJson,"dupgraph_cache_tier":$tierJson,"dupgraph_banded_tier":$bandedJson,"bpe_train_plus_apply_s":$bpeTrainPlusApply,"bpe_apply_only_s":$bpeApplyOnly,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    val d7Bucketed = embedTier.map(t => f"$t%.2f").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"dupgraph_exact_tier":$tierJson,"dupgraph_cache_tier":$tierJson,"dupgraph_banded_tier":$bandedJson,"bpe_train_plus_apply_s":$bpeTrainPlusApply,"bpe_apply_only_s":$bpeApplyOnly,"d7_bucketed_s":$d7Bucketed,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     // Compact trailer: the driver's artifact keeps only the LAST 2000 chars
     // of output, and the full JSON line above is ~6 kB, so without this the
     // artifact loses total_s and most per-query numbers (round-7 verdict
@@ -219,7 +239,7 @@ object Bench {
     def prodSubtotal(t: Option[Seq[(String, Double)]]): String = t.map(ts =>
       f"${ts.filterNot(_._1 == "d13_banding_recall").map(_._2).sum}%.2f").getOrElse("null")
     val busyJson = cpuBusyPct.map(p => f"$p%.1f").getOrElse("null")
-    println(f"""{"summary":true,"total_s":$total%.2f,"cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"repeat":$repeat,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cpu_busy_pct":$busyJson,"dupgraph_exact_tier_total_s":$tierTotal,"dupgraph_banded_tier_total_s":$bandedTotal,"dupgraph_exact_c1d6d9_s":${prodSubtotal(cacheTier)},"dupgraph_banded_c1d6d9_s":${prodSubtotal(bandedTier)},"bpe_apply_only_s":$bpeApplyOnly,"n_errors":${errors.size},"slowest":$slowest}""")
+    println(f"""{"summary":true,"total_s":$total%.2f,"cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"repeat":$repeat,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f,"cpu_busy_pct":$busyJson,"dupgraph_exact_tier_total_s":$tierTotal,"dupgraph_banded_tier_total_s":$bandedTotal,"dupgraph_exact_c1d6d9_s":${prodSubtotal(cacheTier)},"dupgraph_banded_c1d6d9_s":${prodSubtotal(bandedTier)},"bpe_apply_only_s":$bpeApplyOnly,"d7_bucketed_s":$d7Bucketed,"n_errors":${errors.size},"slowest":$slowest}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILED: ${errors.size} queries errored: ${errors.mkString("; ")}")

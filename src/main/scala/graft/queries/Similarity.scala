@@ -1666,9 +1666,145 @@ object Similarity {
       "snapshots (floor(x*2^10) grid — squares stay int64), top-5 " +
       "spread-shifted dimensions; FULL value oracle")
 
+  // ---------------------------------------------------------------- s13
+  /** IVF index STALENESS audit — d14's "stored index" story told for the
+    * ANN side, and the maintenance operator behind s10's recall scores:
+    * a production IVF index is trained once on the archive and then
+    * serves a stream of new data; it goes stale two ways — occupancy
+    * drifts (new data crowds into cells the index sized for less) and
+    * geometry drifts (new vectors sit FARTHER from their nearest
+    * centroid, inflating every probe's candidate error).  This query
+    * measures both, per cell: centroids train on the ARCHIVE ONLY
+    * (vec_id % 10 ≠ 7 — d14's slice convention; the s4 recipe, one
+    * integer k-means step, cells labeled by their seed's vec_id), both
+    * sides assign one-sided against the trained centroids (at 100 TB
+    * the archive's assignment is the STORED index — only the incoming
+    * slice pays a fresh argmin), and the per-cell report carries the
+    * cross-multiplied occupancy shift `n_inc·t_arch − n_arch·t_inc`
+    * and mean-distance shift `d_inc·n_arch − d_arch·n_inc` (positive =
+    * incoming sits farther), both exact int64 — no division, no
+    * floats, FULL value oracle.
+    *
+    * Magnitudes: per-vector integer distance ≲ 2²⁴ on this grid, summed
+    * ≲ 2³⁵ at sf0.1, cross-multiplied ≲ 2⁴⁶ — int64-safe with orders of
+    * margin; a 10⁹-vector deployment promotes the cross-products to
+    * decimal(38) (the a12 regime note).  Scale shape: seeds and
+    * centroids broadcast; ONE map-side argmin aggregate per assignment
+    * (s4's shape); the report is a k-row aggregate joined to a 1-row
+    * total by the d13 constant-side broadcast. */
+  val s13IndexStaleness = NamedQuery(
+    "s13_index_staleness",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val isNew = (c: Column) => c % 10 === 7
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+        .withColumn("vv", dot(col("qv"), col("qv")))
+        .select(col("vec_id"), col("qv"), col("vv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val archive = e.filter(!isNew(col("vec_id")))
+      // 10 archive seeds: ids 0..10 minus the incoming id 7; cells keep
+      // their seed's vec_id as the label (no renumbering to replay)
+      val seeds = archive.filter(col("vec_id") <= IvfLists)
+        .select(col("vec_id").cast("int").as("list_id"),
+          col("qv").as("cent"), col("vv").as("cc"))
+      def nearest(points: DataFrame, cents: DataFrame): DataFrame =
+        points.crossJoin(broadcast(cents))
+          .withColumn("d", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("list_id"), col("d")),
+            struct(col("d"), col("list_id"))).as("best"),
+            first(col("qv")).as("qv"))
+          .select(col("vec_id"), col("best.list_id").as("list_id"),
+            col("best.d").as("dist"), col("qv"))
+      val a0 = nearest(archive, seeds)
+      val centroids = a0
+        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("list_id"),
+          transform(col("pc"), x => x.getField("c")).as("cent"))
+        .withColumn("cc", dot(col("cent"), col("cent")))
+      val m = nearest(e, centroids)
+      val per = m.groupBy(col("list_id"))
+        .agg(
+          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
+          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
+          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("d_arch"),
+          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("d_inc"))
+      val tot = per.agg(sum(col("n_arch")).as("t_arch"), sum(col("n_inc")).as("t_inc"))
+      per.crossJoin(broadcast(tot))
+        .select(col("list_id"), col("n_arch"), col("n_inc"),
+          col("d_arch"), col("d_inc"),
+          (col("n_inc") * col("t_arch") - col("n_arch") * col("t_inc")).as("occ_shift_x"),
+          (col("d_inc") * col("n_arch") - col("d_arch") * col("n_inc")).as("dist_shift_x"))
+        .orderBy(col("list_id"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      qz AS (
+        SELECT vec_id, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
+        FROM e),
+      qz2 AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS vv FROM qz),
+      arch AS (SELECT * FROM qz2 WHERE vec_id % 10 <> 7),
+      seeds AS (
+        SELECT CAST(vec_id AS INT) AS list_id, qv AS cent, vv AS cc
+        FROM arch WHERE vec_id <= $IvfLists),
+      d0 AS (
+        SELECT v.vec_id, s.list_id,
+               v.vv - 2 * list_dot_product(v.qv, s.cent) + s.cc AS dist
+        FROM arch v, seeds s),
+      a0 AS (
+        SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d0) r WHERE rn = 1),
+      cdim AS (
+        SELECT a0.list_id, i, floor(sum(qv[i]) / count(*)) AS c
+        FROM a0 JOIN qz2 USING (vec_id), range(1, 65) t(i)
+        GROUP BY a0.list_id, i),
+      cent1 AS (
+        SELECT list_id, list(c ORDER BY i) AS cent FROM cdim GROUP BY list_id),
+      cent2 AS (
+        SELECT list_id, cent, list_dot_product(cent, cent) AS cc FROM cent1),
+      d1 AS (
+        SELECT v.vec_id, c.list_id,
+               v.vv - 2 * list_dot_product(v.qv, c.cent) + c.cc AS dist
+        FROM qz2 v, cent2 c),
+      m AS (
+        SELECT vec_id, list_id, dist FROM (
+          SELECT vec_id, list_id, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d1) r WHERE rn = 1),
+      per AS (
+        SELECT list_id,
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_arch,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_inc,
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS d_arch,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS d_inc
+        FROM m GROUP BY list_id),
+      tot AS (
+        SELECT CAST(sum(n_arch) AS BIGINT) AS t_arch,
+               CAST(sum(n_inc) AS BIGINT) AS t_inc FROM per)
+      SELECT list_id, n_arch, n_inc, d_arch, d_inc,
+        n_inc * t_arch - n_arch * t_inc AS occ_shift_x,
+        d_inc * n_arch - d_arch * n_inc AS dist_shift_x
+      FROM per, tot ORDER BY list_id"""),
+    doc = "IVF index staleness audit: centroids train on the archive " +
+      "(vec_id%10<>7) only, both sides assign one-sided, per-cell " +
+      "cross-multiplied occupancy and mean-distance shifts in exact " +
+      "int64 — the maintenance signal behind s10's recall scores; " +
+      "FULL value oracle")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
-      s11EmbeddingDrift, s12VarianceDrift, d15EmbedRecall)
+      s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall)
 }
