@@ -382,7 +382,26 @@ object PlanAudit {
         "heap + merge, never a global sort (tree+detail = 2)"),
     Expect("s12_variance_drift", "hashpartitioning(", maxCount = 2,
       why = "exactly 2 data shuffles — the per-dim squared sums must " +
-        "map-side-combine below the 64-row dim aggregate"))
+        "map-side-combine below the 64-row dim aggregate"),
+    // round-11 additions (s13 index staleness — gates for the round-10 query)
+    Expect("s13_index_staleness", "BroadcastNestedLoopJoin",
+      "seed/centroid assignment and the 1-row total must BROADCAST to " +
+        "the corpus (the d11/s1 constant-side pattern) — the corpus is " +
+        "scanned, never shuffled, for each assignment pass", maxCount = 10),
+    Expect("s13_index_staleness", "SortMergeJoin", present = false,
+      why = "every join side here is either the broadcast centroid set " +
+        "or the 1-row total — an SMJ means the corpus got shuffled on a " +
+        "join key"),
+    Expect("s13_index_staleness", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan must prune to (vec_id, embedding) and is read " +
+        "ONCE into the shared persisted relation both assignment passes " +
+        "and both k-means passes reuse", maxCount = 1),
+    Expect("s13_index_staleness", "hashpartitioning(", maxCount = 10,
+      why = "bounded shuffle budget: two per-vector argmin aggregates " +
+        "(vec_id), the two-stage centroid update (list_id,pos → list_id) " +
+        "and the per-cell report (list_id) — 5 logical data shuffles, " +
+        "rendered ≤ 2x by the InMemoryRelation tree+detail duplication; " +
+        "an 11th occurrence means a new shuffle leaked in"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)
