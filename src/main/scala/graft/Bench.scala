@@ -93,6 +93,7 @@ object Bench {
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         graft.queries.TextOps.clearBpeCache()
+        graft.queries.Similarity.clearEmbedCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         t
       }
@@ -157,24 +158,36 @@ object Bench {
     // the one-pass kernel encoder — the number the "apply ≤ 1.5 s"
     // criterion is about.  Deliberately NOT min-of-N (the runTier
     // single-pass rationale): a repeat of run 2 would re-read fully
-    // warm corpus pages and flatter the number.
+    // warm corpus pages and flatter the number.  Caveat the criterion
+    // inherits anyway: run 2 executes in the same JVM right after run 1,
+    // so OS page cache and JIT warmup from the train run partially warm
+    // it — apply-only is a warm-process figure by design (it prices the
+    // kernel's compute, not cold-start I/O), and it must be read off an
+    // IDLE box like every other number here (the load fields flag a
+    // dirty run).  A run that THROWS yields None, and either failure
+    // nulls BOTH tier fields — a fast failure must never read as a fast
+    // apply.
     val bpeTier: Option[(Double, Double)] =
       if (tiersOff) None
       else {
         spark.conf.set("spark.graft.bpe.cache", "true")
-        def one(): Double = {
+        def one(): Option[Double] = {
           val t0 = System.nanoTime()
-          try { SparkEntry.queries("t21_bpe_apply")(spark, sfDir).count(): Unit }
-          catch { case e: Throwable => errors += s"bpe:t21_bpe_apply: ${e.getClass.getSimpleName}" }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            SparkEntry.queries("t21_bpe_apply")(spark, sfDir).count(): Unit
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            errors += s"bpe:t21_bpe_apply: ${e.getClass.getSimpleName}"
+            None
+          }
         }
         val trainPlusApply = one()
-        val applyOnly = one()
+        val applyOnly = trainPlusApply.flatMap(_ => one())
         spark.conf.unset("spark.graft.bpe.cache")
         graft.queries.TextOps.clearBpeCache()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        Some((trainPlusApply, applyOnly))
+        trainPlusApply.zip(applyOnly)
       }
     // Embedding pair-source tier: d7 re-run under
     // spark.graft.embed.pairs=bucketed — the d15-audited cell-scoped
@@ -191,6 +204,7 @@ object Bench {
         catch { case e: Throwable => errors += s"embed:d7: ${e.getClass.getSimpleName}" }
         val t = (System.nanoTime() - t0) / 1e9
         spark.conf.unset("spark.graft.embed.pairs")
+        graft.queries.Similarity.clearEmbedCache()
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         Some(t)
@@ -211,14 +225,10 @@ object Bench {
     }.getOrElse("null")
     val tierJson = tierJsonOf(cacheTier)
     val bandedJson = tierJsonOf(bandedTier)
-    // "dupgraph_cache_tier" is a ONE-ROUND transition alias for
-    // "dupgraph_exact_tier" (renamed in round 9): a cross-round parser
-    // keyed to the old name reads the same value instead of silently
-    // reading nothing.  Drop it in round 11.
     val bpeTrainPlusApply = bpeTier.map(t => f"${t._1}%.2f").getOrElse("null")
     val bpeApplyOnly = bpeTier.map(t => f"${t._2}%.2f").getOrElse("null")
     val d7Bucketed = embedTier.map(t => f"$t%.2f").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"dupgraph_exact_tier":$tierJson,"dupgraph_cache_tier":$tierJson,"dupgraph_banded_tier":$bandedJson,"bpe_train_plus_apply_s":$bpeTrainPlusApply,"bpe_apply_only_s":$bpeApplyOnly,"d7_bucketed_s":$d7Bucketed,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"queries_runs":$qruns,"dupgraph_exact_tier":$tierJson,"dupgraph_banded_tier":$bandedJson,"bpe_train_plus_apply_s":$bpeTrainPlusApply,"bpe_apply_only_s":$bpeApplyOnly,"d7_bucketed_s":$d7Bucketed,"errors":$errs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"sf":"$sfDir"}""")
     // Compact trailer: the driver's artifact keeps only the LAST 2000 chars
     // of output, and the full JSON line above is ~6 kB, so without this the
     // artifact loses total_s and most per-query numbers (round-7 verdict

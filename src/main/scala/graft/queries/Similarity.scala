@@ -33,6 +33,36 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Persisted intermediates registered by the embedding pair/audit
+    * builders (the bucketed quantized corpus, d15's two pair relations,
+    * s13's shared quantized relation).  These live inside LAZY returned
+    * plans, so the builder cannot unpersist after "the" action — the
+    * caller owns the action.  Instead every persist routes through here
+    * and [[clearEmbedCache]] reclaims them (unpersist drops the
+    * CacheManager entry; blocking=false so an in-flight reader finishes
+    * from lineage) — Bench's per-query `catalog.clearCache()` already
+    * covered its own runs; this closes the leak for test suites and
+    * long-lived services that invoke these builders repeatedly
+    * (round-10 ADVICE). */
+  private val embedPersists =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  private def trackedPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    embedPersists.add(p)
+    p
+  }
+
+  /** Unpersists every intermediate registered by [[trackedPersist]]. */
+  def clearEmbedCache(): Unit = {
+    val it = embedPersists.iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false)
+      catch { case _: Throwable => () } // a stopped session has nothing to drop
+      it.remove()
+    }
+  }
+
   // ---------------------------------------------------------------- s1
   val s1AnnBruteForce = NamedQuery(
     "s1_ann_bruteforce",
@@ -891,11 +921,10 @@ object Similarity {
     // persist MEMORY_AND_DISK (must spill, not OOM — the d3-shingles
     // rule).  The persisted subtree is scan+transform only (no joins),
     // so no broadcast ever hides inside a cached entry.
-    val e = corpus.toDF("vec_id", "emb", "nrm")
+    val e = trackedPersist(corpus.toDF("vec_id", "emb", "nrm")
       .withColumn("qv", transform(col("emb"),
         x => floor(x * QuantScale)).cast("array<double>"))
-      .withColumn("vv", dot(col("qv"), col("qv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("vv", dot(col("qv"), col("qv"))))
     val seeds = e.filter(col("vec_id") % seedStride === 0 &&
         col("vec_id") < cells * seedStride)
       .select((col("vec_id") / seedStride).cast("int").as("list_id"),
@@ -1029,10 +1058,8 @@ object Similarity {
     (s, dir) => {
       // both relations feed two consumers (overlap join + count): persist
       // or the full pipelines execute twice (the d13 rationale)
-      val exact = embedPairs(s, dir, sourceOverride = Some("exact"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bucketed = embedPairs(s, dir, sourceOverride = Some("bucketed"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = trackedPersist(embedPairs(s, dir, sourceOverride = Some("exact")))
+      val bucketed = trackedPersist(embedPairs(s, dir, sourceOverride = Some("bucketed")))
       val hits = bucketed.join(exact, Seq("doc_a", "doc_b"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nb = bucketed.agg(count(lit(1)).as("n_bucketed"))
@@ -1697,13 +1724,12 @@ object Similarity {
     (s, dir) => {
       graft.sentiment.GraftFunctions.register(s)
       val isNew = (c: Column) => c % 10 === 7
-      val e = Tables.embeddings(s, dir)
+      val e = trackedPersist(Tables.embeddings(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
         .withColumn("qv", transform(col("emb"),
           x => floor(x * QuantScale)).cast("array<double>"))
         .withColumn("vv", dot(col("qv"), col("qv")))
-        .select(col("vec_id"), col("qv"), col("vv"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("vec_id"), col("qv"), col("vv")))
       val archive = e.filter(!isNew(col("vec_id")))
       // 10 archive seeds: ids 0..10 minus the incoming id 7; cells keep
       // their seed's vec_id as the label (no renumbering to replay)

@@ -65,12 +65,18 @@ object LiveFunnel {
           var sawAny = false
           batch.foreach { e =>
             sawAny = true
-            val t = micros(e.ts)
-            e.event_type match {
-              case "view"     => tv = earliest(tv, t)
-              case "click"    => tc = earliest(tc, t)
-              case "purchase" => tp = earliest(tp, t)
-              case _          => () // non-stage events only establish the user
+            // A null event time still establishes the user (q21's n_users
+            // counts stage-less users) but folds no stage min — matching
+            // batch q21's min(when(...)), where a null ts silently drops
+            // out of the conditional min instead of NPE-ing the query.
+            if (e.ts != null) {
+              val t = micros(e.ts)
+              e.event_type match {
+                case "view"     => tv = earliest(tv, t)
+                case "click"    => tc = earliest(tc, t)
+                case "purchase" => tp = earliest(tp, t)
+                case _          => () // non-stage events only establish the user
+              }
             }
           }
           val changed = prev.isEmpty && sawAny ||

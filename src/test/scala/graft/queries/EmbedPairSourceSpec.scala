@@ -21,7 +21,16 @@ import org.apache.spark.sql.functions.col
   *    comparison count grows at ~n^1.85 (D5ScalingSpec) — the
   *    SCALING.md curve.
   */
-class EmbedPairSourceSpec extends SparkSpec {
+class EmbedPairSourceSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // builders in this suite register persisted intermediates via
+  // Similarity.trackedPersist — reclaim them so a full-suite run over a
+  // shared session doesn't accumulate cache entries (round-10 ADVICE)
+  override def afterAll(): Unit = {
+    Similarity.clearEmbedCache()
+    super.afterAll()
+  }
+
 
   private def corpus(n: Long) = {
     import spark.implicits._

@@ -6,7 +6,16 @@ import graft.SparkSpec
   * implementation (the SemDedupRecountSpec discipline: Spark, DuckDB
   * oracle, and this replay must all agree), plus conservation and a
   * planted geometry shift the statistic exists to catch. */
-class IndexStalenessSpec extends SparkSpec {
+class IndexStalenessSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // builders in this suite register persisted intermediates via
+  // Similarity.trackedPersist — reclaim them so a full-suite run over a
+  // shared session doesn't accumulate cache entries (round-10 ADVICE)
+  override def afterAll(): Unit = {
+    Similarity.clearEmbedCache()
+    super.afterAll()
+  }
+
 
   /** Full plain-Scala replay of the s13 pipeline over raw embeddings. */
   private def replay(e: Seq[(Long, Array[Double])]): Seq[(Int, Long, Long, Long, Long, Long, Long)] = {

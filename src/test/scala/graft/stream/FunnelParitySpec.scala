@@ -96,10 +96,14 @@ class FunnelParitySpec extends SparkSpec {
         .outputMode(OutputMode.Append).start()
     }
     // run 1: user 7 views then clicks (out of order across files), user 8
-    // only errors (must still be established for n_users)
+    // only errors (must still be established for n_users), user 9 has a
+    // NULL event time — batch q21's min(when(...)) drops it from the
+    // stage mins but still counts the user, and the live fold must match
+    // instead of NPE-ing the query (round-10 ADVICE)
     d.writeBatch("b1.json", Seq(
       """{"user_id": 7, "ts": "2024-01-01 12:05:00", "event_type": "click"}""",
-      """{"user_id": 8, "ts": "2024-01-01 12:00:00", "event_type": "error"}"""))
+      """{"user_id": 8, "ts": "2024-01-01 12:00:00", "event_type": "error"}""",
+      """{"user_id": 9, "ts": null, "event_type": "view"}"""))
     val q1 = start(); q1.processAllAvailable(); q1.stop()
     d.writeBatch("b2.json", Seq(
       """{"user_id": 7, "ts": "2024-01-01 12:00:00", "event_type": "view"}"""))
@@ -114,8 +118,8 @@ class FunnelParitySpec extends SparkSpec {
       .schema("user_id LONG, rev LONG, t_view LONG, t_click LONG, t_purchase LONG")
       .json(d.out)
     val summary = LiveFunnel.summaryOf(updates).collect().head
-    assert(summary.getLong(0) == 2L, s"n_users: $summary")        // users 7 and 8
-    assert(summary.getLong(1) == 1L, s"n_view: $summary")
+    assert(summary.getLong(0) == 3L, s"n_users: $summary")        // users 7, 8 and 9
+    assert(summary.getLong(1) == 1L, s"n_view: $summary")         // 9's null-ts view folds no min
     assert(summary.getLong(2) == 1L, s"n_view_click: $summary")
     assert(summary.getLong(3) == 1L, s"n_full_funnel: $summary")
     // rev ordering: user 7's record advanced once per change, across restarts
