@@ -171,13 +171,19 @@ object Dedup {
     * drop (borderline pairs missing from every band) — which is
     * precisely what the d13 audit measures before a deployment flips
     * the tier over. */
-  def bandedJaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  def bandedJaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+      sh0: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
     graft.sentiment.GraftFunctions.register(s)
     // MEMORY_AND_DISK, never MEMORY_ONLY: exploded shingles are ~10× the
     // corpus (see jaccardPairsPrefixFiltered) — they must spill, not OOM.
-    val sh = constructionPersist(s, TextOps.shingles(s, dir)
-      .select(col("doc_id"), col("shingle"))
-      .withColumn("h0", call_function("graft_charfold", col("shingle"))))
+    // A caller-supplied `sh0` (already persisted WITH the h0 charfold
+    // column — d13's audit-shared relation) is read as-is, so the audit
+    // shingles AND hashes the corpus ONCE for both sides; extra columns
+    // (`source`) prune at the in-memory scan.
+    val sh = sh0.map(_.select(col("doc_id"), col("shingle"), col("h0")))
+      .getOrElse(constructionPersist(s, TextOps.shingles(s, dir)
+        .select(col("doc_id"), col("shingle"))
+        .withColumn("h0", call_function("graft_charfold", col("shingle")))))
     // banding: 4 bands of 4 rows; docs colliding in any band are
     // candidates.  The band relation feeds both join sides, so it
     // persists — the signature aggregation ran once per side before.
@@ -895,12 +901,28 @@ object Dedup {
       // side is PINNED to the exact source: under
       // spark.graft.dedup.pairs=banded the audit must still measure the
       // banded tier against the exact relation, not against itself.
-      val exact0 = dupPairs(s, dir, sourceOverride = Some("exact"))
+      //
+      // The two sides SHARE one persisted shingle relation (round-10
+      // verdict #6): the exploded word-trigram shingles are the dominant
+      // shared cost (each side used to tokenize + explode the corpus from
+      // scratch), and sharing changes no output — both sides read the
+      // identical relation they each built before.  Under the dupgraph
+      // cache the exact side instead comes from the session memo (already
+      // materialized once for c1/d6/d9), so only the banded side shingles.
+      graft.sentiment.GraftFunctions.register(s)
+      val cacheOn =
+        s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean)
+      val sharedSh =
+        if (cacheOn) None
+        else Some(constructionPersist(s, TextOps.shingles(s, dir)
+          .withColumn("h0", call_function("graft_charfold", col("shingle")))))
       val exact =
-        if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean)) exact0
-        else constructionPersist(s, exact0)
+        if (cacheOn) dupPairs(s, dir, sourceOverride = Some("exact"))
+        else constructionPersist(s,
+          TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true, sharedSh)
+            .select(col("doc_a"), col("doc_b")))
       val banded = constructionPersist(s,
-        bandedJaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+        bandedJaccardPairs(s, dir, sharedSh).select(col("doc_a"), col("doc_b")))
       val hits = banded.join(exact, Seq("doc_a", "doc_b"))
       val ne = exact.agg(count(lit(1)).as("n_exact"))
       val nb = banded.agg(count(lit(1)).as("n_banded"))

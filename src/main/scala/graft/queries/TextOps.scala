@@ -338,15 +338,15 @@ object TextOps {
     * round 1 ran a full count() action inside query CONSTRUCTION) with an
     * explicit conf override for deployments that know their corpus. */
   def adaptiveJaccardPairs(s: SparkSession, dir: String, t: Double,
-      global: Boolean = false): DataFrame = {
+      global: Boolean = false, sh0: Option[DataFrame] = None): DataFrame = {
     val usePrefix = s.conf.getOption("spark.graft.jaccard.prefixFilter") match {
       case Some(v) => v.toBoolean
       case None =>
         Tables.documents(s, dir).queryExecution.optimizedPlan
           .stats.sizeInBytes > (512L << 20) // ≈ a 500 k-doc switch
     }
-    if (usePrefix) jaccardPairsPrefixFiltered(s, dir, t, global)
-    else shingleJaccardPairs(s, dir, global).filter(col("jaccard") >= t)
+    if (usePrefix) jaccardPairsPrefixFiltered(s, dir, t, global, sh0)
+    else shingleJaccardPairs(s, dir, global, sh0).filter(col("jaccard") >= t)
   }
 
   /** The distinct word-trigram shingle ARRAY of a token-array column —
@@ -384,7 +384,7 @@ object TextOps {
     * a set-similarity join that survives 100 TB and one that doesn't.
     */
   def jaccardPairsPrefixFiltered(s: SparkSession, dir: String, t: Double,
-      global: Boolean = false): DataFrame = {
+      global: Boolean = false, sh0: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // `global=false` scopes pairs within `source` (the d2 semantics);
     // `global=true` joins across the whole corpus (the dedup-tier d6/c1
@@ -394,7 +394,10 @@ object TextOps {
     // MEMORY_AND_DISK, never MEMORY_ONLY: the exploded shingle set is ~10×
     // the corpus — it must spill to disk under pressure, not OOM, while
     // still serving the three downstream scans from memory when it fits.
-    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // A caller-supplied `sh0` (already persisted — e.g. d13's audit-shared
+    // relation) is used as-is so the corpus shingles ONCE per audit.
+    val sh = sh0.getOrElse(
+      shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // global rarity order within the join scope
     val freq = sh.groupBy(scopedShingle.map(col): _*)
@@ -427,9 +430,10 @@ object TextOps {
     * Naive quadratic form — kept as the reference implementation for tests;
     * production path is [[jaccardPairsPrefixFiltered]]. */
   def shingleJaccardPairs(s: SparkSession, dir: String,
-      global: Boolean = false): DataFrame = {
+      global: Boolean = false, sh0: Option[DataFrame] = None): DataFrame = {
     val joinKeys = if (global) Seq("shingle") else Seq("source", "shingle")
-    val sh = shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sh0.getOrElse(
+      shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle"))
