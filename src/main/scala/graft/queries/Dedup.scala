@@ -654,11 +654,83 @@ object Dedup {
       case _ => TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true)
         .select(col("doc_a"), col("doc_b"))
     }
-    if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean))
-      dupPairsMemo.computeIfAbsent((s, dir, s"$prefixConf/$source"),
-        _ => constructionPersist(s, build()))
-    else build()
+    def built() =
+      if (s.conf.getOption("spark.graft.dupgraph.cache").exists(_.toBoolean))
+        dupPairsMemo.computeIfAbsent((s, dir, s"$prefixConf/$source"),
+          _ => constructionPersist(s, build()))
+      else build()
+    // RECALL-FLOOR GUARD — `spark.graft.embed.minRecallBp`'s dedup analog
+    // (round-10 verdict #4): a conf-selected `banded` source under
+    // `spark.graft.dedup.minRecallBp` measures the d13 certificate
+    // (memoized, `spark.graft.dedup.recallSampleMod` thins the corpus)
+    // and fails loudly below the floor.  sourceOverride callers are the
+    // audit machinery (d13 pins both sources to MEASURE) — unguarded by
+    // design; the guard relation composes as a broadcast-free UNION so
+    // it is safe below the tier's lineage cuts (see
+    // Similarity.recallFloorGuard).  Note the guard is applied OUTSIDE
+    // the memoized build: the memo key must stay a pure pair relation
+    // (d13's audit adopts it), and re-wrapping a cached relation is free.
+    val floorBp =
+      if (source != "banded" || sourceOverride.nonEmpty) None
+      else s.conf.getOption("spark.graft.dedup.minRecallBp").map(_.toLong)
+    floorBp.fold(built()) { f =>
+      val sampleMod = s.conf.getOption("spark.graft.dedup.recallSampleMod")
+        .map(_.toLong).getOrElse(1L)
+      val cert = dedupRecallCert(s, dir, sampleMod)
+      s.conf.getOption("spark.graft.dedup.recallGuard").getOrElse("fail") match {
+        case "warn" =>
+          val bp = cert.collect().head.getLong(0)
+          if (bp < f) org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+            s"graft: dedup pair source 'banded' measured recall $bp bp < " +
+              s"spark.graft.dedup.minRecallBp=$f (sampleMod=$sampleMod) on $dir — " +
+              "proceeding because spark.graft.dedup.recallGuard=warn")
+          built()
+        case "fail" =>
+          Similarity.recallFloorGuard(built(), cert, f,
+            "spark.graft.dedup.minRecallBp",
+            "the banded pair source would silently lose near-dup pairs on " +
+              "this corpus; set spark.graft.dedup.pairs=exact, retune the " +
+              "banding, or lower the floor deliberately (sampleMod=" +
+              sampleMod + ")")
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.dedup.recallGuard must be 'fail' or 'warn', got '$other'")
+      }
+    }
   }
+
+  /** Session memo + builder for the dedup recall-floor guard's measured
+    * certificate: d13's recall statistic (banded pairs vs the exact
+    * global ≥ 0.5 relation) over the deterministic
+    * `doc_id % sampleMod = 0` corpus slice, both sides sharing ONE
+    * persisted shingle relation (the d13 idiom).  1-row, persisted,
+    * measured once per session per (dir, sampleMod). */
+  private val dedupRecallCertMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String, Long),
+      org.apache.spark.sql.DataFrame]()
+
+  private def dedupRecallCert(s: org.apache.spark.sql.SparkSession, dir: String,
+      sampleMod: Long): org.apache.spark.sql.DataFrame =
+    dedupRecallCertMemo.computeIfAbsent((s, dir, sampleMod), _ => {
+      graft.sentiment.GraftFunctions.register(s)
+      val sh = constructionPersist(s, TextOps.shingles(s, dir)
+        .filter(col("doc_id") % sampleMod === 0)
+        .withColumn("h0", call_function("graft_charfold", col("shingle"))))
+      val exact =
+        TextOps.adaptiveJaccardPairs(s, dir, 0.5, global = true, Some(sh))
+          .select(col("doc_a"), col("doc_b"))
+      val banded = bandedJaccardPairs(s, dir, Some(sh))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      // one outer-join-marker pass + one global aggregate (the
+      // embedRecallCert form): no cross join, no broadcast hint — safe
+      // below the lineage cuts the guard union composes under.  Empty
+      // exact relation → vacuous 10000 (nothing to lose).
+      constructionPersist(s,
+        exact.join(banded, Seq("doc_a", "doc_b"), "left")
+          .agg(coalesce(
+            expr("(sum(coalesce(hit, 0)) * 10000) div nullif(count(1), 0)"),
+            lit(10000L)).as("recall_bp")))
+    })
 
   /** Unordered (doc_id, cluster_id) component labels over the ≥0.5 exact
     * global Jaccard graph — the d6 query body, reusable by composed

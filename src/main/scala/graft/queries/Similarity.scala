@@ -61,6 +61,80 @@ object Similarity {
       catch { case _: Throwable => () } // a stopped session has nothing to drop
       it.remove()
     }
+    recallCertMemo.clear()
+  }
+
+  /** Session memo for the recall-floor guard's measured certificate
+    * (one 1-row relation per (session, dir, sampleMod)): the guard
+    * prices one certificate measurement into the first guarded action,
+    * not one per query. */
+  private val recallCertMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  /** The d15 certificate re-measured for the GUARD path
+    * ([[embedPairs]] under `spark.graft.embed.minRecallBp`): recall of
+    * the bucketed pair source against the exact ≥ 0.4 kernel, over the
+    * deterministic `vec_id % sampleMod = 0` slice of the corpus
+    * (sampleMod 1 = the full d15 measurement; at 100 TB the exact side
+    * is quadratic, so a deployment samples — cost shrinks ~mod²).
+    * Both relations persist via [[trackedPersist]] and the 1-row result
+    * persists too, so the certificate computes once per session. */
+  private def embedRecallCert(s: SparkSession, dir: String, sampleMod: Long): DataFrame =
+    recallCertMemo.computeIfAbsent((s, dir, sampleMod), _ => {
+      graft.sentiment.GraftFunctions.register(s)
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % sampleMod === 0)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .as[(Long, Array[Double], Double)]
+      val exact = embeddingPairsOf(s, e).select(col("vec_a"), col("vec_b"))
+      val bucketed = bucketedEmbeddingPairsOf(s, e)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
+      // ONE outer-join-marker pass + ONE global aggregate — no cross
+      // join, no broadcast hint, so the cert subplan is safe wherever
+      // the guard union lands (including below the dedup tier's lineage
+      // cuts).  An empty exact relation certifies vacuously (count 0 →
+      // null ratio → coalesce to 10000: nothing to lose).
+      trackedPersist(
+        exact.join(bucketed, Seq("vec_a", "vec_b"), "left")
+          .agg(coalesce(
+            expr("(sum(coalesce(hit, 0)) * 10000) div nullif(count(1), 0)"),
+            lit(10000L)).as("recall_bp")))
+    })
+
+  /** The recall-floor guard (round-10 verdict #4): wires the d15/d13
+    * certificate into the engine's own guardrail, so a deployment cannot
+    * flip a dup-graph tier to its bucketed/banded pair source on a corpus
+    * where the measured certificate says the flip silently loses pairs —
+    * the hot-bucket cap's loud-over-silent discipline applied to the
+    * FLIP POLICY itself ("the audit decides, not the architecture",
+    * now enforced, not commented).
+    *
+    * Wiring is a UNION with a conditionally-failing 1-row branch, not a
+    * broadcast join: `cert.filter(recall_bp < floor)` is EMPTY when the
+    * certificate passes (the union adds nothing) and carries one
+    * `assert_true(false, <named numbers>)` row when it fails, killing
+    * the first action loudly.  A union is exchange-free and
+    * broadcast-free, so — unlike the CC guard's broadcast-1-row join —
+    * it is safe BELOW the dedup tier's lineage cuts (a broadcast inside
+    * a cut subplan submits its relation future during RDD construction;
+    * see the hot-bucket guard's rationale, Dedup.scala).  The passing
+    * branch's only cost is the certificate measurement itself, memoized
+    * and persisted per session: the guard prices the audit into the
+    * flip, which is exactly the policy. */
+  private[queries] def recallFloorGuard(
+      pairs: DataFrame, cert: DataFrame, floorBp: Long, conf: String,
+      detail: String): DataFrame = {
+    val failRow = cert.filter(col("recall_bp") < floorBp)
+      .select(
+        assert_true(lit(false),
+          concat(lit("graft: recall-floor guard: measured certificate recall "),
+            col("recall_bp"),
+            lit(s" bp < $conf=$floorBp — $detail"))).cast("long").as("a"),
+        lit(0L).as("b"))
+    val cols = pairs.columns
+    pairs.union(failRow.toDF(cols: _*))
   }
 
   // ---------------------------------------------------------------- s1
@@ -240,7 +314,7 @@ object Similarity {
   private val IvfProbe = 3
   /** Quantization grid: `floor(x · 64)` (floor, never round — round's .5
     * tie rule differs across engines; floor is tie-free). */
-  private val QuantScale = 64
+  private[graft] val QuantScale = 64
 
   val s4AnnIvf = NamedQuery(
     "s4_ann_ivf",
@@ -848,11 +922,28 @@ object Similarity {
   /** Cell count and per-vector assignment width of the BUCKETED embedding
     * pair source (compile-time constants, like d3's band geometry — the
     * d15 oracle inlines them).  Cells reuse s4's coarse-quantizer recipe;
-    * probe = 2 assigns every vector to its TWO nearest cells so a pair
-    * straddling one cell boundary still co-locates in the runner-up cell
-    * (the multi-assignment analog of s5's multi-probe). */
+    * probe = 3 assigns every vector to its THREE nearest cells so a pair
+    * straddling a cell boundary still co-locates in a runner-up cell
+    * (the multi-assignment analog of s5's multi-probe).  probe was 2
+    * until the round-11 sweep (SCALING.md): 3 buys recall_bp 6750 → 9119
+    * at sf0.1 (7457 → 9830 at sf0.01) for ~1.9× candidate volume — a
+    * LINEAR cost in probe, never quadratic in n — and on the planted
+    * clustered corpus (the tier's target regime) probe 3 is byte-identical
+    * to probe 2 at IDENTICAL candidate volume, so the extra probe only
+    * spends where the corpus is hard. */
   private val EmbedCells = 10
-  private val EmbedProbe = 2
+  private val EmbedProbe = 3
+  /** k-means refinement rounds after seeding (the sweep in SCALING.md
+    * measured {1, 2}: a second round is noise-inconsistent — +131 bp at
+    * sf0.1, −169 bp at sf0.01, 0 on the planted corpus — and costs a
+    * full extra training pass, so the cheaper default stands). */
+  private val EmbedKmeansSteps = 1
+  /** Runner-up boundary gate width: a vector keeps its p-th cell
+    * (p ≥ 2) only when that cell's distance is within this percentage
+    * of its best (dist·100 ≤ dbest·(100+pct) — exact integers, replays
+    * in SQL; 25 ⇔ the historical 4·d ≤ 5·dbest form).  See the sweep
+    * table in SCALING.md before changing. */
+  private val EmbedBoundaryPct = 25
 
   /** BUCKETED embedding near-dup candidates + exact verify — the
     * dedup-tier twin of [[Dedup.bandedJaccardPairs]] for the embedding
@@ -888,8 +979,11 @@ object Similarity {
       corpus: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
       cells: Int = EmbedCells,
       probe: Int = EmbedProbe,
-      seedStride: Long = 1L): DataFrame = {
-    val (cand, e) = bucketedEmbeddingCandidatesOf(s, corpus, cells, probe, seedStride)
+      seedStride: Long = 1L,
+      kmeansSteps: Int = EmbedKmeansSteps,
+      boundaryPct: Int = EmbedBoundaryPct): DataFrame = {
+    val (cand, e) = bucketedEmbeddingCandidatesOf(
+      s, corpus, cells, probe, seedStride, kmeansSteps, boundaryPct)
     // exact verify — the SAME arithmetic as the d5 kernel's comparePair
     // (graft_dot is the same sequential left fold as its rawDot), so a
     // surviving pair carries a bit-identical cosine to d5's
@@ -914,8 +1008,12 @@ object Similarity {
       corpus: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
       cells: Int,
       probe: Int,
-      seedStride: Long): (DataFrame, DataFrame) = {
+      seedStride: Long,
+      kmeansSteps: Int = EmbedKmeansSteps,
+      boundaryPct: Int = EmbedBoundaryPct): (DataFrame, DataFrame) = {
     require(probe >= 1 && probe <= cells, s"probe=$probe outside [1, $cells]")
+    require(kmeansSteps >= 1, s"kmeansSteps=$kmeansSteps must be >= 1")
+    require(boundaryPct >= 0, s"boundaryPct=$boundaryPct must be >= 0")
     graft.sentiment.GraftFunctions.register(s)
     // 5 consumers (seeds, both assignment passes, both verify sides):
     // persist MEMORY_AND_DISK (must spill, not OOM — the d3-shingles
@@ -935,19 +1033,26 @@ object Similarity {
     def dists(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-    val a0 = dists(seeds).groupBy(col("vec_id"))
-      .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
-        first(col("qv")).as("qv"))
-    // floored-integer-mean update: centroids stay on the grid (s4's form)
-    val centroids = a0
-      .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy(col("list_id"), col("pos"))
-      .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-      .groupBy(col("list_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("list_id"),
-        transform(col("pc"), x => x.getField("c")).as("cent"))
-      .withColumn("cc", dot(col("cent"), col("cent")))
+    // one k-means refinement round: argmin-assign to the current
+    // centroids, then the floored-integer-mean update (centroids stay on
+    // the grid — s4's form).  `kmeansSteps` rounds run at construction;
+    // each embeds one more copy of the (tiny) centroid subtree, so the
+    // sweep range {1, 2} costs plan size, never a lineage explosion.
+    def refine(cents: DataFrame): DataFrame =
+      dists(cents).groupBy(col("vec_id"))
+        .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
+          first(col("qv")).as("qv"))
+        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("list_id"),
+          transform(col("pc"), x => x.getField("c")).as("cent"))
+        .withColumn("cc", dot(col("cent"), col("cent")))
+    val centroids =
+      (1 to kmeansSteps).foldLeft(seeds.select(col("list_id"),
+        col("cent"), col("cc")))((c, _) => refine(c))
     // top-`probe` cells per vector in ONE aggregate: all `cells` distance
     // rows of a vector sit in one partition (broadcast cross join), so the
     // partial collect_list collapses them map-side to a single
@@ -975,7 +1080,8 @@ object Similarity {
         1, probe).as("top"))
       .select(col("vec_id"), col("top")(0).getField("dist").as("dbest"),
         posexplode(col("top")).as(Seq("pos", "t")))
-      .filter(col("pos") === 0 || col("t.dist") * 4 <= col("dbest") * 5)
+      .filter(col("pos") === 0 ||
+        col("t.dist") * 100 <= col("dbest") * (100 + boundaryPct))
       .select(col("vec_id"), col("t.list_id").as("list_id"))
     // ONE equi-join shuffle on the cell id; a pair sharing both cells
     // dedups in the distinct
@@ -1005,10 +1111,12 @@ object Similarity {
     * a measured reason: the d13 certificate proved ZERO banding loss on
     * the Jaccard graph (recall_bp = 10000), which authorized flipping
     * that tier; the d15 certificate on THIS corpus measures recall_bp ≈
-    * 6750–7450 — the driver embeddings are near-isotropic (cell radii
+    * 9119–9830 (probe 3 after the round-11 sweep; 6750–7450 at the old
+    * probe 2) — the driver embeddings are near-isotropic (cell radii
     * ≈ 1.3 of a possible √2) and 98% of the ≥ 0.4 pairs sit in the
     * borderline 0.40–0.50 band, the regime where NO bucketing scheme
-    * can be complete (the certificate exists to measure exactly this).
+    * can be complete (the certificate exists to measure exactly this),
+    * so even the swept frontier stays short of 10000.
     * So `exact` stays the default and `bucketed` is the opt-in scale
     * path for corpora that cluster — where the spec's planted-cluster
     * fixture shows recall_bp = 10000 and linear candidate growth
@@ -1031,11 +1139,45 @@ object Similarity {
         case other => throw new IllegalArgumentException(
           s"spark.graft.embed.pairs must be 'exact' or 'bucketed', got '$other'")
       })
-    val pairs = source match {
+    val pairs = (source match {
       case "bucketed" => bucketedEmbeddingPairs(s, dir)
       case _ => embeddingPairs(s, dir)
+    }).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    // RECALL-FLOOR GUARD (round-10 verdict #4): a conf-selected flip to
+    // the bucketed source under `spark.graft.embed.minRecallBp` measures
+    // the d15 certificate (memoized; `spark.graft.embed.recallSampleMod`
+    // thins the corpus deterministically) and fails loudly below the
+    // floor.  Only the CONF-selected flip is guarded: a sourceOverride
+    // caller is the certificate machinery itself (d15 measures the
+    // bucketed source to DECIDE — guarding it would be circular).
+    val floorBp =
+      if (source != "bucketed" || sourceOverride.nonEmpty) None
+      else s.conf.getOption("spark.graft.embed.minRecallBp").map(_.toLong)
+    floorBp.fold(pairs) { f =>
+      val sampleMod = s.conf.getOption("spark.graft.embed.recallSampleMod")
+        .map(_.toLong).getOrElse(1L)
+      val cert = embedRecallCert(s, dir, sampleMod)
+      s.conf.getOption("spark.graft.embed.recallGuard").getOrElse("fail") match {
+        case "warn" =>
+          // diagnostic mode: measure eagerly (the one guard mode that
+          // runs jobs at selector time — it must LOG, which a plan
+          // cannot) and let the pairs flow regardless
+          val bp = cert.collect().head.getLong(0)
+          if (bp < f) org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+            s"graft: embed pair source 'bucketed' measured recall $bp bp < " +
+              s"spark.graft.embed.minRecallBp=$f (sampleMod=$sampleMod) on $dir — " +
+              "proceeding because spark.graft.embed.recallGuard=warn")
+          pairs
+        case "fail" =>
+          recallFloorGuard(pairs, cert, f, "spark.graft.embed.minRecallBp",
+            "the bucketed embedding pair source would silently lose near-dup " +
+              "pairs on this corpus; keep spark.graft.embed.pairs=exact, retune " +
+              "cells/probe, or lower the floor deliberately (sampleMod=" +
+              sampleMod + ")")
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.embed.recallGuard must be 'fail' or 'warn', got '$other'")
+      }
     }
-    pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
   }
 
   // ---------------------------------------------------------------- d15
@@ -1132,7 +1274,7 @@ object Similarity {
         CAST((SELECT count(*) FROM hits) * 10000
           // nullif((SELECT count(*) FROM bucketed), 0) AS BIGINT) AS precision_bp"""),
     doc = "embedding-bucketing recall certificate: the cell-scoped pair " +
-      "source (integer k-means cells, probe-2 multi-assignment, exact " +
+      s"source (integer k-means cells, probe-$EmbedProbe multi-assignment, exact " +
       "verify) measured against d5's exact >=0.4 relation, " +
       "recall/precision in integer basis points; FULL value oracle " +
       "(the s4 integer-grid technique)")
@@ -1719,43 +1861,83 @@ object Similarity {
     * centroids broadcast; ONE map-side argmin aggregate per assignment
     * (s4's shape); the report is a k-row aggregate joined to a 1-row
     * total by the d13 constant-side broadcast. */
+  /** The incoming-slice predicate shared by s13 and d14 (the "today's
+    * crawl" convention). */
+  private[graft] val s13IsNew: Column => Column = c => c % 10 === 7
+
+  /** s13's quantized corpus relation (persisted — the 4 consumers of the
+    * batch audit, plus the live twin's index builders). */
+  private def s13Quantized(s: SparkSession, dir: String): DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    trackedPersist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("qv", transform(col("emb"),
+        x => floor(x * QuantScale)).cast("array<double>"))
+      .withColumn("vv", dot(col("qv"), col("qv")))
+      .select(col("vec_id"), col("qv"), col("vv")))
+  }
+
+  /** One-sided nearest-trained-centroid assignment (s13's argmin). */
+  private def s13Nearest(points: DataFrame, cents: DataFrame): DataFrame =
+    points.crossJoin(broadcast(cents))
+      .withColumn("d", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("list_id"), col("d")),
+        struct(col("d"), col("list_id"))).as("best"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("best.list_id").as("list_id"),
+        col("best.d").as("dist"), col("qv"))
+
+  /** s13's ARCHIVE-trained centroids over the quantized corpus `e`:
+    * 10 archive seeds (ids 0..10 minus the incoming id 7 — cells keep
+    * their seed's vec_id as the label, no renumbering to replay), one
+    * floored-integer-mean k-means step.  The incoming slice never
+    * influences the index — the staleness statistic depends on it. */
+  private def s13Centroids(e: DataFrame): DataFrame = {
+    val archive = e.filter(!s13IsNew(col("vec_id")))
+    val seeds = archive.filter(col("vec_id") <= IvfLists)
+      .select(col("vec_id").cast("int").as("list_id"),
+        col("qv").as("cent"), col("vv").as("cc"))
+    s13Nearest(archive, seeds)
+      .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+      .groupBy(col("list_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("list_id"),
+        transform(col("pc"), x => x.getField("c")).as("cent"))
+      .withColumn("cc", dot(col("cent"), col("cent")))
+  }
+
+  /** s13's trained index as a DRIVER-SIDE value — how a production
+    * consumer loads a stored IVF index (10 cells × 64 dims, not a
+    * distributed relation); feeds the live staleness monitor's
+    * scan-side assignment (`stream/LiveIndexStaleness`). */
+  def s13IndexArray(s: SparkSession, dir: String): Array[(Int, Array[Double], Double)] =
+    s13Centroids(s13Quantized(s, dir)).collect().map { r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+    }
+
+  /** The STORED side of the staleness report: per-cell archive occupancy
+    * and integer distance mass under the trained index — at 100 TB this
+    * relation is maintained with the index, not recomputed (d14's stored-
+    * index story), which is exactly how the live twin consumes it. */
+  def s13ArchiveCellStats(s: SparkSession, dir: String): DataFrame = {
+    val e = s13Quantized(s, dir)
+    s13Nearest(e.filter(!s13IsNew(col("vec_id"))), s13Centroids(e))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_arch"),
+        sum(col("dist")).cast("long").as("d_arch"))
+  }
+
   val s13IndexStaleness = NamedQuery(
     "s13_index_staleness",
     (s, dir) => {
       graft.sentiment.GraftFunctions.register(s)
-      val isNew = (c: Column) => c % 10 === 7
-      val e = trackedPersist(Tables.embeddings(s, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .withColumn("qv", transform(col("emb"),
-          x => floor(x * QuantScale)).cast("array<double>"))
-        .withColumn("vv", dot(col("qv"), col("qv")))
-        .select(col("vec_id"), col("qv"), col("vv")))
-      val archive = e.filter(!isNew(col("vec_id")))
-      // 10 archive seeds: ids 0..10 minus the incoming id 7; cells keep
-      // their seed's vec_id as the label (no renumbering to replay)
-      val seeds = archive.filter(col("vec_id") <= IvfLists)
-        .select(col("vec_id").cast("int").as("list_id"),
-          col("qv").as("cent"), col("vv").as("cc"))
-      def nearest(points: DataFrame, cents: DataFrame): DataFrame =
-        points.crossJoin(broadcast(cents))
-          .withColumn("d", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-          .groupBy(col("vec_id"))
-          .agg(min_by(struct(col("list_id"), col("d")),
-            struct(col("d"), col("list_id"))).as("best"),
-            first(col("qv")).as("qv"))
-          .select(col("vec_id"), col("best.list_id").as("list_id"),
-            col("best.d").as("dist"), col("qv"))
-      val a0 = nearest(archive, seeds)
-      val centroids = a0
-        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("list_id"),
-          transform(col("pc"), x => x.getField("c")).as("cent"))
-        .withColumn("cc", dot(col("cent"), col("cent")))
-      val m = nearest(e, centroids)
+      val isNew = s13IsNew
+      val e = s13Quantized(s, dir)
+      val centroids = s13Centroids(e)
+      val m = s13Nearest(e, centroids)
       val per = m.groupBy(col("list_id"))
         .agg(
           sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
