@@ -363,14 +363,31 @@ object TextOps {
       i => concat_ws(" ", element_at(w, i),
         element_at(w, i + 1), element_at(w, i + 2))))
 
-  /** Shared shingle machinery: distinct word-trigram shingles per doc. */
+  /** Shared shingle machinery: distinct word-trigram shingles per doc.
+    * `n_sh` (the doc's distinct-shingle count) rides along scan-side —
+    * it is the size of the array being exploded, so carrying it costs
+    * one int per row and SAVES every consumer the per-doc count
+    * aggregate plus the joins back (at 100 TB: a corpus-sized shuffle
+    * and two corpus-sized joins that never need to exist).  Consumers
+    * that don't read it prune it. */
   def shingles(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .filter(col("text").isNotNull && col("text") =!= "")
       .withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 3)
-    toks.select(col("doc_id"), col("source"),
-      explode(shingleArrayOf(col("w"))).as("shingle"))
+    // PLAN-SHAPE TRAP (measured, do not "simplify"): the generator input
+    // must stay an INLINE expression.  Naming the shingle array as an
+    // attribute (withColumn("sharr", …) + explode(col("sharr"))) makes
+    // InferFiltersFromGenerate add `size(sharr) > 0`, which pushes below
+    // the `w` projection and inlines split() into every lambda
+    // element_at — ~150 interpreted re-splits per document, a measured
+    // 0.6 s → 8.8 s regression on this relation at sf0.1.  n_sh is
+    // instead its own pre-Generate attribute derived from `w` (the
+    // array builds twice per doc — µs — and nothing rides through the
+    // Generate but one long).
+    toks.withColumn("n_sh", size(shingleArrayOf(col("w"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_sh"),
+        explode(shingleArrayOf(col("w"))).as("shingle"))
   }
 
   /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin prefix filter,
@@ -398,14 +415,14 @@ object TextOps {
     // relation) is used as-is so the corpus shingles ONCE per audit.
     val sh = sh0.getOrElse(
       shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // global rarity order within the join scope
+    // global rarity order within the join scope; n_sh rides the shingle
+    // rows from the scan (see [[shingles]]) — no per-doc size aggregate
+    // and no corpus-sized join back
     val freq = sh.groupBy(scopedShingle.map(col): _*)
       .agg(count(lit(1)).as("df"))
     val ranked = sh.join(freq, scopedShingle)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-      .join(sizes, "doc_id")
       .withColumn("prefix_len", col("n_sh") - ceil(col("n_sh") * t) + 1)
     val prefix = ranked.filter(col("rn") <= col("prefix_len"))
       .select((scopedShingle :+ "doc_id" :+ "n_sh").map(col): _*)
@@ -434,16 +451,17 @@ object TextOps {
     val joinKeys = if (global) Seq("shingle") else Seq("source", "shingle")
     val sh = sh0.getOrElse(
       shingles(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(if (global) b.drop("source") else b, joinKeys)
+    // n_sh rides the shingle rows from the scan (see [[shingles]]), so
+    // the sizes become GROUP KEYS of the intersection count — no per-doc
+    // aggregate, no joins back: two relations, one join, one aggregate.
+    val a = sh.select(col("source"), col("doc_id").as("doc_a"),
+      col("n_sh").as("sa"), col("shingle"))
+    val b = sh.select(col("source"), col("doc_id").as("doc_b"),
+      col("n_sh").as("sb"), col("shingle"))
+    a.join(if (global) b.drop("source") else b, joinKeys)
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"), "doc_b")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / (col("sa") + col("sb") - col("n_inter")), 4))
   }
