@@ -401,7 +401,23 @@ object PlanAudit {
         "(vec_id), the two-stage centroid update (list_id,pos → list_id) " +
         "and the per-cell report (list_id) — 5 logical data shuffles, " +
         "rendered ≤ 2x by the InMemoryRelation tree+detail duplication; " +
-        "an 11th occurrence means a new shuffle leaked in"))
+        "an 11th occurrence means a new shuffle leaked in"),
+    // s14 PQ staleness (the s13 gates applied to the fine level)
+    Expect("s14_pq_staleness", "BroadcastHashJoin",
+      "both codebook assignment passes join the PqM·PqK codebook to the " +
+        "subvector relation as a BROADCAST on m — the corpus side is " +
+        "scanned, never shuffled, for each pass", maxCount = 10),
+    Expect("s14_pq_staleness", "SortMergeJoin", present = false,
+      why = "every join side is the broadcast codebook — an SMJ means " +
+        "the subvector relation got shuffled on a join key"),
+    Expect("s14_pq_staleness", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan must prune to (vec_id, embedding) and is read " +
+        "ONCE into the shared persisted subvector relation", maxCount = 1),
+    Expect("s14_pq_staleness", "hashpartitioning(", maxCount = 10,
+      why = "bounded shuffle budget: two per-(vec_id,m) argmin " +
+        "aggregates, the two-stage codebook update (m,code,pos → " +
+        "m,code) and the PqM-row report (m) — 5 logical data shuffles, " +
+        "rendered ≤ 2x by the InMemoryRelation tree+detail duplication"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

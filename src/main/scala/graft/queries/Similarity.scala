@@ -2010,9 +2010,140 @@ object Similarity {
       "int64 — the maintenance signal behind s10's recall scores; " +
       "FULL value oracle")
 
+  // ---------------------------------------------------------------- s14
+  /** PQ CODEBOOK staleness — s13's product-quantization sibling,
+    * completing the index-maintenance pair: s13 monitors the COARSE
+    * level (IVF cell occupancy/geometry), s14 monitors the FINE level
+    * (the per-subspace codebooks every ADC distance in s7 reads).  A
+    * codebook trained on yesterday's distribution quantizes today's
+    * vectors with higher error, and that error is ADDED to every
+    * approximate distance — recall decays silently (s9 would measure
+    * the decay after the fact; s14 names the subspace drifting before).
+    *
+    * Shape: codebooks train on the ARCHIVE slice only (vec_id % 10 ≠ 7,
+    * d14's convention; seeds = the archive subvectors with vec_id <
+    * PqK, one floored-integer-mean k-means step — s7's recipe scoped to
+    * the archive), then ALL vectors assign per subspace one-sided
+    * against the trained codebooks, and the per-subspace report carries
+    * the exact integer quantization-error masses and the
+    * cross-multiplied error shift `err_inc·n_arch − err_arch·n_inc`
+    * (positive = incoming quantizes worse).  Magnitudes: per-subvector
+    * error ≲ 2²¹ on this grid, summed ≲ 2³⁵, cross-multiplied ≲ 2⁴⁹ —
+    * int64-safe with margin (the a12/decimal(38) regime note applies
+    * beyond ~10⁸ vectors).  Scale shape: the subvector explode is the
+    * one corpus-sized relation (persisted — s7's rule), codebooks are
+    * PqM·PqK rows broadcast everywhere, assignments are ONE map-side
+    * argmin aggregate per pass, the report is a PqM-row aggregate. */
+  val s14PqStaleness = NamedQuery(
+    "s14_pq_staleness",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val isNew = s13IsNew
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+      val sub = trackedPersist(e
+        .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
+        .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
+        .withColumn("svv", dot(col("sv"), col("sv")))
+        .select(col("vec_id"), col("m"), col("sv"), col("svv")))
+      val asub = sub.filter(!isNew(col("vec_id")))
+      def assign(points: DataFrame, cents: DataFrame): DataFrame =
+        points.join(broadcast(cents), Seq("m"))
+          .withColumn("dist",
+            col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min_by(struct(col("code"), col("dist")),
+            struct(col("dist"), col("code"))).as("best"),
+            first(col("sv")).as("sv"))
+          .select(col("vec_id"), col("m"), col("best.code").as("code"),
+            col("best.dist").as("dist"), col("sv"))
+      val seeds = asub.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").cast("int").as("code"),
+          col("sv").as("cent"), col("svv").as("cc"))
+      val cents1 = assign(asub, seeds)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("m"), col("code"),
+          transform(col("pc"), x => x.getField("c")).as("cent"))
+        .withColumn("cc", dot(col("cent"), col("cent")))
+      assign(sub, cents1)
+        .groupBy(col("m"))
+        .agg(
+          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
+          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
+          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("err_arch"),
+          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("err_inc"))
+        .select(col("m"), col("n_arch"), col("n_inc"),
+          col("err_arch"), col("err_inc"),
+          (col("err_inc") * col("n_arch") - col("err_arch") * col("n_inc"))
+            .as("err_shift_x"))
+        .orderBy(col("m"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      qz AS (
+        SELECT vec_id, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
+        FROM e),
+      sub AS (
+        SELECT vec_id, CAST(t.m AS INT) AS m,
+               qv[(CAST(t.m AS INT) * $PqD + 1):(CAST(t.m AS INT) * $PqD + $PqD)] AS sv
+        FROM qz, range(0, $PqM) t(m)),
+      sub2 AS (
+        SELECT vec_id, m, sv, list_dot_product(sv, sv) AS svv FROM sub),
+      asub AS (SELECT * FROM sub2 WHERE vec_id % 10 <> 7),
+      seeds AS (
+        SELECT m, CAST(vec_id AS INT) AS code, sv AS cent, svv AS cc
+        FROM asub WHERE vec_id < $PqK),
+      d0 AS (
+        SELECT v.vec_id, v.m, s.code,
+               v.svv - 2 * list_dot_product(v.sv, s.cent) + s.cc AS dist
+        FROM asub v JOIN seeds s ON s.m = v.m),
+      a0 AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          FROM d0) r WHERE rn = 1),
+      cdim AS (
+        SELECT a0.m, a0.code, i, floor(sum(sv[i]) / count(*)) AS c
+        FROM a0 JOIN sub2 USING (vec_id, m), range(1, ${PqD + 1}) t(i)
+        GROUP BY a0.m, a0.code, i),
+      cent1 AS (
+        SELECT m, code, list(c ORDER BY i) AS cent FROM cdim GROUP BY m, code),
+      cent2 AS (
+        SELECT m, code, cent, list_dot_product(cent, cent) AS cc FROM cent1),
+      d1 AS (
+        SELECT v.vec_id, v.m,
+               v.svv - 2 * list_dot_product(v.sv, c.cent) + c.cc AS dist
+        FROM sub2 v JOIN cent2 c ON c.m = v.m),
+      best AS (
+        SELECT vec_id, m, min(dist) AS dist FROM d1 GROUP BY vec_id, m),
+      per AS (
+        SELECT m,
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_arch,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_inc,
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS err_arch,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS err_inc
+        FROM best GROUP BY m)
+      SELECT m, n_arch, n_inc, err_arch, err_inc,
+        err_inc * n_arch - err_arch * n_inc AS err_shift_x
+      FROM per ORDER BY m"""),
+    doc = "PQ codebook staleness audit: per-subspace codebooks train on " +
+      "the archive (vec_id%10<>7) only, all vectors assign one-sided, " +
+      "per-subspace cross-multiplied quantization-error shift in exact " +
+      "int64 — s13's fine-level sibling (names the subspace drifting " +
+      "before s9's recall decays); FULL value oracle")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
-      s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall)
+      s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall,
+      s14PqStaleness)
 }
