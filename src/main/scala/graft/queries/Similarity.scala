@@ -760,8 +760,8 @@ object Similarity {
     * a FULL value oracle.  The top-20 ADC candidates are re-ranked by the
     * exact round-4 cosine (s1's proven form) for the final top-5; recall
     * vs the s1 brute-force truth is pinned in QueryPacksSpec. */
-  private val PqM = 8  // subspaces
-  private val PqD = 8  // dims per subspace
+  private[graft] val PqM = 8  // subspaces
+  private[graft] val PqD = 8  // dims per subspace
   private val PqK = 16 // codebook entries per subspace
   private val PqCand = 20 // ADC candidates re-ranked exactly
 
@@ -2034,44 +2034,81 @@ object Similarity {
     * one corpus-sized relation (persisted — s7's rule), codebooks are
     * PqM·PqK rows broadcast everywhere, assignments are ONE map-side
     * argmin aggregate per pass, the report is a PqM-row aggregate. */
+  /** s14's persisted per-subspace subvector relation over `embeddings`:
+    * `(vec_id, m, sv, svv)` on the integer grid (s7's explode). */
+  private def s14Subvectors(s: SparkSession, dir: String): DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    trackedPersist(Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("qv", transform(col("emb"),
+        x => floor(x * QuantScale)).cast("array<double>"))
+      .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
+      .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
+      .withColumn("svv", dot(col("sv"), col("sv")))
+      .select(col("vec_id"), col("m"), col("sv"), col("svv")))
+  }
+
+  /** Per-subspace argmin assignment against a codebook relation,
+    * carrying the quantization error (s14's form of s7's nearestCode). */
+  private def s14Assign(points: DataFrame, cents: DataFrame): DataFrame =
+    points.join(broadcast(cents), Seq("m"))
+      .withColumn("dist",
+        col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code"), col("dist")),
+        struct(col("dist"), col("code"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("m"), col("best.code").as("code"),
+        col("best.dist").as("dist"), col("sv"))
+
+  /** s14's ARCHIVE-trained per-subspace codebooks: seeds = the archive
+    * subvectors with vec_id < PqK, one floored-integer-mean k-means
+    * step (s7's recipe scoped to the archive — the incoming slice never
+    * influences the codebooks; the staleness statistic depends on it). */
+  private def s14Codebooks(sub: DataFrame): DataFrame = {
+    val asub = sub.filter(!s13IsNew(col("vec_id")))
+    val seeds = asub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cent"), col("svv").as("cc"))
+    s14Assign(asub, seeds)
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("m"), col("code"),
+        transform(col("pc"), x => x.getField("c")).as("cent"))
+      .withColumn("cc", dot(col("cent"), col("cent")))
+  }
+
+  /** s14's trained codebooks as a DRIVER-SIDE value (PqM·PqK = 128 rows
+    * × 8 dims — how a consumer ships a stored PQ index); feeds the live
+    * staleness monitor's scan-side assignment
+    * (`stream/LivePqStaleness`): (m, code, cent, cc). */
+  def s14CodebookArray(s: SparkSession, dir: String): Array[(Int, Int, Array[Double], Double)] =
+    s14Codebooks(s14Subvectors(s, dir)).collect().map { r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3))
+    }
+
+  /** The STORED side of the PQ staleness report: per-subspace archive
+    * occupancy and integer error mass under the trained codebooks —
+    * maintained with the index at scale, consumed by the live twin. */
+  def s14ArchiveSubspaceStats(s: SparkSession, dir: String): DataFrame = {
+    val sub = s14Subvectors(s, dir)
+    s14Assign(sub.filter(!s13IsNew(col("vec_id"))), s14Codebooks(sub))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_arch"),
+        sum(col("dist")).cast("long").as("err_arch"))
+  }
+
   val s14PqStaleness = NamedQuery(
     "s14_pq_staleness",
     (s, dir) => {
       graft.sentiment.GraftFunctions.register(s)
       val isNew = s13IsNew
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .withColumn("qv", transform(col("emb"),
-          x => floor(x * QuantScale)).cast("array<double>"))
-      val sub = trackedPersist(e
-        .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
-        .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
-        .withColumn("svv", dot(col("sv"), col("sv")))
-        .select(col("vec_id"), col("m"), col("sv"), col("svv")))
-      val asub = sub.filter(!isNew(col("vec_id")))
-      def assign(points: DataFrame, cents: DataFrame): DataFrame =
-        points.join(broadcast(cents), Seq("m"))
-          .withColumn("dist",
-            col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min_by(struct(col("code"), col("dist")),
-            struct(col("dist"), col("code"))).as("best"),
-            first(col("sv")).as("sv"))
-          .select(col("vec_id"), col("m"), col("best.code").as("code"),
-            col("best.dist").as("dist"), col("sv"))
-      val seeds = asub.filter(col("vec_id") < PqK)
-        .select(col("m"), col("vec_id").cast("int").as("code"),
-          col("sv").as("cent"), col("svv").as("cc"))
-      val cents1 = assign(asub, seeds)
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-        .groupBy(col("m"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("m"), col("code"),
-          transform(col("pc"), x => x.getField("c")).as("cent"))
-        .withColumn("cc", dot(col("cent"), col("cent")))
-      assign(sub, cents1)
+      val sub = s14Subvectors(s, dir)
+      val cents1 = s14Codebooks(sub)
+      s14Assign(sub, cents1)
         .groupBy(col("m"))
         .agg(
           sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
