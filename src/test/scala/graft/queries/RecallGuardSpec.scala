@@ -205,4 +205,32 @@ class RecallGuardSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert(row.getLong(3) == 5000L, s"expected the sub-floor audit row: $row")
     }
   }
+
+  test("sampled certificate: recallSampleMod thins deterministically and still guards") {
+    // the low-recall fixture has doc_ids 0,1 (borderline pair) and 10,11
+    // (identical pair); sampleMod=2 keeps the EVEN ids only — doc 1 and
+    // 11 drop out, both pairs dissolve, and the sampled certificate is
+    // vacuously 10000 (nothing ≥0.5 remains to lose), so the strictest
+    // floor PASSES where the full measurement fails.  This is precisely
+    // the documented trade of sampling (a sampled certificate can miss),
+    // proven here in the deterministic direction; the pair output under
+    // the passing sampled guard stays byte-identical to the unguarded
+    // relation.
+    withConfs(
+      "spark.graft.dedup.minRecallBp" -> "10000",
+      "spark.graft.dedup.recallSampleMod" -> "2") {
+      val got = Dedup.dupPairs(spark, lowRecallDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 11L)), s"sampled-guard pair set wrong: $got")
+    }
+    // same session, same dir, full measurement (mod unset ⇒ 1): the memo
+    // must key by sampleMod and re-measure — the guard now trips
+    withConfs("spark.graft.dedup.minRecallBp" -> "10000") {
+      val e = intercept[Exception] {
+        Dedup.dupPairs(spark, lowRecallDir).collect()
+      }
+      assert(failureMessage(e).contains("recall 5000 bp"),
+        s"full measurement after sampled one must re-trip: ${failureMessage(e)}")
+    }
+  }
 }
