@@ -51,4 +51,29 @@ class DedupScalingSpec extends AnyFunSuite {
     assert(on4 <= off4 * 1.05,
       f"cached composition ($on4%.2f s) no longer beats uncached ($off4%.2f s) at 4x")
   }
+
+  // --- regeneration safety: the sweep splices its fenced blocks and ---
+  // --- leaves hand-written analysis untouched (it once clobbered it) ---
+
+  test("committed SCALING.md carries both sweep fences") {
+    for (n <- Seq("dedup-tier", "cut-ab"); edge <- Seq("begin", "end"))
+      assert(lines.exists(_.contains(s"<!-- sweep:$n:$edge")),
+        s"fence sweep:$n:$edge missing — the sweep would fall back to a " +
+          "skeleton overwrite and drop the hand-written sections")
+  }
+
+  test("splice replaces only the fenced block") {
+    val doc = "# title\n\nhand prose A\n\n" +
+      DedupScalingSweep.fence("dedup-tier", "old numbers") +
+      "\n\nhand prose B (the analysis the overwrite once destroyed)\n"
+    val out = DedupScalingSweep.splice(doc, "dedup-tier", "new numbers").get
+    assert(out.contains("new numbers") && !out.contains("old numbers"))
+    assert(out.contains("hand prose A") && out.contains("hand prose B"))
+    // idempotent shape: the result still splices
+    assert(DedupScalingSweep.splice(out, "dedup-tier", "newer").get.contains("newer"))
+  }
+
+  test("splice returns None when the fence is absent") {
+    assert(DedupScalingSweep.splice("no fences here", "dedup-tier", "x").isEmpty)
+  }
 }
