@@ -1898,7 +1898,16 @@ object Similarity {
     val seeds = archive.filter(col("vec_id") <= IvfLists)
       .select(col("vec_id").cast("int").as("list_id"),
         col("qv").as("cent"), col("vv").as("cc"))
-    s13Nearest(archive, seeds)
+    integerMeanCentroids(s13Nearest(archive, seeds))
+  }
+
+  /** One floored-integer-mean k-means update from an assignment
+    * `(list_id, qv)` — THE update step, shared by s13's archive training
+    * pass and s15's warm-start refresh (the retrain must apply the exact
+    * step the original training applied, or the two indexes differ by
+    * recipe instead of by data). */
+  private def integerMeanCentroids(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy(col("list_id"), col("pos"))
       .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
@@ -1907,7 +1916,6 @@ object Similarity {
       .select(col("list_id"),
         transform(col("pc"), x => x.getField("c")).as("cent"))
       .withColumn("cc", dot(col("cent"), col("cent")))
-  }
 
   /** s13's trained index as a DRIVER-SIDE value — how a production
     * consumer loads a stored IVF index (10 cells × 64 dims, not a
@@ -1930,31 +1938,10 @@ object Similarity {
         sum(col("dist")).cast("long").as("d_arch"))
   }
 
-  val s13IndexStaleness = NamedQuery(
-    "s13_index_staleness",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      val isNew = s13IsNew
-      val e = s13Quantized(s, dir)
-      val centroids = s13Centroids(e)
-      val m = s13Nearest(e, centroids)
-      val per = m.groupBy(col("list_id"))
-        .agg(
-          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
-          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
-          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
-            .cast("long").as("d_arch"),
-          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
-            .cast("long").as("d_inc"))
-      val tot = per.agg(sum(col("n_arch")).as("t_arch"), sum(col("n_inc")).as("t_inc"))
-      per.crossJoin(broadcast(tot))
-        .select(col("list_id"), col("n_arch"), col("n_inc"),
-          col("d_arch"), col("d_inc"),
-          (col("n_inc") * col("t_arch") - col("n_arch") * col("t_inc")).as("occ_shift_x"),
-          (col("d_inc") * col("n_arch") - col("d_arch") * col("n_inc")).as("dist_shift_x"))
-        .orderBy(col("list_id"))
-    },
-    Some(s"""WITH e AS (
+  /** The shared DuckDB CTE chain of s13 and s15: quantize → archive
+    * seeds → one training step (cent2 = the stale archive-trained index)
+    * → full-corpus assignment `m(vec_id, list_id, dist)` under it. */
+  private def s13OracleCtes: String = s"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       qz AS (
         SELECT vec_id, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
@@ -1989,7 +1976,33 @@ object Similarity {
         SELECT vec_id, list_id, dist FROM (
           SELECT vec_id, list_id, dist,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
-          FROM d1) r WHERE rn = 1),
+          FROM d1) r WHERE rn = 1)"""
+
+  val s13IndexStaleness = NamedQuery(
+    "s13_index_staleness",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val isNew = s13IsNew
+      val e = s13Quantized(s, dir)
+      val centroids = s13Centroids(e)
+      val m = s13Nearest(e, centroids)
+      val per = m.groupBy(col("list_id"))
+        .agg(
+          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
+          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
+          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("d_arch"),
+          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("d_inc"))
+      val tot = per.agg(sum(col("n_arch")).as("t_arch"), sum(col("n_inc")).as("t_inc"))
+      per.crossJoin(broadcast(tot))
+        .select(col("list_id"), col("n_arch"), col("n_inc"),
+          col("d_arch"), col("d_inc"),
+          (col("n_inc") * col("t_arch") - col("n_arch") * col("t_inc")).as("occ_shift_x"),
+          (col("d_inc") * col("n_arch") - col("d_arch") * col("n_inc")).as("dist_shift_x"))
+        .orderBy(col("list_id"))
+    },
+    Some(s"""WITH $s13OracleCtes,
       per AS (
         SELECT list_id,
           CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_arch,

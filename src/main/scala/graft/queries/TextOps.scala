@@ -329,6 +329,81 @@ object TextOps {
       ORDER BY doc_a, doc_b"""),
     doc = "n-gram (word-trigram) Jaccard near-dup pairs within source")
 
+  // ---------------------------------------------------------------- d16
+  /** Cross-source overlap matrix — the corpus-composition audit run before
+    * mixing training sources (how much of source A is already in source B;
+    * the reference's per-source views — `dashboard/streamlit_app.py` source
+    * breakdowns — ask the per-source question, this asks the cross-source
+    * one): for every source pair, the number of distinct word-trigram
+    * shingles they share and the shingle-set Jaccard in basis points
+    * (integer-exact — no float hashes cross-engine).
+    *
+    * Scale shape (the part that must survive 100 TB): ONE corpus-sized
+    * shuffle — `groupBy(shingle) → collect_set(source)` (sets bounded by
+    * |sources|, hundreds at most, regardless of corpus size).  Per-source
+    * distinct counts and pair co-occurrence both derive from that one
+    * aggregate: each shingle's sorted source set emits its singleton rows
+    * (→ per-source counts) AND its ordered pairs (→ shared counts, ≤ S²/2
+    * per shingle) in a single flatten, so there is no second corpus pass,
+    * no per-source distinct-count aggregate, and no persist.  The final
+    * self-joins run on the ≤ S + S²/2-row aggregate; the aggregate's
+    * exchange is identical on every branch, so ReuseExchange computes it
+    * once (PlanAudit gates the reuse). */
+  val d16SourceOverlap = NamedQuery(
+    "d16_source_overlap",
+    (s, dir) => {
+      val bySh = shingles(s, dir)
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      // one flatten emits, per shingle, S singletons + the C(S,2) ordered
+      // pairs; null src_b marks a singleton (a per-source count row)
+      val items = flatten(transform(col("srcs"), (a, i) =>
+        concat(
+          array(struct(a.as("src_a"), lit(null).cast("string").as("src_b"))),
+          transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+            b => struct(a.as("src_a"), b.as("src_b"))))))
+      val counts = bySh
+        .select(explode(items).as("it"))
+        .select(col("it.src_a").as("src_a"), col("it.src_b").as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n"))
+      val per = counts.filter(col("src_b").isNull)
+        .select(col("src_a").as("src"), col("n"))
+      counts.filter(col("src_b").isNotNull)
+        .withColumnRenamed("n", "n_shared")
+        .join(broadcast(per.select(col("src"), col("n").as("n_a"))),
+          col("src_a") === col("src")).drop("src")
+        .join(broadcast(per.select(col("src"), col("n").as("n_b"))),
+          col("src_b") === col("src")).drop("src")
+        .withColumn("jaccard_bp",
+          expr("(10000 * n_shared) div (n_a + n_b - n_shared)"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_a"), col("n_b"), col("jaccard_bp"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT doc_id, source, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      ssh AS (SELECT DISTINCT source, shingle FROM sh),
+      counts AS (SELECT source, count(*) AS n FROM ssh GROUP BY source),
+      shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared, ca.n AS n_a, cb.n AS n_b,
+             (10000 * n_shared) // (ca.n + cb.n - n_shared) AS jaccard_bp
+      FROM shared
+      JOIN counts ca ON ca.source = shared.src_a
+      JOIN counts cb ON cb.source = shared.src_b
+      ORDER BY src_a, src_b"""),
+    doc = "cross-source shingle-overlap matrix: shared distinct word-trigram " +
+      "shingles + integer-bp Jaccard per source pair, one corpus shuffle")
+
   /** Scale-adaptive exact-Jaccard pairs (both paths produce identical
     * results — proven by QueryPacksSpec in both scopes): for small corpora
     * the naive shingle join beats the prefix filter's extra shuffles; at
@@ -1779,6 +1854,6 @@ object TextOps {
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
     t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
     t15TypoPairs, t19EncodingQa, t20BpeTrain, t21BpeApply,
-    d1DedupExact, d2NgramJaccard, d10Containment, c1CorpusCuration,
-    c2Contamination, c7NgramDecontamination)
+    d1DedupExact, d2NgramJaccard, d10Containment, d16SourceOverlap,
+    c1CorpusCuration, c2Contamination, c7NgramDecontamination)
 }
