@@ -402,6 +402,27 @@ object PlanAudit {
         "and the per-cell report (list_id) — 5 logical data shuffles, " +
         "rendered ≤ 2x by the InMemoryRelation tree+detail duplication; " +
         "an 11th occurrence means a new shuffle leaked in"),
+    // round-12 additions (d16 cross-source overlap — the r11 VERDICT #2
+    // gate set: the counts relation is persisted, so the corpus aggregate
+    // executes once no matter how many consumers read it)
+    Expect("d16_source_overlap", "ReadSchema: struct<text:string,source:string>",
+      "the documents scan must prune to (text, source) and appear ONCE — " +
+        "the corpus is read exactly once into the persisted counts " +
+        "relation (round 11 shipped this unpersisted: 3 corpus scans)",
+      maxCount = 1),
+    Expect("d16_source_overlap", "InMemoryRelation",
+      "the ≤ S+S²/2-row counts relation must sit behind a persist " +
+        "boundary — its three consumers (shared-pairs filter + two " +
+        "per-source joins-back) share one materialization (tree renders " +
+        "the cached subtree per consumer: 3 tree + 3 detail)", maxCount = 6),
+    Expect("d16_source_overlap", "hashpartitioning(", maxCount = 2,
+      why = "exactly 2 data shuffles, both below the persist boundary " +
+        "(groupBy(shingle) and the (src_a,src_b) collapse); the " +
+        "joins-back broadcast the tiny per-source slice and only the " +
+        "ordered output range-partitions"),
+    Expect("d16_source_overlap", "SortMergeJoin", present = false,
+      why = "every join side is a filtered slice of the tiny persisted " +
+        "counts relation — an SMJ means a per-source slice got shuffled"),
     // s14 PQ staleness (the s13 gates applied to the fine level)
     Expect("s14_pq_staleness", "BroadcastHashJoin",
       "both codebook assignment passes join the PqM·PqK codebook to the " +
@@ -417,7 +438,30 @@ object PlanAudit {
       why = "bounded shuffle budget: two per-(vec_id,m) argmin " +
         "aggregates, the two-stage codebook update (m,code,pos → " +
         "m,code) and the PqM-row report (m) — 5 logical data shuffles, " +
-        "rendered ≤ 2x by the InMemoryRelation tree+detail duplication"))
+        "rendered ≤ 2x by the InMemoryRelation tree+detail duplication"),
+    // s15 warm-start refresh (the s13 gate set plus the joins-back)
+    Expect("s15_warmstart_refresh", "BroadcastNestedLoopJoin",
+      "every centroid assignment pass (archive training, stale " +
+        "assignment, refreshed assignment) BROADCASTS the ≤ k-row " +
+        "centroid set to the corpus — the corpus is scanned, never " +
+        "shuffled, for each argmin", maxCount = 12),
+    Expect("s15_warmstart_refresh", "BroadcastHashJoin",
+      "the refreshed-centroid build and both per-cell stats join as " +
+        "BROADCASTS onto the ≤ k-row index relation", maxCount = 8),
+    Expect("s15_warmstart_refresh", "SortMergeJoin", present = false,
+      why = "every join side is ≤ k rows (stale index, update output, " +
+        "per-cell stats) — an SMJ means a tiny relation got shuffled"),
+    Expect("s15_warmstart_refresh", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan must prune to (vec_id, embedding) and is " +
+        "read ONCE into the memoized quantized relation shared with s13",
+      maxCount = 1),
+    Expect("s15_warmstart_refresh", "hashpartitioning(", maxCount = 11,
+      why = "bounded shuffle budget: the training argmin + two-stage " +
+        "update (s13's 3), the stale-assignment argmin, the warm-start " +
+        "two-stage update, the refreshed argmin and the two ≤ k-row " +
+        "stats rollups — ≤ 9 logical data shuffles, rendered with " +
+        "InMemoryRelation tree+detail duplication; a 12th occurrence " +
+        "means a corpus-sized shuffle leaked in"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)
@@ -479,6 +523,28 @@ object PlanAudit {
         }
       }
     }
+    // Registry↔EXPLAIN.md drift gate (round-12 process fix): the committed
+    // plan-evidence file must carry exactly one section per registered
+    // query.  ExplainCoverageSpec asserts the same thing at test time, but
+    // the round-10 and round-11 snapshots both added a query without
+    // regenerating EXPLAIN.md and shipped a red suite — putting the check
+    // in PlanAudit's DEFAULT run means the standard pre-commit gate
+    // (which every query addition already runs for its plan expectations)
+    // fails loudly before the commit, not after.
+    val explainPath = java.nio.file.Paths.get("EXPLAIN.md")
+    if (java.nio.file.Files.exists(explainPath)) {
+      import scala.jdk.CollectionConverters._
+      val sections = java.nio.file.Files.readAllLines(explainPath).asScala
+        .filter(_.startsWith("## ")).map(_.stripPrefix("## ").trim).toSet
+      val want = SparkEntry.queries.keySet
+      if (sections != want) {
+        failed += 1
+        println(s"FAIL EXPLAIN.md drifted from the query registry — " +
+          s"missing: ${(want -- sections).toSeq.sorted.mkString(", ")}; " +
+          s"stale: ${(sections -- want).toSeq.sorted.mkString(", ")}. " +
+          "Regenerate: sbt \"runMain graft.PlanAudit /root/testdata/sf0.01 --dump ALL --out EXPLAIN.md\"")
+      } else println(s"OK   EXPLAIN.md carries all ${want.size} registered queries")
+    } else println("WARN EXPLAIN.md not found (run from repo root to gate it)")
     // Global sweep: a CartesianProduct in ANY registered query is a scale
     // bug — every join must be an equi/broadcast/banded form.
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

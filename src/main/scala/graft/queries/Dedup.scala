@@ -606,7 +606,16 @@ object Dedup {
     * DataFrames are garbage-collected (unpersisting here by hand could
     * pull blocks out from under an in-flight query that still holds the
     * plan). */
-  def clearDupGraphCache(): Unit = { dupGraphMemo.clear(); dupPairsMemo.clear() }
+  def clearDupGraphCache(): Unit = {
+    dupGraphMemo.clear(); dupPairsMemo.clear()
+    // the recall certificate memoizes a persisted 1-row relation (plus
+    // its constructionPersist'd shingle inputs) per (session, dir,
+    // sampleMod) — symmetric with Similarity.clearEmbedCache's
+    // recallCertMemo.clear() (round-11 ADVICE: long-lived services
+    // accumulate certificates otherwise; blocks reclaim via the
+    // ContextCleaner once the dropped plans are collected)
+    dedupRecallCertMemo.clear()
+  }
 
   /** The pair-source selector for the dedup tier:
     * `spark.graft.dedup.pairs = exact | banded` (default `banded`).

@@ -62,6 +62,7 @@ object Similarity {
       it.remove()
     }
     recallCertMemo.clear()
+    stalenessMemo.clear()
   }
 
   /** Session memo for the recall-floor guard's measured certificate
@@ -89,7 +90,17 @@ object Similarity {
         .withColumn("nrm", norm(col("emb")))
         .as[(Long, Array[Double], Double)]
       val exact = embeddingPairsOf(s, e).select(col("vec_a"), col("vec_b"))
-      val bucketed = bucketedEmbeddingPairsOf(s, e)
+      // seedStride = sampleMod: the sampled slice holds only vec_id %
+      // sampleMod == 0, so the default stride-1 seed predicate
+      // (vec_id < cells) would keep just ceil(cells/mod) seeds — at
+      // mod ≥ cells ONE cell, where every pair co-locates and the
+      // certificate reads an unconditional 10000 bp exactly in the
+      // at-scale sampling mode it exists for (round-11 ADVICE).  With
+      // the stride matched, the slice seeds all `cells` centroids and
+      // the sampled certificate measures production geometry over
+      // thinned data — the documented statistical trade, not a
+      // structural one (SampledCert spec pins both properties).
+      val bucketed = bucketedEmbeddingPairsOf(s, e, seedStride = sampleMod)
         .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
       // ONE outer-join-marker pass + ONE global aggregate — no cross
       // join, no broadcast hint, so the cert subplan is safe wherever
@@ -1865,17 +1876,52 @@ object Similarity {
     * crawl" convention). */
   private[graft] val s13IsNew: Column => Column = c => c % 10 === 7
 
-  /** s13's quantized corpus relation (persisted — the 4 consumers of the
-    * batch audit, plus the live twin's index builders). */
-  private def s13Quantized(s: SparkSession, dir: String): DataFrame = {
-    graft.sentiment.GraftFunctions.register(s)
-    trackedPersist(Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("qv", transform(col("emb"),
-        x => floor(x * QuantScale)).cast("array<double>"))
-      .withColumn("vv", dot(col("qv"), col("qv")))
-      .select(col("vec_id"), col("qv"), col("vv")))
+  /** Session memo for the s13/s14 staleness builders' shared relations
+    * (quantized corpus, subvector explode, trained centroids/codebooks),
+    * keyed (session, dir) and reclaimed by [[clearEmbedCache]]: the
+    * documented live-twin loading sequence — `s13IndexArray` then
+    * `s13ArchiveCellStats` — previously built and persisted TWO
+    * independent copies of the quantized corpus and re-ran centroid
+    * training from scratch (round-11 ADVICE); with the memo, the batch
+    * query, the driver-side index export and the archive-stats export
+    * share one persisted relation and one training pass. */
+  private val stalenessMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** NOT computeIfAbsent: these builders NEST (s15StaleAssignment builds
+    * via s13Quantized and s13TrainedCentroids, themselves memoized in the
+    * same map), and ConcurrentHashMap.computeIfAbsent throws
+    * IllegalStateException("Recursive update") whenever a nested insert
+    * lands in the in-progress bin — which depends on the session's
+    * identity hash, so it fails NONDETERMINISTICALLY per JVM (caught by
+    * the round-12 bench, invisible to the same-code Verify run).  A
+    * double-checked block on the map's monitor is reentrant for the
+    * building thread, so nested builds are always safe. */
+  private def memoized(s: SparkSession, dir: String, what: String)
+      (build: => DataFrame): DataFrame = {
+    val key = (s, dir, what)
+    val hit = stalenessMemo.get(key)
+    if (hit != null) hit
+    else stalenessMemo.synchronized {
+      val again = stalenessMemo.get(key)
+      if (again != null) again
+      else { val built = build; stalenessMemo.put(key, built); built }
+    }
   }
+
+  /** s13's quantized corpus relation (persisted + memoized — the 4
+    * consumers of the batch audit, plus the live twin's index builders,
+    * share ONE materialization per session). */
+  private def s13Quantized(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s13Quantized") {
+      graft.sentiment.GraftFunctions.register(s)
+      trackedPersist(Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+        .withColumn("vv", dot(col("qv"), col("qv")))
+        .select(col("vec_id"), col("qv"), col("vv")))
+    }
 
   /** One-sided nearest-trained-centroid assignment (s13's argmin). */
   private def s13Nearest(points: DataFrame, cents: DataFrame): DataFrame =
@@ -1901,6 +1947,14 @@ object Similarity {
     integerMeanCentroids(s13Nearest(archive, seeds))
   }
 
+  /** The trained (stale, archive-only) index as a memoized persisted
+    * 10-row relation — ONE training pass per session no matter how many
+    * consumers (batch audit, index export, archive stats, s15 refresh)
+    * read it. */
+  private def s13TrainedCentroids(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s13TrainedCentroids")(
+      trackedPersist(s13Centroids(s13Quantized(s, dir))))
+
   /** One floored-integer-mean k-means update from an assignment
     * `(list_id, qv)` — THE update step, shared by s13's archive training
     * pass and s15's warm-start refresh (the retrain must apply the exact
@@ -1922,7 +1976,7 @@ object Similarity {
     * distributed relation); feeds the live staleness monitor's
     * scan-side assignment (`stream/LiveIndexStaleness`). */
   def s13IndexArray(s: SparkSession, dir: String): Array[(Int, Array[Double], Double)] =
-    s13Centroids(s13Quantized(s, dir)).collect().map { r =>
+    s13TrainedCentroids(s, dir).collect().map { r =>
       (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2))
     }
 
@@ -1932,7 +1986,7 @@ object Similarity {
     * index story), which is exactly how the live twin consumes it. */
   def s13ArchiveCellStats(s: SparkSession, dir: String): DataFrame = {
     val e = s13Quantized(s, dir)
-    s13Nearest(e.filter(!s13IsNew(col("vec_id"))), s13Centroids(e))
+    s13Nearest(e.filter(!s13IsNew(col("vec_id"))), s13TrainedCentroids(s, dir))
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_arch"),
         sum(col("dist")).cast("long").as("d_arch"))
@@ -1984,7 +2038,7 @@ object Similarity {
       graft.sentiment.GraftFunctions.register(s)
       val isNew = s13IsNew
       val e = s13Quantized(s, dir)
-      val centroids = s13Centroids(e)
+      val centroids = s13TrainedCentroids(s, dir)
       val m = s13Nearest(e, centroids)
       val per = m.groupBy(col("list_id"))
         .agg(
@@ -2023,6 +2077,119 @@ object Similarity {
       "int64 — the maintenance signal behind s10's recall scores; " +
       "FULL value oracle")
 
+  // ---------------------------------------------------------------- s15
+  /** The full-corpus assignment under the STALE index — s15's shared
+    * input (the update step and the before-stats both read it), persisted
+    * and memoized so it computes once per session.  At 100 TB this
+    * relation is the stored index's posting lists plus the incoming
+    * slice's fresh argmin — d14's stored-index story again. */
+  private def s15StaleAssignment(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s15StaleAssignment")(
+      trackedPersist(s13Nearest(s13Quantized(s, dir), s13TrainedCentroids(s, dir))))
+
+  /** IVF warm-start REFRESH — the "what would retraining buy" companion
+    * to s13's "how stale is it": start from the STORED (archive-trained,
+    * stale) centroids, apply ONE floored-integer-mean k-means update over
+    * the FULL corpus (archive + incoming — warm start: no re-seeding; the
+    * update is the exact step the original training applied,
+    * [[integerMeanCentroids]], or the two indexes would differ by recipe
+    * instead of by data), and report per cell what the refresh delivers:
+    *
+    *   n_before / n_after   full-corpus occupancy under stale vs refreshed
+    *   disp                 squared integer displacement ‖c_old − c_new‖²
+    *   d_before / d_after   integer distance mass under stale vs refreshed
+    *
+    * A cell receiving no vectors in the update KEEPS its stale centroid
+    * (the standard empty-cell rule, replayed in SQL with left join +
+    * coalesce — disp is then exactly 0).  Scale shape: the stale index,
+    * the refreshed index and both per-cell stats are ≤ k rows (broadcast
+    * joins throughout); the stale assignment is persisted once for its
+    * two consumers; the refreshed assignment is one more broadcast argmin
+    * pass over the memoized quantized corpus — three corpus passes total,
+    * zero corpus shuffles.  All arithmetic exact int64 (dist ≲ 2²⁴ summed
+    * ≲ 2³⁵; disp ≲ 2²⁰; the a12/decimal(38) regime note beyond ~10⁹
+    * vectors).  FULL value oracle via the shared [[s13OracleCtes]]. */
+  val s15WarmStartRefresh = NamedQuery(
+    "s15_warmstart_refresh",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val e = s13Quantized(s, dir)
+      val m = s15StaleAssignment(s, dir)
+      val upd = integerMeanCentroids(m.select(col("list_id"), col("qv")))
+      val refreshed = s13TrainedCentroids(s, dir)
+        .select(col("list_id"), col("cent").as("cent_old"), col("cc").as("cc_old"))
+        .join(broadcast(upd.select(col("list_id"),
+          col("cent").as("cent_new"), col("cc").as("cc_new"))),
+          Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("cent_new"), col("cent_old")).as("cent"),
+          coalesce(col("cc_new"), col("cc_old")).as("cc"),
+          col("cent_old"), col("cc_old"))
+      val m2 = s13Nearest(e, refreshed.select(col("list_id"), col("cent"), col("cc")))
+      val before = m.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_before"), sum(col("dist")).cast("long").as("d_before"))
+      val after = m2.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_after"), sum(col("dist")).cast("long").as("d_after"))
+      refreshed
+        .withColumn("disp",
+          (col("cc_old") - lit(2) * dot(col("cent_old"), col("cent")) + col("cc"))
+            .cast("long"))
+        .join(broadcast(before), Seq("list_id"), "left")
+        .join(broadcast(after), Seq("list_id"), "left")
+        .select(col("list_id"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("disp"),
+          coalesce(col("d_before"), lit(0L)).as("d_before"),
+          coalesce(col("d_after"), lit(0L)).as("d_after"))
+        .orderBy(col("list_id"))
+    },
+    Some(s"""WITH $s13OracleCtes,
+      cd2 AS (
+        SELECT m.list_id, i, floor(sum(qv[i]) / count(*)) AS c
+        FROM m JOIN qz2 USING (vec_id), range(1, 65) t(i)
+        GROUP BY m.list_id, i),
+      cent3a AS (
+        SELECT list_id, list(c ORDER BY i) AS cent FROM cd2 GROUP BY list_id),
+      cent3 AS (
+        SELECT s.list_id, coalesce(n.cent, s.cent) AS cent, s.cent AS cent_old
+        FROM cent2 s LEFT JOIN cent3a n USING (list_id)),
+      cent3x AS (
+        SELECT list_id, cent, list_dot_product(cent, cent) AS cc, cent_old
+        FROM cent3),
+      d2 AS (
+        SELECT v.vec_id, c.list_id,
+               v.vv - 2 * list_dot_product(v.qv, c.cent) + c.cc AS dist
+        FROM qz2 v, cent3x c),
+      m2 AS (
+        SELECT vec_id, list_id, dist FROM (
+          SELECT vec_id, list_id, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d2) r WHERE rn = 1),
+      bef AS (
+        SELECT list_id, CAST(count(*) AS BIGINT) AS n_before,
+               CAST(sum(dist) AS BIGINT) AS d_before
+        FROM m GROUP BY list_id),
+      aft AS (
+        SELECT list_id, CAST(count(*) AS BIGINT) AS n_after,
+               CAST(sum(dist) AS BIGINT) AS d_after
+        FROM m2 GROUP BY list_id)
+      SELECT c.list_id,
+        CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+        CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+        CAST(list_dot_product(cent_old, cent_old)
+             - 2 * list_dot_product(cent_old, cent)
+             + list_dot_product(cent, cent) AS BIGINT) AS disp,
+        CAST(coalesce(d_before, 0) AS BIGINT) AS d_before,
+        CAST(coalesce(d_after, 0) AS BIGINT) AS d_after
+      FROM cent3x c LEFT JOIN bef USING (list_id) LEFT JOIN aft USING (list_id)
+      ORDER BY c.list_id"""),
+    doc = "IVF warm-start refresh: one integer-mean k-means update over " +
+      "archive+incoming starting from the stored archive-trained " +
+      "centroids — per-cell occupancy rebalance, squared centroid " +
+      "displacement and distance-mass change (what retraining would " +
+      "buy, s13's companion); FULL value oracle via the shared CTEs")
+
   // ---------------------------------------------------------------- s14
   /** PQ CODEBOOK staleness — s13's product-quantization sibling,
     * completing the index-maintenance pair: s13 monitors the COARSE
@@ -2048,18 +2215,21 @@ object Similarity {
     * PqM·PqK rows broadcast everywhere, assignments are ONE map-side
     * argmin aggregate per pass, the report is a PqM-row aggregate. */
   /** s14's persisted per-subspace subvector relation over `embeddings`:
-    * `(vec_id, m, sv, svv)` on the integer grid (s7's explode). */
-  private def s14Subvectors(s: SparkSession, dir: String): DataFrame = {
-    graft.sentiment.GraftFunctions.register(s)
-    trackedPersist(Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("qv", transform(col("emb"),
-        x => floor(x * QuantScale)).cast("array<double>"))
-      .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
-      .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
-      .withColumn("svv", dot(col("sv"), col("sv")))
-      .select(col("vec_id"), col("m"), col("sv"), col("svv")))
-  }
+    * `(vec_id, m, sv, svv)` on the integer grid (s7's explode).
+    * Memoized per (session, dir) — the batch audit, the codebook export
+    * and the archive-stats export share ONE materialization. */
+  private def s14Subvectors(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s14Subvectors") {
+      graft.sentiment.GraftFunctions.register(s)
+      trackedPersist(Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+        .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
+        .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
+        .withColumn("svv", dot(col("sv"), col("sv")))
+        .select(col("vec_id"), col("m"), col("sv"), col("svv")))
+    }
 
   /** Per-subspace argmin assignment against a codebook relation,
     * carrying the quantization error (s14's form of s7's nearestCode). */
@@ -2094,12 +2264,20 @@ object Similarity {
       .withColumn("cc", dot(col("cent"), col("cent")))
   }
 
+  /** The trained (stale, archive-only) codebooks as a memoized persisted
+    * PqM·PqK-row relation — ONE training pass per session no matter how
+    * many consumers (batch audit, codebook export, archive stats) read
+    * it. */
+  private def s14TrainedCodebooks(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s14TrainedCodebooks")(
+      trackedPersist(s14Codebooks(s14Subvectors(s, dir))))
+
   /** s14's trained codebooks as a DRIVER-SIDE value (PqM·PqK = 128 rows
     * × 8 dims — how a consumer ships a stored PQ index); feeds the live
     * staleness monitor's scan-side assignment
     * (`stream/LivePqStaleness`): (m, code, cent, cc). */
   def s14CodebookArray(s: SparkSession, dir: String): Array[(Int, Int, Array[Double], Double)] =
-    s14Codebooks(s14Subvectors(s, dir)).collect().map { r =>
+    s14TrainedCodebooks(s, dir).collect().map { r =>
       (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray, r.getDouble(3))
     }
 
@@ -2108,7 +2286,7 @@ object Similarity {
     * maintained with the index at scale, consumed by the live twin. */
   def s14ArchiveSubspaceStats(s: SparkSession, dir: String): DataFrame = {
     val sub = s14Subvectors(s, dir)
-    s14Assign(sub.filter(!s13IsNew(col("vec_id"))), s14Codebooks(sub))
+    s14Assign(sub.filter(!s13IsNew(col("vec_id"))), s14TrainedCodebooks(s, dir))
       .groupBy(col("m"))
       .agg(count(lit(1)).as("n_arch"),
         sum(col("dist")).cast("long").as("err_arch"))
@@ -2120,7 +2298,7 @@ object Similarity {
       graft.sentiment.GraftFunctions.register(s)
       val isNew = s13IsNew
       val sub = s14Subvectors(s, dir)
-      val cents1 = s14Codebooks(sub)
+      val cents1 = s14TrainedCodebooks(s, dir)
       s14Assign(sub, cents1)
         .groupBy(col("m"))
         .agg(
@@ -2195,5 +2373,5 @@ object Similarity {
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
       s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall,
-      s14PqStaleness)
+      s14PqStaleness, s15WarmStartRefresh)
 }

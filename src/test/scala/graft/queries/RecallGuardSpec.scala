@@ -206,6 +206,53 @@ class RecallGuardSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("embed sampled certificate: production geometry over the thinned slice") {
+    // The round-11 ADVICE bug: embedRecallCert passed seedStride=1, so a
+    // sampled slice (vec_id % mod == 0) with mod >= cells kept ONE seed
+    // (vec_id 0), every pair co-located, and the sampled certificate
+    // read an unconditional 10000 bp — vacuous exactly in the at-scale
+    // sampling mode it exists for.  This corpus makes the fixed stride
+    // observable: ids 0,10,..,90 are 10 orthogonal cluster seeds
+    // (4·e_i, 16 dims), id 100 sits 15° off e_0, id 110 sits 15° off
+    // e_1 (75° off e_0).  Over the mod-10 slice the exact >= 0.4 kernel
+    // holds 3 pairs — (0,100) and (10,110) at cos 15° ~ 0.966, and
+    // (100,110) at cos 60° = 0.5 — and with all 10 cells seeded the
+    // bucketed source co-locates the first two but NEVER the straddling
+    // third (each side's runner-up cell fails the 25% boundary gate by
+    // ~70x), so the certificate measures exactly floor(2/3 · 10000) =
+    // 6666 bp and the guard must TRIP.  Under the old one-seed geometry
+    // it could never trip.  id 105 (a copy of 100, excluded by the mod)
+    // pins the thinning too: its inclusion would change the ratio.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("embedsampled").toString
+    def at(deg: Double, i: Int, j: Int): Seq[Float] = {
+      val v = Array.fill(16)(0.0f)
+      val r = math.toRadians(deg)
+      v(i) = (4.0 * math.cos(r)).toFloat
+      v(j) = (4.0 * math.sin(r)).toFloat
+      v.toSeq
+    }
+    val seeds = (0 until 10).map(i => (i * 10L, at(0.0, i, (i + 1) % 16)))
+    val rows = seeds ++ Seq(
+      (100L, at(15.0, 0, 1)), (105L, at(15.0, 0, 1)), (110L, at(75.0, 0, 1)))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    withConfs(
+      "spark.graft.embed.pairs" -> "bucketed",
+      "spark.graft.embed.minRecallBp" -> "10000",
+      "spark.graft.embed.recallSampleMod" -> "10") {
+      val e = intercept[Exception] {
+        Similarity.embedPairs(spark, dir).collect()
+      }
+      val msg = failureMessage(e)
+      assert(msg.contains("recall-floor guard"), s"wrong failure: $msg")
+      assert(msg.contains("recall 6666 bp"),
+        s"sampled certificate must measure 2-of-3 over the thinned slice " +
+          s"with all 10 cells seeded (one-seed geometry reads 10000): $msg")
+    }
+  }
+
   test("sampled certificate: recallSampleMod thins deterministically and still guards") {
     // the low-recall fixture has doc_ids 0,1 (borderline pair) and 10,11
     // (identical pair); sampleMod=2 keeps the EVEN ids only — doc 1 and
