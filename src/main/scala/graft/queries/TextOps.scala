@@ -456,19 +456,24 @@ object TextOps {
       .filter(col("text").isNotNull && col("text") =!= "")
       .withColumn("w", tokens(col("text")))
       .filter(size(col("w")) >= 3)
-    // PLAN-SHAPE TRAP (measured, do not "simplify"): the generator input
-    // must stay an INLINE expression.  Naming the shingle array as an
-    // attribute (withColumn("sharr", …) + explode(col("sharr"))) makes
+    // PLAN-SHAPE TRAP, round-12 resolution: naming the shingle array as
+    // an attribute and using plain explode() makes
     // InferFiltersFromGenerate add `size(sharr) > 0`, which pushes below
     // the `w` projection and inlines split() into every lambda
     // element_at — ~150 interpreted re-splits per document, a measured
-    // 0.6 s → 8.8 s regression on this relation at sf0.1.  n_sh is
-    // instead its own pre-Generate attribute derived from `w` (the
-    // array builds twice per doc — µs — and nothing rides through the
-    // Generate but one long).
-    toks.withColumn("n_sh", size(shingleArrayOf(col("w"))).cast("long"))
-      .select(col("doc_id"), col("source"), col("n_sh"),
-        explode(shingleArrayOf(col("w"))).as("shingle"))
+    // 0.6 s → 8.8 s regression on this relation at sf0.1.  Round 11
+    // therefore built the array TWICE inline (once for n_sh, once for
+    // the generator) — ~0.4 s/sf0.1 of duplicate array construction
+    // charged to every consumer.  explode_outer retires the trap: no
+    // filter can be inferred for an OUTER generate, so the named
+    // attribute is safe and the array builds ONCE (probe: shingle
+    // relation 0.91 → 0.53 s, d10 3.40 → 2.98 s at sf0.1, byte-identical
+    // output).  The outer semantics never fire: `size(w) >= 3` keeps
+    // every array non-empty, so explode_outer ≡ explode here.
+    toks.withColumn("sharr", shingleArrayOf(col("w")))
+      .select(col("doc_id"), col("source"),
+        size(col("sharr")).cast("long").as("n_sh"),
+        explode_outer(col("sharr")).as("shingle"))
   }
 
   /** Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin prefix filter,
