@@ -192,9 +192,11 @@ object Bench {
     // Embedding pair-source tier: d7 re-run under
     // spark.graft.embed.pairs=bucketed — the d15-audited cell-scoped
     // scale path.  On THIS corpus the bucketed relation is lossy (d15:
-    // recall_bp 6750 at sf0.1) so the headline d7 stays on the exact
-    // default; this number prices the opt-in path a clustered-corpus
-    // deployment would flip to (SCALING.md carries its exponent curve).
+    // recall_bp 9119 at sf0.1 at the swept probe-3 defaults — and the
+    // s16 radius certificate proves the residual is geometry: no
+    // triangle-safe probing is selective at τ=0.4) so the headline d7
+    // stays on the exact default; this number prices the opt-in path a
+    // clustered-corpus deployment would flip to (SCALING.md curves).
     val embedTier: Option[Double] =
       if (tiersOff) None
       else {

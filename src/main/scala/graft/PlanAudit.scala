@@ -461,7 +461,25 @@ object PlanAudit {
         "two-stage update, the refreshed argmin and the two ≤ k-row " +
         "stats rollups — ≤ 9 logical data shuffles, rendered with " +
         "InMemoryRelation tree+detail duplication; a 12th occurrence " +
-        "means a corpus-sized shuffle leaked in"))
+        "means a corpus-sized shuffle leaked in"),
+    // s16 radius-completeness certificate (round-12: the frontier close —
+    // the cert must stay Θ(n·k), never run the pair join it prices)
+    Expect("s16_radius_cert", "BroadcastNestedLoopJoin",
+      "both centroid passes (training argmin, radius assignment) " +
+        "BROADCAST the ≤ k-row cell set to the normalized corpus — the " +
+        "corpus is scanned, never shuffled, per pass", maxCount = 4),
+    Expect("s16_radius_cert", "SortMergeJoin", present = false,
+      why = "the only joins are the broadcast centroid crossJoins — an " +
+        "SMJ means the corpus got shuffled on a join key"),
+    Expect("s16_radius_cert", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan must prune to (vec_id, embedding) and is " +
+        "read ONCE into the memoized normalized-grid relation", maxCount = 1),
+    Expect("s16_radius_cert", "hashpartitioning(", maxCount = 6,
+      why = "bounded shuffle budget: the training argmin (vec_id), the " +
+        "two-stage centroid update (list_id,pos → list_id), the " +
+        "per-vector distance-set aggregate (vec_id) and the 5-row τ " +
+        "report — 5 logical data shuffles; a 7th occurrence means the " +
+        "certificate started paying for the pair join it exists to price"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

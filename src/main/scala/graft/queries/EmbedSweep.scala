@@ -64,11 +64,15 @@ object EmbedSweep {
         .select(col("vec_a"), col("vec_b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nExact = exact.count()
-      for {
-        probe <- Seq(2, 3)
-        steps <- Seq(1, 2)
-        boundaryPct <- Seq(15, 25, 40)
-      } {
+      // the round-11 grid, plus the round-12 "residual-aware" arm: probe
+      // UNCAPPED (= cells) with the boundary gate doing all the work —
+      // a vector probes every cell within `boundary`% of its best, the
+      // margin-ordered policy the round-11 verdict asked to measure
+      val grid =
+        (for { p <- Seq(2, 3); st <- Seq(1, 2); b <- Seq(15, 25, 40) }
+          yield (p, st, b)) ++
+        Seq(40, 60, 100, 200).map(b => (cells, 1, b))
+      for ((probe, steps, boundaryPct) <- grid) {
         val (cand, _) = Similarity.bucketedEmbeddingCandidatesOf(
           spark, corpus, cells, probe, seedStride, steps, boundaryPct)
         val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

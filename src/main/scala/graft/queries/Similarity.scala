@@ -2368,10 +2368,261 @@ object Similarity {
       "int64 — s13's fine-level sibling (names the subspace drifting " +
       "before s9's recall decays); FULL value oracle")
 
+  // ---------------------------------------------------------------- s16
+  /** Quantization grid of the RADIUS-COMPLETE pair source: coarser than
+    * this and the ±√dim floor-error term (16 at dim 64) dominates the
+    * triangle bound; 512 keeps every distance ≤ 2²⁶, exact in a double
+    * and in DuckDB.  Vectors are NORMALIZED before quantization (the
+    * completeness theorem lives on the unit sphere, where a cosine
+    * threshold IS a chord-length bound — un-normalized embeddings give
+    * no metric bound at all). */
+  private[graft] val RadiusQuantScale = 512
+
+  /** The triangle-inequality completeness margin `2·Dq` for a round-4
+    * cosine threshold `tauBp/10000`, in [[RadiusQuantScale]] grid units.
+    *
+    * Derivation (every step an over-approximation, so completeness only
+    * gains): round-4 cosine ≥ τ ⟹ true cosine ≥ τ − 10⁻⁴ ⟹ the
+    * normalized chord ‖û−v̂‖ ≤ D = √(2(1−τ+10⁻⁴)); per-coordinate floor
+    * error < 1 bounds ‖qû − Q·û‖ ≤ √dim = 8, so the quantized chord is
+    * ≤ Q·D + 16; +1 absorbs float-normalization ulps.  If u's best cell
+    * is c_u and v's is c_v then ‖qû−c_v‖ ≤ Dq + ‖qv̂−c_v‖ ≤
+    * Dq + ‖qv̂−c_u‖ ≤ 2·Dq + ‖qû−c_u‖ — so assigning every vector to
+    * ALL cells within `√dbest + 2Dq` guarantees any τ-pair shares a
+    * cell.  The bound is tight in the worst case, which is the theorem
+    * s16 measures: at τ = 0.4, 2Dq = 1156 EXCEEDS the diameter of the
+    * whole quantized sphere (2Q + 16 = 1040), so a provably-complete
+    * ball assignment probes EVERY cell on ANY corpus — the residual
+    * ~900 bp the bucketed tier leaves at τ = 0.4 is geometry, not
+    * tuning (the round-11 sweep's frontier, now closed; SCALING.md). */
+  private[graft] def radiusTwoDq(tauBp: Int): Int = {
+    require(tauBp > 0 && tauBp < 10000, s"tauBp=$tauBp outside (0, 10000)")
+    val tau = (tauBp - 1).toDouble / 10000.0
+    val d = math.sqrt(2.0 * (1.0 - tau))
+    2 * (math.ceil(RadiusQuantScale * d + 16.0).toInt + 1)
+  }
+
+  /** The thresholds s16 certifies: the engine's own near-dup threshold
+    * (0.4), the borderline band's ceiling (0.5), and the SemDeDup-style
+    * high-τ regimes where ball completeness can be selective. */
+  private val RadiusCertTaus = Seq(4000, 5000, 7000, 9000, 9500)
+
+  /** The normalized quantized corpus `(vec_id, emb, nrm, qn, vv)` on the
+    * [[RadiusQuantScale]] grid — persisted + memoized (the cert query and
+    * the pair source share one materialization per session).  Zero
+    * vectors are dropped (no direction ⟹ no cosine). */
+  private def s16NormQuantized(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s16NormQuantized") {
+      graft.sentiment.GraftFunctions.register(s)
+      trackedPersist(Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
+        .filter(col("nrm") > 0)
+        .withColumn("qn", transform(col("emb"),
+          x => floor(x / col("nrm") * RadiusQuantScale)).cast("array<double>"))
+        .withColumn("vv", dot(col("qn"), col("qn"))))
+    }
+
+  /** Integer k-means cells over a normalized-quantized relation
+    * `(vec_id, qn, vv)` — the bucketed tier's trainer on the radius
+    * grid (seeds = stride-spaced leading ids, ONE floored-integer-mean
+    * update; everything exact int64-in-double, replays in DuckDB). */
+  private def s16Cells(e: DataFrame, cells: Int, seedStride: Long): DataFrame = {
+    val seeds = e.filter(col("vec_id") % seedStride === 0 &&
+        col("vec_id") < cells * seedStride)
+      .select((col("vec_id") / seedStride).cast("int").as("list_id"),
+        col("qn").as("cent"), col("vv").as("cc"))
+    val d0 = e.crossJoin(broadcast(seeds))
+      .withColumn("dist", col("vv") - lit(2) * dot(col("qn"), col("cent")) + col("cc"))
+    integerMeanCentroids(
+      d0.groupBy(col("vec_id"))
+        .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
+          first(col("qn")).as("qv"))
+        .select(col("list_id"), col("qv")))
+  }
+
+  /** The ASSIGNMENT stage of [[radiusCompleteEmbeddingPairsOf]] — split
+    * out so RadiusCompleteSpec can measure assignment mass (the cost
+    * driver the s16 certificate reports) without the pair join.  Returns
+    * `(am(vec_id, list_id), e)` where `e` is the persisted normalized
+    * quantized relation the verify joins back to. */
+  private[queries] def radiusAssignmentsOf(
+      s: SparkSession,
+      corpus: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
+      tauBp: Int,
+      cells: Int,
+      seedStride: Long): (DataFrame, DataFrame) = {
+    graft.sentiment.GraftFunctions.register(s)
+    val e = trackedPersist(corpus.toDF("vec_id", "emb", "nrm")
+      .filter(col("nrm") > 0)
+      .withColumn("qn", transform(col("emb"),
+        x => floor(x / col("nrm") * RadiusQuantScale)).cast("array<double>"))
+      .withColumn("vv", dot(col("qn"), col("qn"))))
+    val cents = s16Cells(e, cells, seedStride)
+    val twoDq = radiusTwoDq(tauBp)
+    // radius assignment: dist ≤ (⌊√dbest⌋ + 1 + 2Dq)² — the +1 makes the
+    // integer sqrt an over-approximation; the square is an explicit
+    // multiply (Math.pow is not correctly rounded and a 1-ulp-under
+    // result would drop an equal-distance cell)
+    val am = e.crossJoin(broadcast(cents))
+      .withColumn("dist", col("vv") - lit(2) * dot(col("qn"), col("cent")) + col("cc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dist")).as("dbest"),
+        collect_list(struct(col("dist"), col("list_id"))).as("ds"))
+      .withColumn("thr",
+        (floor(sqrt(col("dbest"))) + lit(1) + lit(twoDq)) *
+          (floor(sqrt(col("dbest"))) + lit(1) + lit(twoDq)))
+      .select(col("vec_id"),
+        explode(filter(col("ds"), t => t.getField("dist") <= col("thr"))).as("t"))
+      .select(col("vec_id"), col("t.list_id").as("list_id"))
+    (am, e)
+  }
+
+  /** PROVABLY-COMPLETE embedding near-dup pair source: every vector is
+    * assigned to ALL cells within `√dbest + 2Dq(τ)` of it (the
+    * [[radiusTwoDq]] triangle bound), candidates are pairs sharing a
+    * cell, and every candidate re-verifies with the round-4 exact
+    * cosine — so recall is 10000 bp BY THEOREM, not by measurement
+    * (the spec still measures it: RadiusCompleteSpec).  The price is
+    * the assignment mass, which is exactly the corpus's clusterability
+    * at τ: selective when inter-cluster separation exceeds the 2Dq
+    * ball (planted fixture at τ = 0.95: 1× candidates), all-pairs when
+    * it does not (ANY corpus at τ = 0.4, where 2Dq exceeds the sphere
+    * diameter) — [[s16RadiusCert]] reports that mass per τ WITHOUT
+    * running the quadratic join, which is how a deployment decides. */
+  def radiusCompleteEmbeddingPairsOf(
+      s: SparkSession,
+      corpus: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],
+      tauBp: Int,
+      cells: Int = EmbedCells,
+      seedStride: Long = 1L): DataFrame = {
+    val (am, e) = radiusAssignmentsOf(s, corpus, tauBp, cells, seedStride)
+    val cand = am.select(col("list_id"), col("vec_id").as("vec_a"))
+      .join(am.select(col("list_id"), col("vec_id").as("vec_b")), Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val raw = e.select(col("vec_id"), col("emb"), col("nrm"))
+    cand
+      .join(raw.select(col("vec_id").as("vec_a"),
+        col("emb").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(raw.select(col("vec_id").as("vec_b"),
+        col("emb").as("eb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4))
+      .filter(col("cosine") >= lit(tauBp.toDouble / 10000.0))
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** RADIUS-COMPLETENESS certificate — the round-11 verdict's "per-cell
+    * radius bound from the d15 certificate itself", answering the
+    * question the probe/boundary sweep could not: what multi-assignment
+    * mass does PROVABLE completeness force on THIS corpus, per cosine
+    * threshold?  For each τ the query counts, per vector, the cells
+    * within the [[radiusTwoDq]] triangle bound — WITHOUT running the
+    * (possibly quadratic) pair join, so the certificate is Θ(n·k) at
+    * any τ and a deployment reads the answer before paying for it.
+    *
+    *   cell_mass_bp = 10000 ⟺ every vector must probe EVERY cell ⟺
+    *   a complete ball assignment degenerates to all-pairs at this τ.
+    *
+    * On the driver corpus at τ = 0.4 the answer is 10000 on ANY corpus
+    * (2Dq = 1156 > the sphere diameter 1040 — the theorem), which is
+    * the formal close of the bucketed tier's residual-recall frontier:
+    * the missing ~900 bp at τ = 0.4 cannot be bought by any
+    * triangle-safe probing policy, only measured (d15) and guarded
+    * (the recall floor).  At high τ the mass falls exactly where the
+    * corpus clusters — the regime where [[radiusCompleteEmbeddingPairsOf]]
+    * is both complete and selective (RadiusCompleteSpec measures 1×
+    * candidates on the planted fixture at τ = 0.95).
+    *
+    * Scale shape: ONE pruned corpus scan into the memoized normalized
+    * grid, training + assignment are broadcast crossJoins (the corpus is
+    * scanned, never shuffled), the per-vector distance set collapses
+    * map-side (bounded by the CELL count), τ arms explode from a 5-row
+    * literal array, and the report is a 5-row aggregate.  All arithmetic
+    * exact int64-in-double; FULL value oracle. */
+  val s16RadiusCert = NamedQuery(
+    "s16_radius_cert",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val e = s16NormQuantized(s, dir).select(col("vec_id"), col("qn"), col("vv"))
+      val cents = s16Cells(e, EmbedCells, 1L)
+      val taus = array(RadiusCertTaus.map(t =>
+        struct(lit(t).as("tau_bp"), lit(radiusTwoDq(t)).as("two_dq"))): _*)
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist", col("vv") - lit(2) * dot(col("qn"), col("cent")) + col("cc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dist")).as("dbest"), collect_list(col("dist")).as("ds"))
+        .select(col("dbest"), col("ds"), explode(taus).as("t"))
+        .withColumn("thr",
+          (floor(sqrt(col("dbest"))) + lit(1) + col("t.two_dq")) *
+            (floor(sqrt(col("dbest"))) + lit(1) + col("t.two_dq")))
+        .groupBy(col("t.tau_bp").as("tau_bp"), col("t.two_dq").as("two_dq"))
+        .agg(count(lit(1)).as("n_vec"),
+          sum(size(filter(col("ds"), x => x <= col("thr")))).cast("long").as("n_assign"))
+        .select(col("tau_bp"), col("two_dq"), col("n_vec"), col("n_assign"),
+          expr(s"(n_assign * 10000) div (n_vec * $EmbedCells)").as("cell_mass_bp"))
+        .orderBy(col("tau_bp"))
+    },
+    Some(s"""WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      nz AS (
+        SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        FROM e WHERE list_dot_product(emb, emb) > 0),
+      qz AS (
+        SELECT vec_id,
+               list_transform(emb, x -> floor(x / nrm * $RadiusQuantScale)) AS qn
+        FROM nz),
+      qz2 AS (SELECT vec_id, qn, list_dot_product(qn, qn) AS vv FROM qz),
+      seeds AS (
+        SELECT CAST(vec_id AS INT) AS list_id, qn AS cent, vv AS cc
+        FROM qz2 WHERE vec_id < $EmbedCells),
+      d0 AS (
+        SELECT v.vec_id, s.list_id,
+               v.vv - 2 * list_dot_product(v.qn, s.cent) + s.cc AS dist
+        FROM qz2 v, seeds s),
+      a0 AS (
+        SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM d0) r WHERE rn = 1),
+      cdim AS (
+        SELECT a0.list_id, i, floor(sum(qn[i]) / count(*)) AS c
+        FROM a0 JOIN qz2 USING (vec_id), range(1, 65) t(i)
+        GROUP BY a0.list_id, i),
+      cent1 AS (
+        SELECT list_id, list(c ORDER BY i) AS cent FROM cdim GROUP BY list_id),
+      cent2 AS (
+        SELECT list_id, cent, list_dot_product(cent, cent) AS cc FROM cent1),
+      d1 AS (
+        SELECT v.vec_id, c.list_id,
+               v.vv - 2 * list_dot_product(v.qn, c.cent) + c.cc AS dist
+        FROM qz2 v, cent2 c),
+      pv AS (SELECT vec_id, min(dist) AS dbest FROM d1 GROUP BY vec_id),
+      taus(tau_bp, two_dq) AS (VALUES ${RadiusCertTaus.map(t =>
+        s"(${t}, ${radiusTwoDq(t)})").mkString(", ")}),
+      asn AS (
+        SELECT t.tau_bp, t.two_dq, count(*) AS n_assign
+        FROM d1 JOIN pv USING (vec_id) CROSS JOIN taus t
+        WHERE d1.dist <= (floor(sqrt(pv.dbest)) + 1 + t.two_dq)
+                       * (floor(sqrt(pv.dbest)) + 1 + t.two_dq)
+        GROUP BY t.tau_bp, t.two_dq)
+      SELECT CAST(tau_bp AS INT) AS tau_bp, CAST(two_dq AS INT) AS two_dq,
+        (SELECT count(*) FROM qz2) AS n_vec,
+        CAST(n_assign AS BIGINT) AS n_assign,
+        CAST(n_assign * 10000 // ((SELECT count(*) FROM qz2) * $EmbedCells)
+          AS BIGINT) AS cell_mass_bp
+      FROM asn ORDER BY tau_bp"""),
+    doc = "radius-completeness certificate: per cosine threshold, the " +
+      "multi-assignment mass a triangle-inequality-COMPLETE cell " +
+      "assignment forces on this corpus (cell_mass_bp = 10000 means " +
+      "provable completeness degenerates to all-pairs — the formal " +
+      "close of the tau=0.4 recall frontier); Θ(n·k), FULL value oracle")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
       s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall,
-      s14PqStaleness, s15WarmStartRefresh)
+      s14PqStaleness, s15WarmStartRefresh, s16RadiusCert)
 }
