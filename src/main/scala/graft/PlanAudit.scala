@@ -479,7 +479,26 @@ object PlanAudit {
         "two-stage centroid update (list_id,pos → list_id), the " +
         "per-vector distance-set aggregate (vec_id) and the 5-row τ " +
         "report — 5 logical data shuffles; a 7th occurrence means the " +
-        "certificate started paying for the pair join it exists to price"))
+        "certificate started paying for the pair join it exists to price"),
+    // c11 DSIR importance selection (round-12)
+    Expect("c11_dsir_selection", "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+      "the documents scan must prune to the 3 needed columns and is read " +
+        "ONCE into the persisted token relation both passes (bucket " +
+        "counts, raw-side scoring) share", maxCount = 1),
+    Expect("c11_dsir_selection", "BroadcastHashJoin",
+      "the ≤ B-row weight table BROADCASTS onto the raw token stream — " +
+        "the corpus never shuffles for the scoring join", maxCount = 4),
+    Expect("c11_dsir_selection", "SortMergeJoin", present = false,
+      why = "the only join side is the 1024-row weight table — an SMJ " +
+        "means the token relation got shuffled on the bucket key"),
+    Expect("c11_dsir_selection", "TakeOrderedAndProject", maxCount = 2,
+      why = "the top-k selection must be a per-partition heap + merge, " +
+        "never a global sort of the scored pool"),
+    Expect("c11_dsir_selection", "hashpartitioning(", maxCount = 3,
+      why = "exactly 2 data shuffles — the map-side-combined bucket " +
+        "counts (b) and the per-doc score aggregate (doc_id); the " +
+        "totals window rides a 1024-row SinglePartition exchange, and " +
+        "a 4th hash shuffle means the broadcast or the heap regressed"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

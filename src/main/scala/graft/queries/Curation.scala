@@ -456,7 +456,161 @@ object Curation {
     doc = "benchmark decontamination via in-plan bloom pre-filter + exact " +
       "broadcast anti-join on the candidates; exact result, candidate-only shuffle")
 
+  // ---------------------------------------------------------------- c11
+  /** Hashed-feature bucket count of the DSIR selector (2¹⁰ — DSIR's
+    * published setup hashes n-grams into a fixed bucket table; Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", use 10⁴ buckets at web scale). */
+  private[graft] val DsirBuckets = 1024L
+  /** The target-domain slice: `src0` stands in for the curated
+    * high-quality domain (Wikipedia/books in the published setups). */
+  private[graft] val DsirTarget = "src0"
+  private val DsirTopK = 100
+
+  /** DSIR-style importance SELECTION — "which raw-pool documents look
+    * most like the target domain?", the data-selection step a pretraining
+    * pipeline runs between dedup and mixing: unigram tokens hash into
+    * [[DsirBuckets]] buckets (the codegen'd mod-prime `graft_charfold`),
+    * target vs raw bucket counts become per-bucket Laplace-smoothed
+    * likelihood ratios, and every raw document scores by its mean token
+    * ratio — top-[[DsirTopK]] by (score, doc_id) is the selected slice.
+    *
+    * Integer surrogate, deliberately: published DSIR ranks by
+    * Σ log(p_target/p_raw); a log does not replay bit-identically across
+    * engines, so the score here is the MEAN of the per-bucket ratios in
+    * basis points — `w_b = (ct+1)(N_r+B)·10⁴ div (cr+1)(N_t+B)` — exact
+    * int64 end to end (t18's PMI-rank technique: keep the monotone
+    * integer core, drop the float wrapper).  Per BUCKET the ratio orders
+    * exactly as the log does; per document the mean-of-ratios is a
+    * documented surrogate for the sum-of-logs (means are dominated by
+    * the same enriched buckets; DsirSelectionSpec plants a two-domain
+    * pool and checks the selection separates it).  Magnitudes: weights
+    * ≤ 10⁴·(N_r/N_t)-ish, doc sums ≤ n_tok·max_w — int64-safe past 10⁹
+    * tokens (the a12/decimal(38) regime note applies beyond that).
+    *
+    * Scale shape: the token relation (doc_id, source, bucket) persists
+    * ONCE for its two passes (count-building and scoring — the d13
+    * one-shared-relation rule); bucket counts are ONE map-side-combined
+    * shuffle to a ≤ B-row relation; totals ride a window over those B
+    * rows (one single-partition exchange of 1024 rows, the c4 idiom);
+    * the B-row weight table BROADCASTS back onto the raw token stream
+    * (the corpus never shuffles for the join); per-doc scores are one
+    * map-side-combined doc_id shuffle; the final cut is a top-k heap
+    * (TakeOrderedAndProject), never a global sort. */
+  /** The full per-doc scored RAW POOL of [[c11DsirSelection]] —
+    * (doc_id, source, n_tok, score_bp), before the top-k cut.  Factored
+    * out so the live twin's parity spec ([[graft.stream.LiveDsirScorer]],
+    * T18) can compare per-source totals against the batch relation. */
+  private[graft] def dsirScoredDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val tok = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .select(col("doc_id"), col("source"),
+        (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isT = col("source") === DsirTarget
+    tok.filter(!isT)
+      .join(broadcast(dsirWeightsOf(tok)), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("source")).as("source"),
+        count(lit(1)).as("n_tok"),
+        sum(col("w")).as("sw"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("sw div n_tok").as("score_bp"))
+  }
+
+  /** The ≤ B-row weight relation `(b, w)` from a token relation
+    * `(doc_id, source, b)` — c11's trained selector model. */
+  private def dsirWeightsOf(tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val isT = col("source") === DsirTarget
+    val counts = tok.groupBy(col("b"))
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(isT, 0L).otherwise(1L)).as("cr"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("nt", sum(col("ct")).over(w))
+      .withColumn("nr", sum(col("cr")).over(w))
+      .select(col("b"), expr(
+        s"((ct + 1) * (nr + $DsirBuckets) * 10000) div ((cr + 1) * (nt + $DsirBuckets))")
+        .as("w"))
+  }
+
+  /** c11's trained selector as a DRIVER-SIDE value — how a deployment
+    * ships the stored importance model to a live scorer (the
+    * s13IndexArray/s14CodebookArray pattern): the per-bucket weight map
+    * plus the (N_t, N_r) totals, from which an UNSEEN bucket's smoothed
+    * weight `(N_r+B)·10⁴ div (N_t+B)` derives (ct = cr = 0 in the same
+    * formula — live streams carry buckets the archive never saw; the
+    * batch join can't, because its weights trained on the same corpus). */
+  def dsirWeightExport(
+      s: org.apache.spark.sql.SparkSession, dir: String): (Map[Long, Long], Long, Long) = {
+    graft.sentiment.GraftFunctions.register(s)
+    val tok = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .select(col("source"),
+        (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+    val isT = col("source") === DsirTarget
+    val counts = tok.groupBy(col("b"))
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+        sum(when(isT, 0L).otherwise(1L)).as("cr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nt = counts.map(_._2).sum
+    val nr = counts.map(_._3).sum
+    val wm = counts.map { case (b, ct, cr) =>
+      b -> Math.floorDiv((ct + 1) * (nr + DsirBuckets) * 10000L,
+        (cr + 1) * (nt + DsirBuckets))
+    }.toMap
+    (wm, nt, nr)
+  }
+
+  val c11DsirSelection = NamedQuery(
+    "c11_dsir_selection",
+    (s, dir) =>
+      dsirScoredDocs(s, dir)
+        .orderBy(col("score_bp").desc, col("doc_id"))
+        .limit(DsirTopK),
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, lower(trim(text)) AS lt
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      tok AS (
+        SELECT doc_id, source,
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(range(1, length(t) + 1),
+              i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) % $DsirBuckets AS b
+        FROM d, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
+      counts AS (
+        SELECT b,
+          sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct,
+          sum(CASE WHEN source = '$DsirTarget' THEN 0 ELSE 1 END) AS cr
+        FROM tok GROUP BY b),
+      tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+      weights AS (
+        SELECT b, ((ct + 1) * (nr + $DsirBuckets) * 10000)
+                  // ((cr + 1) * (nt + $DsirBuckets)) AS w
+        FROM counts, tot),
+      scored AS (
+        SELECT t.doc_id, min(t.source) AS source,
+               count(*) AS n_tok, sum(w.w) AS sw
+        FROM tok t JOIN weights w USING (b)
+        WHERE t.source <> '$DsirTarget'
+        GROUP BY t.doc_id)
+      SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(sw // n_tok AS BIGINT) AS score_bp
+      FROM scored ORDER BY score_bp DESC, doc_id LIMIT $DsirTopK"""),
+    doc = "DSIR-style importance selection: hashed-unigram Laplace " +
+      "likelihood ratios (target vs raw pool) in exact integer basis " +
+      "points, every raw doc scored by mean token ratio, top-k " +
+      "selected — the data-selection step between dedup and mixing; " +
+      "FULL value oracle (the t18 integer-rank technique)")
+
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
-      c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination)
+      c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
+      c11DsirSelection)
 }

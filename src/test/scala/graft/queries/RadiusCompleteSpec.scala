@@ -114,6 +114,29 @@ class RadiusCompleteSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll 
       s"straddling pairs lost: ${(exact95 -- pairs).take(5)}")
   }
 
+  test("driver corpus, τ=0.4: radius-complete ≡ the exact kernel relation, bit-identical cosines") {
+    // completeness proven on REAL data, not just the planted fixture: at
+    // τ=0.4 the 2Dq ball covers every cell (the theorem), so the radius
+    // source must reproduce d5's exact ≥0.4 relation EXACTLY — same
+    // pairs, same round-4 cosines (shared verify arithmetic) — while
+    // paying all-pairs candidates, the price s16 names for this regime
+    val dir = sf("sf0.001")
+    import spark.implicits._
+    val corpus = graft.tables.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", Similarity.norm(col("emb")))
+      .as[(Long, Array[Double], Double)]
+    val exact = Similarity.embeddingPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val radius = Similarity.radiusCompleteEmbeddingPairsOf(spark, corpus, 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "vacuous fixture: no exact ≥0.4 pairs at sf0.001")
+    assert(radius == exact,
+      s"radius-complete must equal exact at τ=0.4: exact ${exact.size}, " +
+        s"radius ${radius.size}, missing ${(exact -- radius).take(5)}, " +
+        s"invented ${(radius -- exact).take(5)}")
+  }
+
   test("s16 certificate: τ=0.4 reads all-cells on the driver corpus (the theorem), rows replay") {
     val rows = Similarity.s16RadiusCert.fn(spark, sf("sf0.001"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
