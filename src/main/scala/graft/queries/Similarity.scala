@@ -1132,6 +1132,12 @@ object Similarity {
     * path for corpora that cluster — where the spec's planted-cluster
     * fixture shows recall_bp = 10000 and linear candidate growth
     * (SCALING.md).  The audit decides, not the architecture.
+    * Round 12 made this the ACCEPTED posture, not a pending gap: the
+    * s16 radius certificate proves the residual is geometry — at
+    * τ = 0.4 the triangle-completeness ball exceeds the quantized
+    * sphere's diameter, so any complete assignment probes every cell
+    * on any corpus, and the uncapped-probe sweep reaches 10000 bp only
+    * at 99.998% of all-pairs (SCALING.md round-12 section).
     *
     * Precision is exact under EITHER source (both verify with the same
     * round-4 cosine), so flipping can only shrink the pair set — and
