@@ -498,7 +498,29 @@ object PlanAudit {
       why = "exactly 2 data shuffles — the map-side-combined bucket " +
         "counts (b) and the per-doc score aggregate (doc_id); the " +
         "totals window rides a 1024-row SinglePartition exchange, and " +
-        "a 4th hash shuffle means the broadcast or the heap regressed"))
+        "a 4th hash shuffle means the broadcast or the heap regressed"),
+    // d17 cross-source overlap sketch (round-12: d16's bounded scale path)
+    Expect("d17_overlap_sketch", "ReadSchema: struct<text:string,source:string>",
+      "the documents scan must prune to (text, source) and appear ONCE — " +
+        "the persisted ≤ |sources|-row sketch relation feeds BOTH pair " +
+        "sides (unpersisted, the corpus is shingled twice — d16's " +
+        "round-11 defect class)", maxCount = 1),
+    Expect("d17_overlap_sketch", "InMemoryRelation",
+      "the sketch relation must sit behind a persist boundary (tree + " +
+        "detail per join side = 4 renders)", maxCount = 4),
+    Expect("d17_overlap_sketch", "ObjectHashAggregate",
+      "graft_kmv_mins must plan as ObjectHashAggregate with a " +
+        "partial/final split — the map-side combine is the whole point " +
+        "(shuffle ≤ k longs per source per mapper); the pair renders the " +
+        "cached subtree per join side plus details (≤ 8)", maxCount = 8),
+    Expect("d17_overlap_sketch", "SortMergeJoin", present = false,
+      why = "the pair join is over the ≤ |sources|-row sketch relation " +
+        "and must broadcast — an SMJ means a tiny relation got shuffled"),
+    Expect("d17_overlap_sketch", "hashpartitioning(", maxCount = 2,
+      why = "exactly 1 data shuffle (the per-source sketch aggregate, " +
+        "map-side combined to ≤ k longs per source); the ordered output " +
+        "range-partitions — a 3rd occurrence means the corpus leaked " +
+        "into the pair arithmetic"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

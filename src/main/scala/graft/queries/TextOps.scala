@@ -410,6 +410,137 @@ object TextOps {
     doc = "cross-source shingle-overlap matrix: shared distinct word-trigram " +
       "shingles + integer-bp Jaccard per source pair, one corpus shuffle")
 
+  // ---------------------------------------------------------------- d17
+  /** Sketch size of the cross-source overlap estimator — standard error
+    * of the KMV Jaccard estimate is ~√(J(1−J)/k) (Beyer et al., SIGMOD
+    * 2007), so 256 reads overlap to within a few hundred basis points;
+    * a deployment retunes per fleet. */
+  private[graft] val OverlapSketchK = 256
+
+  /** Cross-source overlap SKETCH — d16's bounded-memory scale path: the
+    * exact matrix costs one corpus-sized `groupBy(shingle)` shuffle per
+    * audit, which a 100 TB deployment cannot run continuously; this
+    * estimator keeps ONE `graft_kmv_mins` synopsis per source (the k
+    * smallest distinct shingle hashes — map-side combined, so the
+    * shuffle carries ≤ k longs per source per mapper, NEVER the corpus)
+    * and reads every pairwise overlap off the ≤ |sources|-row sketch
+    * relation with Beyer et al.'s multiset estimators:
+    *
+    *   the k-mins of A ∪ B are exactly the k smallest of
+    *   mins(A) ∪ mins(B);  ρ = |k-mins(A∪B) ∩ mins(A) ∩ mins(B)|
+    *   estimates ρ/k ≈ J(A, B), and ρ·|A∪B|est div k ≈ |A∩B|.
+    *
+    * Every step — charfold hash, order statistics, set intersection,
+    * integer division — is exact int64 arithmetic, so the WHOLE
+    * estimator (not just the exact branch) replays bit-for-bit in
+    * DuckDB: a fully value-oracled sketch, like a6/a10.  Sources whose
+    * sketch is complete (< k distinct shingles) take the EXACT branch —
+    * at sf0.001 every source does, which is how the spec pins the
+    * estimator against d16's exact matrix with equality, not tolerance.
+    * d16 stays the exact audit; d17 is what runs continuously. */
+  val d17OverlapSketch = NamedQuery(
+    "d17_overlap_sketch",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val K = OverlapSketchK
+      // PERSIST the ≤ |sources|-row sketch relation: both sides of the
+      // pair join read it, and without the boundary the corpus is
+      // shingled+sketched TWICE (d16's round-11 defect class — PlanAudit
+      // gates the single pruned scan)
+      val sk = Dedup.constructionPersist(s, shingles(s, dir)
+        .select(col("source"), call_function("graft_charfold", col("shingle")).as("h"))
+        .groupBy(col("source"))
+        .agg(call_function("graft_kmv_mins",
+          col("h"), lit(K), lit(graft.functions.CharFoldKernel.Prime)).as("mins")))
+      overlapFromSketches(sk, K)
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      sh AS (
+        SELECT DISTINCT source, unnest(list_distinct(list_transform(
+                 range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM tok WHERE len(w) >= 3),
+      hs AS (
+        SELECT DISTINCT source,
+          list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
+              range(1, length(shingle) + 1),
+              i -> CAST(ascii(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        FROM sh),
+      mins AS (
+        SELECT source, list(h ORDER BY h) AS mins FROM (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM hs) r WHERE rn <= $OverlapSketchK GROUP BY source),
+      pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               a.mins AS ma, b.mins AS mb,
+               CAST(len(a.mins) AS BIGINT) AS la, CAST(len(b.mins) AS BIGINT) AS lb,
+               list_intersect(a.mins, b.mins) AS ab,
+               list_sort(list_distinct(a.mins || b.mins)) AS uni
+        FROM mins a JOIN mins b ON a.source < b.source),
+      calc AS (
+        SELECT src_a, src_b, la, lb, ab, uni,
+               la < $OverlapSketchK AND lb < $OverlapSketchK AS ex,
+               CAST(len(list_intersect(uni[1:$OverlapSketchK], ab)) AS BIGINT) AS rho,
+               CASE WHEN la < $OverlapSketchK THEN la
+                    ELSE ${(OverlapSketchK - 1) * 1000000007L} // ma[$OverlapSketchK] END AS est_a,
+               CASE WHEN lb < $OverlapSketchK THEN lb
+                    ELSE ${(OverlapSketchK - 1) * 1000000007L} // mb[$OverlapSketchK] END AS est_b,
+               CASE WHEN la < $OverlapSketchK AND lb < $OverlapSketchK
+                    THEN CAST(len(uni) AS BIGINT)
+                    ELSE ${(OverlapSketchK - 1) * 1000000007L} // uni[$OverlapSketchK] END AS est_union
+        FROM pairs)
+      SELECT src_a, src_b, ex AS exact,
+        CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+        CAST(CASE WHEN ex THEN len(ab)
+                  ELSE (rho * est_union) // $OverlapSketchK END AS BIGINT) AS est_shared,
+        CAST(CASE WHEN ex THEN (10000 * len(ab)) // len(uni)
+                  ELSE (10000 * rho) // $OverlapSketchK END AS BIGINT) AS jaccard_bp
+      FROM calc ORDER BY src_a, src_b"""),
+    doc = "cross-source overlap SKETCH: one bounded graft_kmv_mins synopsis " +
+      "per source (k smallest distinct shingle hashes, map-side combined — " +
+      "shuffle <= k longs/source, never the corpus), pairwise " +
+      "intersection/Jaccard via the KMV multiset estimators in exact " +
+      "int64 — d16's continuously-runnable scale path, FULLY value-oracled")
+
+  /** d17's pairwise estimator over a `(source, mins)` sketch relation —
+    * THE single definition of the overlap arithmetic, shared by the
+    * batch query above and the live monitor's report
+    * ([[graft.stream.LiveOverlapSketch.reportOf]]): live ≡ batch holds
+    * by construction because neither path restates these expressions.
+    * All exact int64 (the estimators' derivation: the d17 doc). */
+  private[graft] def overlapFromSketches(sk: DataFrame, K: Int): DataFrame = {
+    val km = (K - 1).toLong * graft.functions.CharFoldKernel.Prime
+    sk.select(col("source").as("src_a"), col("mins").as("ma"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("src_b"), col("mins").as("mb"))))
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("la", size(col("ma")).cast("long"))
+      .withColumn("lb", size(col("mb")).cast("long"))
+      .withColumn("exact", col("la") < K && col("lb") < K)
+      .withColumn("ab", array_intersect(col("ma"), col("mb")))
+      .withColumn("uni", array_sort(array_distinct(concat(col("ma"), col("mb")))))
+      .withColumn("u", slice(col("uni"), 1, K))
+      .withColumn("rho", size(array_intersect(col("u"), col("ab"))).cast("long"))
+      .withColumn("est_a", when(col("la") < K, col("la"))
+        .otherwise(expr(s"$km div element_at(ma, $K)")))
+      .withColumn("est_b", when(col("lb") < K, col("lb"))
+        .otherwise(expr(s"$km div element_at(mb, $K)")))
+      .withColumn("est_union", when(col("exact"), size(col("uni")).cast("long"))
+        .otherwise(expr(s"$km div element_at(u, $K)")))
+      .withColumn("est_shared", when(col("exact"), size(col("ab")).cast("long"))
+        .otherwise(expr(s"(rho * est_union) div $K")))
+      .withColumn("jaccard_bp",
+        when(col("exact"), expr("(10000 * size(ab)) div size(uni)").cast("long"))
+          .otherwise(expr(s"(10000 * rho) div $K")))
+      .select(col("src_a"), col("src_b"), col("exact"),
+        col("est_a"), col("est_b"), col("est_shared"), col("jaccard_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Scale-adaptive exact-Jaccard pairs (both paths produce identical
     * results — proven by QueryPacksSpec in both scopes): for small corpora
     * the naive shingle join beats the prefix filter's extra shuffles; at
@@ -1866,5 +1997,6 @@ object TextOps {
     t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
     t15TypoPairs, t19EncodingQa, t20BpeTrain, t21BpeApply,
     d1DedupExact, d2NgramJaccard, d10Containment, d16SourceOverlap,
+    d17OverlapSketch,
     c1CorpusCuration, c2Contamination, c7NgramDecontamination)
 }

@@ -84,6 +84,9 @@ object GraftFunctions {
       "graft_kmv",
       exprs => graft.functions.KmvDistinct(exprs.head, exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv_mins",
+      exprs => graft.functions.KmvMins(exprs.head, exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cms",
       exprs => graft.functions.CountMinAgg(exprs.head, exprs(1)), "scala_udf")
     // Spark's own runtime-filter bloom kernel (BloomFilterAggregate /

@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Independent plain-Scala recount of d17's cross-source overlap sketch
+  * (the SourceOverlapSpec pattern applied to the estimator): shingle,
+  * hash, keep the k smallest distinct, and run Beyer et al.'s multiset
+  * estimators with local loops — and require the distributed query to
+  * agree row-for-row.  Three planted regimes:
+  *
+  *  - SMALL sources (< k distinct shingles): the sketch IS the set, the
+  *    exact branch fires, and d17's numbers must equal d16-style exact
+  *    set arithmetic — equality, not tolerance.
+  *  - LARGE sources with ENGINEERED 50% overlap (> k shingles): the
+  *    estimator branch fires and the Jaccard estimate must land within
+  *    3σ = 3·√(J(1−J)/k) of the planted truth.
+  *  - The real sf0.001 corpus: recount row-for-row (the determinism
+  *    gate the DuckDB oracle also pins, here against a third
+  *    implementation).
+  */
+class OverlapSketchSpec extends SparkSpec {
+
+  private val K = 256
+  private val P = 1000000007L
+
+  private def shinglesOf(text: String): Set[String] = {
+    val w = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (text.trim.isEmpty || w.length < 3) Set.empty
+    else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+  }
+
+  private def fold(sh: String): Long =
+    graft.functions.CharFoldKernel.fold(UTF8String.fromString(sh))
+
+  /** The expected d17 rows from raw (source, text) pairs — the local
+    * replay of sketch + estimator. */
+  private def expected(rows: Seq[(String, String)])
+      : Seq[(String, String, Boolean, Long, Long, Long, Long)] = {
+    val mins: Map[String, Vector[Long]] = rows
+      .filter { case (_, t) => t != null && t.nonEmpty }
+      .groupBy(_._1)
+      .map { case (src, rs) =>
+        src -> rs.iterator.flatMap(r => shinglesOf(r._2)).map(fold).toSet
+          .toVector.sorted.take(K)
+      }
+      .filter(_._2.nonEmpty)
+    val srcs = mins.keys.toSeq.sorted
+    for { a <- srcs; b <- srcs if a < b } yield {
+      val (ma, mb) = (mins(a), mins(b))
+      val ab = ma.toSet & mb.toSet
+      val uni = (ma ++ mb).distinct.sorted
+      val u = uni.take(K)
+      val exact = ma.size < K && mb.size < K
+      val rho = u.count(ab)
+      def estOf(v: Vector[Long]): Long =
+        if (v.size < K) v.size.toLong else (K - 1).toLong * P / v(K - 1)
+      val estU = if (exact) uni.size.toLong else (K - 1).toLong * P / u(K - 1)
+      val shared = if (exact) ab.size.toLong else rho.toLong * estU / K
+      val j = if (exact) 10000L * ab.size / uni.size else 10000L * rho / K
+      (a, b, exact, estOf(ma), estOf(mb), shared, j)
+    }
+  }
+
+  private def runD17(dir: String): Seq[(String, String, Boolean, Long, Long, Long, Long)] =
+    TextOps.d17OverlapSketch.fn(spark, dir).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+
+  private def writeDocs(prefix: String, docs: Seq[(Long, String, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    docs.map { case (id, t, src) =>
+      (id, t, "en", src, Option(t).map(_.length.toLong).getOrElse(0L))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** w words from a deterministic per-source vocabulary; overlapping
+    * sources draw a prefix of their words from a shared pool. */
+  private def prose(vocabPrefix: String, shared: Int, own: Int): String =
+    ((0 until shared).map(i => s"shared$i") ++
+      (0 until own).map(i => s"$vocabPrefix$i")).mkString(" ")
+
+  test("small sources: the exact branch equals d16-style set arithmetic") {
+    // each source has ~12 shingles — far under k, sketches are complete
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (1L, "the quick brown fox sat under an old oak tree", "wiki"),
+      (2L, "completely disjoint correspondence nobody repeats anywhere at all", "mail"))
+    val dir = writeDocs("d17-small", docs)
+    val got = runD17(dir)
+    val want = expected(docs.map { case (_, t, s) => (s, t) })
+    assert(got == want, s"small-source mismatch:\n got  $got\n want $want")
+    assert(got.forall(_._3), "all sketches are complete — every pair must take the exact branch")
+    // web/wiki share exactly the 'the quick brown' + 'quick brown fox'
+    // shingles; exact-branch numbers are set arithmetic, verifiable by eye
+    val ww = got.find(r => r._1 == "web" && r._2 == "wiki").get
+    assert(ww._6 == 2L, s"web/wiki share exactly 2 shingles: $ww")
+    val wm = got.find(r => r._1 == "mail" && r._2 == "web").get
+    assert(wm._6 == 0L && wm._7 == 0L, s"mail shares nothing: $wm")
+  }
+
+  test("large sources with planted 50% overlap: estimator within 3σ of truth") {
+    // two sources, each one long doc of 600 tokens: 300 shared + 300 own
+    // → each has 598 distinct shingles (> k), cross-source shared
+    // shingles are the 298 inside the shared prefix; J = 298/898
+    val ta = prose("alpha", 300, 300)
+    val tb = prose("beta", 300, 300)
+    val dir = writeDocs("d17-large", Seq((0L, ta, "srcA"), (1L, tb, "srcB")))
+    val got = runD17(dir)
+    assert(got.size == 1 && !got.head._3, "must take the estimator branch")
+    val want = expected(Seq(("srcA", ta), ("srcB", tb)))
+    assert(got == want, s"estimator recount mismatch:\n got  $got\n want $want")
+    val na = shinglesOf(ta).size.toDouble
+    val shared = (shinglesOf(ta) & shinglesOf(tb)).size.toDouble
+    val jTrue = shared / (2 * na - shared)
+    val sigma = math.sqrt(jTrue * (1 - jTrue) / K)
+    val jEst = got.head._7 / 10000.0
+    assert(math.abs(jEst - jTrue) <= 3 * sigma,
+      f"estimate $jEst%.4f vs truth $jTrue%.4f exceeds 3σ = ${3 * sigma}%.4f")
+    // per-source distinct estimates within 3/√k relative error
+    assert(math.abs(got.head._4 - na) / na <= 3.0 / math.sqrt(K.toDouble),
+      s"per-source estimate ${got.head._4} vs $na")
+  }
+
+  test("d17 equals the local recount on the sf0.001 corpus") {
+    val raw = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = expected(raw)
+    val got = runD17(sf())
+    assert(want.nonEmpty && got == want,
+      s"sf0.001 mismatch: got ${got.size} rows, want ${want.size}")
+  }
+}
