@@ -499,6 +499,22 @@ object PlanAudit {
         "counts (b) and the per-doc score aggregate (doc_id); the " +
         "totals window rides a 1024-row SinglePartition exchange, and " +
         "a 4th hash shuffle means the broadcast or the heap regressed"),
+    // c12 selector staleness (round-12: the stored-model maintenance
+    // discipline applied to the DSIR selector)
+    Expect("c12_selector_staleness", "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+      "the documents scan must prune to the 3 needed columns and appear " +
+        "ONCE — all three slice counters fold in a single corpus pass",
+      maxCount = 1),
+    Expect("c12_selector_staleness", "hashpartitioning(", maxCount = 1,
+      why = "exactly 1 data shuffle — the map-side-combined bucket " +
+        "aggregate (b); the totals window rides a ≤ B-row " +
+        "SinglePartition exchange and the cut is a heap"),
+    Expect("c12_selector_staleness", "TakeOrderedAndProject", maxCount = 2,
+      why = "the top-k drifting buckets must be a per-partition heap + " +
+        "merge, never a global sort"),
+    Expect("c12_selector_staleness", "Join", present = false,
+      why = "the audit is one aggregate + one window — any join node " +
+        "means a second pass leaked in"),
     // d17 cross-source overlap sketch (round-12: d16's bounded scale path)
     Expect("d17_overlap_sketch", "ReadSchema: struct<text:string,source:string>",
       "the documents scan must prune to (text, source) and appear ONCE — " +

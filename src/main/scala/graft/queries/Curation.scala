@@ -609,8 +609,100 @@ object Curation {
       "selected — the data-selection step between dedup and mixing; " +
       "FULL value oracle (the t18 integer-rank technique)")
 
+  // ---------------------------------------------------------------- c12
+  /** Top-k report width of the selector-staleness audit. */
+  private val StalenessTopK = 20
+
+  /** DSIR SELECTOR staleness — the stored-model maintenance discipline
+    * (s13 audits the IVF cells, s14 the PQ codebooks) applied to c11's
+    * importance selector: weights trained on yesterday's raw pool
+    * misjudge today's, and this query names WHICH hashed buckets are
+    * drifting and how much stored selection weight sits on them, before
+    * the drift silently skews what c11 admits.
+    *
+    * Shape: the selector trains on the ARCHIVE slice (doc_id % 10 ≠ 7,
+    * d14's convention — target and raw archive counts give the stored
+    * weight `w_bp`, c11's exact formula scoped to the archive); the
+    * INCOMING raw slice then compares against the archive raw pool with
+    * s11's cross-multiplied technique —
+    * `shift_x = n_inc·CR_arch − cr_arch·N_inc` per bucket (positive =
+    * the bucket is over-represented in today's raw pool) — which is
+    * exact int64 and sums to ZERO over all buckets (both terms total
+    * `CR_arch·N_inc`; the spec pins the conservation).  Top-k buckets
+    * by |shift_x| with their stored weight: a drifting bucket carrying
+    * a high weight is the one that changes selection behavior.
+    *
+    * Scale shape: ONE corpus token pass into a single map-side-combined
+    * `groupBy(bucket)` (≤ B rows out), totals ride a window over those
+    * B rows, the cut is a top-k heap.  Magnitudes: shift_x ≤ N²·10⁴…
+    * no — ≤ n_b·N ≲ 2⁵³ past 10⁸ tokens per slice (the a12/decimal(38)
+    * regime note).  FULL value oracle. */
+  val c12SelectorStaleness = NamedQuery(
+    "c12_selector_staleness",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val isInc = col("doc_id") % 10 === 7
+      val isT = col("source") === DsirTarget
+      val per = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .select(col("doc_id"), col("source"),
+          (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+        .groupBy(col("b"))
+        .agg(
+          sum(when(!isInc && isT, 1L).otherwise(0L)).as("ct_arch"),
+          sum(when(!isInc && !isT, 1L).otherwise(0L)).as("cr_arch"),
+          sum(when(isInc && !isT, 1L).otherwise(0L)).as("n_inc"))
+      val w = Window.partitionBy()
+      per
+        .withColumn("nt_a", sum(col("ct_arch")).over(w))
+        .withColumn("nr_a", sum(col("cr_arch")).over(w))
+        .withColumn("tot_inc", sum(col("n_inc")).over(w))
+        .withColumn("w_bp", expr(
+          s"((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000) div ((cr_arch + 1) * (nt_a + $DsirBuckets))"))
+        .withColumn("shift_x",
+          col("n_inc") * col("nr_a") - col("cr_arch") * col("tot_inc"))
+        .select(col("b"), col("cr_arch"), col("n_inc"), col("shift_x"), col("w_bp"))
+        .orderBy(abs(col("shift_x")).desc, col("b"))
+        .limit(StalenessTopK)
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, lower(trim(text)) AS lt
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      tok AS (
+        SELECT doc_id, source,
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(range(1, length(t) + 1),
+              i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % 1000000007) % $DsirBuckets AS b
+        FROM d, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
+      per AS (
+        SELECT b,
+          sum(CASE WHEN doc_id % 10 <> 7 AND source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct_arch,
+          sum(CASE WHEN doc_id % 10 <> 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS cr_arch,
+          sum(CASE WHEN doc_id % 10 = 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS n_inc
+        FROM tok GROUP BY b),
+      tot AS (
+        SELECT sum(ct_arch) AS nt_a, sum(cr_arch) AS nr_a, sum(n_inc) AS tot_inc
+        FROM per)
+      SELECT CAST(b AS BIGINT) AS b,
+        CAST(cr_arch AS BIGINT) AS cr_arch,
+        CAST(n_inc AS BIGINT) AS n_inc,
+        CAST(n_inc * nr_a - cr_arch * tot_inc AS BIGINT) AS shift_x,
+        CAST(((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000)
+          // ((cr_arch + 1) * (nt_a + $DsirBuckets)) AS BIGINT) AS w_bp
+      FROM per, tot
+      ORDER BY abs(n_inc * nr_a - cr_arch * tot_inc) DESC, b
+      LIMIT $StalenessTopK"""),
+    doc = "DSIR selector staleness: per-bucket cross-multiplied raw-pool " +
+      "drift between the archive (the slice the stored weights trained " +
+      "on) and the incoming slice, top-k drifting buckets with their " +
+      "stored weight — s13/s14's stored-model maintenance discipline " +
+      "applied to the importance selector; exact int64, FULL value oracle")
+
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
       c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
-      c11DsirSelection)
+      c11DsirSelection, c12SelectorStaleness)
 }
