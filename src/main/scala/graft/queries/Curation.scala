@@ -637,6 +637,47 @@ object Curation {
     * B rows, the cut is a top-k heap.  Magnitudes: shift_x ≤ N²·10⁴…
     * no — ≤ n_b·N ≲ 2⁵³ past 10⁸ tokens per slice (the a12/decimal(38)
     * regime note).  FULL value oracle. */
+  /** c12's report arithmetic over a per-bucket counts relation
+    * `(b, ct_arch, cr_arch, n_inc)` — THE single definition, shared by
+    * the batch query below and the live monitor's report
+    * ([[graft.stream.LiveSelectorStaleness.reportOf]]): live ≡ batch by
+    * construction because neither path restates these expressions. */
+  private[graft] def selectorStalenessFromCounts(
+      per: org.apache.spark.sql.DataFrame,
+      topK: Int = StalenessTopK): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy()
+    per
+      .withColumn("nt_a", sum(col("ct_arch")).over(w))
+      .withColumn("nr_a", sum(col("cr_arch")).over(w))
+      .withColumn("tot_inc", sum(col("n_inc")).over(w))
+      .withColumn("w_bp", expr(
+        s"((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000) div ((cr_arch + 1) * (nt_a + $DsirBuckets))"))
+      .withColumn("shift_x",
+        col("n_inc") * col("nr_a") - col("cr_arch") * col("tot_inc"))
+      .select(col("b"), col("cr_arch"), col("n_inc"), col("shift_x"), col("w_bp"))
+      .orderBy(abs(col("shift_x")).desc, col("b"))
+      .limit(topK)
+  }
+
+  /** The STORED side of the selector-staleness report: per-bucket
+    * archive counts under the trained selector (≤ B rows — maintained
+    * with the selector at scale, consumed by the live twin T20). */
+  def dsirArchiveBucketStats(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val isT = col("source") === DsirTarget
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "" &&
+        col("doc_id") % 10 =!= 7)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .select(col("source"),
+        (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("ct_arch"),
+        sum(when(!isT, 1L).otherwise(0L)).as("cr_arch"))
+  }
+
   val c12SelectorStaleness = NamedQuery(
     "c12_selector_staleness",
     (s, dir) => {
@@ -654,18 +695,7 @@ object Curation {
           sum(when(!isInc && isT, 1L).otherwise(0L)).as("ct_arch"),
           sum(when(!isInc && !isT, 1L).otherwise(0L)).as("cr_arch"),
           sum(when(isInc && !isT, 1L).otherwise(0L)).as("n_inc"))
-      val w = Window.partitionBy()
-      per
-        .withColumn("nt_a", sum(col("ct_arch")).over(w))
-        .withColumn("nr_a", sum(col("cr_arch")).over(w))
-        .withColumn("tot_inc", sum(col("n_inc")).over(w))
-        .withColumn("w_bp", expr(
-          s"((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000) div ((cr_arch + 1) * (nt_a + $DsirBuckets))"))
-        .withColumn("shift_x",
-          col("n_inc") * col("nr_a") - col("cr_arch") * col("tot_inc"))
-        .select(col("b"), col("cr_arch"), col("n_inc"), col("shift_x"), col("w_bp"))
-        .orderBy(abs(col("shift_x")).desc, col("b"))
-        .limit(StalenessTopK)
+      selectorStalenessFromCounts(per)
     },
     Some(s"""WITH d AS (
         SELECT doc_id, source, lower(trim(text)) AS lt
