@@ -23,6 +23,27 @@ object CharFoldKernel {
     while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xFF)) % Prime; i += 1 }
     h
   }
+
+  /** THE DuckDB replay of [[fold]] over a SQL string expression `e` —
+    * the shared oracle snippet every charfold-consuming oracle (d3/d17/
+    * c11/c12/…) interpolates instead of restating.
+    *
+    * ASCII-ONLY ASSUMPTION, on purpose: [[fold]] hashes UTF-8 BYTES
+    * while this SQL folds `ascii(substr(e, i, 1))` — Unicode CODE
+    * POINTS.  The two agree exactly when every character is ≤ U+007F
+    * (one byte == its code point), which holds for the driver corpora
+    * at every SF (`TESTDATA.md` — pure-ASCII text columns) and is why
+    * the charfold pipelines can carry full value oracles at all.  On
+    * non-ASCII input the ORACLE diverges, not the engine: a deployment
+    * validating against DuckDB on non-ASCII corpora must swap this
+    * snippet for a byte-wise fold over `encode(e)`.  Keeping the
+    * documented code-point form is deliberate — it is dialect-portable
+    * and byte-indexing a BLOB is not ANSI. */
+  def sqlOf(e: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(range(1, length($e) + 1),
+              i -> CAST(ascii(substr($e, CAST(i AS INT), 1)) AS BIGINT))),
+            (acc, x) -> (acc * 31 + x) % $Prime)"""
 }
 
 /** Native Catalyst mod-prime char fold over a string column.

@@ -46,10 +46,12 @@ case class KmvMins(
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (child.dataType, kExpr.dataType) match {
-      case (LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
-      case (c, kk) => TypeCheckResult.TypeCheckFailure(
-        s"graft_kmv_mins requires (bigint, int literal, int literal), got $c / $kk")
+    (child.dataType, kExpr.dataType, mExpr.dataType) match {
+      case (LongType, IntegerType, IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, kk, mm) => TypeCheckResult.TypeCheckFailure(
+        "graft_kmv_mins requires (bigint, int literal, int|bigint literal), " +
+          s"got $c / $kk / $mm")
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
@@ -62,11 +64,8 @@ case class KmvMins(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
-    require(v >= 0 && v < m, s"graft_kmv_mins hash out of range [0, $m): $v")
-    if (buf.size < k) { buf.add(v): Unit }
-    else if (v < buf.last() && buf.add(v)) { buf.pollLast(): Unit }
-  }
+  private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    KmvMins.offer(buf, v, k, m)
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
@@ -116,4 +115,19 @@ case class KmvMins(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): KmvMins =
     copy(inputAggBufferOffset = newOffset)
+}
+
+object KmvMins {
+  /** THE KMV offer step — keep `v` iff the synopsis is not yet full or
+    * `v` beats the current k-th smallest; distinctness rides the
+    * TreeSet.  Shared by the batch aggregate above and the live
+    * streaming fold ([[graft.stream.LiveOverlapSketch]]), so the
+    * live ≡ batch sketch parity the stream module claims holds by
+    * construction cannot be broken by editing one copy: both paths call
+    * this, including the hash-range guard. */
+  def offer(buf: java.util.TreeSet[java.lang.Long], v: Long, k: Int, m: Long): Unit = {
+    require(v >= 0 && v < m, s"graft_kmv_mins hash out of range [0, $m): $v")
+    if (buf.size < k) { buf.add(v): Unit }
+    else if (v < buf.last() && buf.add(v)) { buf.pollLast(): Unit }
+  }
 }

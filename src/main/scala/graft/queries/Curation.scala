@@ -504,13 +504,17 @@ object Curation {
   private[graft] def dsirScoredDocs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     graft.sentiment.GraftFunctions.register(s)
-    val tok = Tables.documents(s, dir)
+    val tok0 = Tables.documents(s, dir)
       .filter(col("text").isNotNull && col("text") =!= "")
       .select(col("doc_id"), col("source"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
       .select(col("doc_id"), col("source"),
         (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tracked persist (not a bare .persist): routed through the shared
+    // construction-persist discipline so Bench/spec cache clears reclaim
+    // it and repeated c11 invocations in one session don't accumulate
+    // cached relations (round-12 ADVICE)
+    val tok = Dedup.constructionPersist(s, tok0)
     val isT = col("source") === DsirTarget
     tok.filter(!isT)
       .join(broadcast(dsirWeightsOf(tok)), Seq("b"))
@@ -579,10 +583,7 @@ object Curation {
         FROM documents WHERE text IS NOT NULL AND text <> ''),
       tok AS (
         SELECT doc_id, source,
-          list_reduce(list_prepend(CAST(7 AS BIGINT),
-            list_transform(range(1, length(t) + 1),
-              i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007) % $DsirBuckets AS b
+          ${graft.functions.CharFoldKernel.sqlOf("t")} % $DsirBuckets AS b
         FROM d, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
       counts AS (
         SELECT b,
@@ -702,10 +703,7 @@ object Curation {
         FROM documents WHERE text IS NOT NULL AND text <> ''),
       tok AS (
         SELECT doc_id, source,
-          list_reduce(list_prepend(CAST(7 AS BIGINT),
-            list_transform(range(1, length(t) + 1),
-              i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007) % $DsirBuckets AS b
+          ${graft.functions.CharFoldKernel.sqlOf("t")} % $DsirBuckets AS b
         FROM d, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
       per AS (
         SELECT b,

@@ -464,10 +464,7 @@ object TextOps {
         FROM tok WHERE len(w) >= 3),
       hs AS (
         SELECT DISTINCT source,
-          list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
-              range(1, length(shingle) + 1),
-              i -> CAST(ascii(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
-            (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+          ${graft.functions.CharFoldKernel.sqlOf("shingle")} AS h
         FROM sh),
       mins AS (
         SELECT source, list(h ORDER BY h) AS mins FROM (

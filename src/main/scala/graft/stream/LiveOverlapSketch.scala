@@ -62,8 +62,10 @@ object LiveOverlapSketch {
           var saw = false
           batch.foreach { case (_, h) =>
             saw = true
-            if (buf.size < k) { buf.add(h): Unit }
-            else if (h < buf.last() && buf.add(h)) { buf.pollLast(): Unit }
+            // the SHARED batch offer step (KmvMins.offer) — not restated
+            // here, so the live==batch sketch parity holds by construction
+            graft.functions.KmvMins.offer(buf, h, k,
+              graft.functions.CharFoldKernel.Prime)
           }
           if (saw) {
             val mins = new Array[Long](buf.size)

@@ -81,4 +81,30 @@ class KmvMinsSpec extends SparkSpec {
       assert(live == batch, s"text '$t': live $live != batch $batch")
     }
   }
+
+  test("bad argument TYPES fail at analysis time, not executor time") {
+    // round-12 ADVICE: an un-type-checked m surfaced as an executor-time
+    // IllegalArgumentException; now (bigint, int, int|bigint) is enforced
+    // by checkInputDataTypes, so a bad m is an AnalysisException
+    graft.sentiment.GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L).toDF("h")
+    // bigint m literal is ACCEPTED (the message used to claim int-only)
+    val ok = df.agg(call_function("graft_kmv_mins",
+      col("h"), lit(4), lit(P)).as("m")).collect().head.getSeq[Long](0)
+    assert(ok == Seq(1L, 2L))
+    for (badM <- Seq(lit("7"), lit(1.5))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(call_function("graft_kmv_mins", col("h"), lit(4), badM)).collect()
+      }
+      assert(e.getMessage.contains("graft_kmv_mins"), e.getMessage)
+    }
+    // and a bad child type is likewise analysis-time
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("h")
+        .agg(call_function("graft_kmv_mins", col("h"), lit(4), lit(P))).collect()
+    }
+    assert(e2.getMessage.contains("graft_kmv_mins"), e2.getMessage)
+  }
 }
