@@ -536,7 +536,32 @@ object PlanAudit {
       why = "exactly 1 data shuffle (the per-source sketch aggregate, " +
         "map-side combined to ≤ k longs per source); the ordered output " +
         "range-partitions — a 3rd occurrence means the corpus leaked " +
-        "into the pair arithmetic"))
+        "into the pair arithmetic"),
+    // c13 refresh decision (round-13: the maintenance triad composed —
+    // three family legs unioned, each riding its memoized audit
+    // relations, so the decision costs ~one audit per family)
+    Expect("c13_refresh_decision", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan must prune to (vec_id, embedding) and appear " +
+        "at most TWICE — once into the ivf leg's memoized quantized " +
+        "relation (shared with s13/s15), once into the pq leg's memoized " +
+        "subvector relation (shared with s14)", maxCount = 2),
+    Expect("c13_refresh_decision", "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+      "the documents scan must prune to the 3 needed columns and appear " +
+        "ONCE — the selector leg's staleness AND retrain benefit fold in " +
+        "c12's single corpus token pass", maxCount = 1),
+    Expect("c13_refresh_decision", "SortMergeJoin", present = false,
+      why = "every join side is a broadcast model relation (≤ k " +
+        "centroids / PqM·PqK codebooks / 1-row totals) — an SMJ means a " +
+        "corpus-sized relation got shuffled on a join key"),
+    Expect("c13_refresh_decision", "BroadcastNestedLoopJoin",
+      "every centroid-assignment pass (ivf training, stale, refreshed) " +
+        "and every 1-row leg combine BROADCASTS the constant side to the " +
+        "scanned relation", maxCount = 20),
+    Expect("c13_refresh_decision", "hashpartitioning(", maxCount = 22,
+      why = "bounded shuffle budget: the ivf leg's s13/s15 chain (≤ 11 " +
+        "rendered), the pq leg's s14 chain + warm-start update (≤ 10), " +
+        "the selector leg's single bucket aggregate — a 23rd occurrence " +
+        "means a corpus-sized shuffle leaked into the composition"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

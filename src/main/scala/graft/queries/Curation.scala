@@ -679,25 +679,35 @@ object Curation {
         sum(when(!isT, 1L).otherwise(0L)).as("cr_arch"))
   }
 
+  /** c12/c13's shared per-bucket drift counts — ONE corpus token pass
+    * into one map-side-combined `groupBy(bucket)` (≤ B rows out):
+    * `(b, ct_arch, cr_arch, ct_inc, n_inc)` splitting target/raw tokens
+    * by the archive/incoming slice.  c12's staleness report reads the
+    * archive-weight columns + the raw incoming count; c13's selector
+    * leg additionally needs `ct_inc` (the incoming TARGET tokens) to
+    * price what a full-pool retrain changes the stored weights by. */
+  private[queries] def dsirDriftCounts(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val isInc = col("doc_id") % 10 === 7
+    val isT = col("source") === DsirTarget
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .select(col("doc_id"), col("source"),
+        (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(!isInc && isT, 1L).otherwise(0L)).as("ct_arch"),
+        sum(when(!isInc && !isT, 1L).otherwise(0L)).as("cr_arch"),
+        sum(when(isInc && isT, 1L).otherwise(0L)).as("ct_inc"),
+        sum(when(isInc && !isT, 1L).otherwise(0L)).as("n_inc"))
+  }
+
   val c12SelectorStaleness = NamedQuery(
     "c12_selector_staleness",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      val isInc = col("doc_id") % 10 === 7
-      val isT = col("source") === DsirTarget
-      val per = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "")
-        .select(col("doc_id"), col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
-        .select(col("doc_id"), col("source"),
-          (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
-        .groupBy(col("b"))
-        .agg(
-          sum(when(!isInc && isT, 1L).otherwise(0L)).as("ct_arch"),
-          sum(when(!isInc && !isT, 1L).otherwise(0L)).as("cr_arch"),
-          sum(when(isInc && !isT, 1L).otherwise(0L)).as("n_inc"))
-      selectorStalenessFromCounts(per)
-    },
+    (s, dir) => selectorStalenessFromCounts(dsirDriftCounts(s, dir)),
     Some(s"""WITH d AS (
         SELECT doc_id, source, lower(trim(text)) AS lt
         FROM documents WHERE text IS NOT NULL AND text <> ''),
@@ -729,8 +739,128 @@ object Curation {
       "stored weight — s13/s14's stored-model maintenance discipline " +
       "applied to the importance selector; exact int64, FULL value oracle")
 
+  // ---------------------------------------------------------------- c13
+  /** The selector row of c13: staleness + retrain benefit over the ONE
+    * shared drift-counts pass ([[dsirDriftCounts]]), arithmetic in
+    * [[RefreshDecision.selectorLegOf]] (shared with the live
+    * composition). */
+  private[queries] def selectorRefreshLeg(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    RefreshDecision.selectorLegOf(dsirDriftCounts(s, dir), DsirBuckets)
+      .select(lit("selector").as("family"), col("staleness_bp"), col("benefit_bp"))
+
+  /** REFRESH DECISION — the operator a 100 TB pipeline actually
+    * schedules, composed from the stored-model maintenance triad: s13
+    * (IVF cells) / s14 (PQ codebooks) / c12 (importance selector) answer
+    * "how stale is the stored model", s15 and its per-family analogues
+    * answer "what would ONE warm-start retrain buy", and this relation
+    * turns both into a per-family verdict under config thresholds
+    * (`spark.graft.refresh.minStalenessBp` / `.minBenefitBp`, defaults
+    * baked into the oracle):
+    *
+    *   refresh ⟺ staleness_bp ≥ min_staleness AND benefit_bp ≥ min_benefit
+    *
+    * — a drifted model a retrain can't improve keeps serving (don't pay
+    * the retrain), and a cheap win on a fresh model isn't scheduled
+    * either.  Every metric is exact int64 bp ([[RefreshDecision]]), so
+    * the WHOLE decision — three model families, two retrains, one
+    * selector re-weighting — replays bit-for-bit in DuckDB.
+    *
+    * Scale shape: each leg reads its family's memoized audit relations
+    * (the quantized corpus / subvector explode / drift counts persist
+    * once per session), so deciding costs ~one audit per family; the
+    * legs are 1-row relations unioned driver-free.  FULL value oracle
+    * via the shared s13/s14 CTE chains + the s15/pq refresh chains. */
+  val c13RefreshDecision = NamedQuery(
+    "c13_refresh_decision",
+    (s, dir) => {
+      val legs = Similarity.ivfRefreshLeg(s, dir)
+        .unionByName(Similarity.pqRefreshLeg(s, dir))
+        .unionByName(selectorRefreshLeg(s, dir))
+      val (minSt, minBen) = RefreshDecision.thresholds(s)
+      RefreshDecision.decide(legs, minSt, minBen)
+    },
+    Some(s"""SELECT family, staleness_bp, benefit_bp,
+        CAST(${RefreshDecision.DefaultMinStalenessBp} AS BIGINT) AS min_staleness_bp,
+        CAST(${RefreshDecision.DefaultMinBenefitBp} AS BIGINT) AS min_benefit_bp,
+        CASE WHEN staleness_bp >= ${RefreshDecision.DefaultMinStalenessBp}
+               AND benefit_bp >= ${RefreshDecision.DefaultMinBenefitBp}
+             THEN 'refresh' ELSE 'keep' END AS verdict
+      FROM (
+        (WITH ${Similarity.s13OracleCtes},
+          ${Similarity.s15RefreshCtes},
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+            FROM m),
+          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2)
+         SELECT 'ivf' AS family,
+           CAST((10000 * mi * na) // (ma * ni) - 10000 AS BIGINT) AS staleness_bp,
+           CAST((10000 * (ma + mi - ea)) // (ma + mi) AS BIGINT) AS benefit_bp
+         FROM tot, aft)
+        UNION ALL
+        (WITH ${Similarity.s14OracleCtes},
+          ${Similarity.pqRefreshCtes},
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+            FROM best),
+          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest)
+         SELECT 'pq' AS family,
+           CAST((10000 * mi * na) // (ma * ni) - 10000 AS BIGINT) AS staleness_bp,
+           CAST((10000 * (ma + mi - ea)) // (ma + mi) AS BIGINT) AS benefit_bp
+         FROM tot, aft)
+        UNION ALL
+        (WITH d AS (
+            SELECT doc_id, source, lower(trim(text)) AS lt
+            FROM documents WHERE text IS NOT NULL AND text <> ''),
+          tok AS (
+            SELECT doc_id, source,
+              ${graft.functions.CharFoldKernel.sqlOf("t")} % $DsirBuckets AS b
+            FROM d, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
+          per AS (
+            SELECT b,
+              sum(CASE WHEN doc_id % 10 <> 7 AND source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct_arch,
+              sum(CASE WHEN doc_id % 10 <> 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS cr_arch,
+              sum(CASE WHEN doc_id % 10 = 7 AND source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct_inc,
+              sum(CASE WHEN doc_id % 10 = 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS n_inc
+            FROM tok GROUP BY b),
+          tot AS (
+            SELECT CAST(sum(ct_arch) AS BIGINT) AS nt_a,
+                   CAST(sum(cr_arch) AS BIGINT) AS nr_a,
+                   CAST(sum(ct_inc) AS BIGINT) AS ti_t,
+                   CAST(sum(n_inc) AS BIGINT) AS ti_r,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM per),
+          calc AS (
+            SELECT
+              CAST(sum(abs(n_inc * nr_a - cr_arch * ti_r)) AS BIGINT) AS sh,
+              CAST(sum(abs(
+                ((ct_arch + ct_inc + 1) * (nr_a + ti_r + $DsirBuckets) * 10000)
+                  // ((cr_arch + n_inc + 1) * (nt_a + ti_t + $DsirBuckets))
+                - ((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000)
+                  // ((cr_arch + 1) * (nt_a + $DsirBuckets)))) AS BIGINT) AS dw,
+              max(nr_a) AS nr_a, max(ti_r) AS ti_r, max(nb) AS nb
+            FROM per, tot)
+         SELECT 'selector' AS family,
+           CAST((10000 * sh) // (2 * nr_a * ti_r) AS BIGINT) AS staleness_bp,
+           CAST(dw // nb AS BIGINT) AS benefit_bp
+         FROM calc)
+      ) t ORDER BY family"""),
+    doc = "refresh decision: composes the stored-model maintenance triad " +
+      "(s13 IVF / s14 PQ / c12 selector staleness) with the priced " +
+      "warm-start retrains (s15's recipe per family) into a per-family " +
+      "refresh/keep verdict under config thresholds — exact int64 bp " +
+      "end to end, FULL value oracle over the shared CTE chains")
+
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
       c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
-      c11DsirSelection, c12SelectorStaleness)
+      c11DsirSelection, c12SelectorStaleness, c13RefreshDecision)
 }

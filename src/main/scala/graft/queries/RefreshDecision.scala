@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The REFRESH-DECISION arithmetic shared by the batch operator
+  * (`c13_refresh_decision`) and the live composition
+  * ([[graft.stream.LiveRefreshDecision]]) — the s13/s14/c12 staleness
+  * audits answer "how stale is the stored model", s15 answers "what
+  * would retraining buy"; these expressions turn those audits into the
+  * operator a 100 TB pipeline actually schedules: "should we refresh
+  * NOW, per model family".  Stated ONCE here so live ≡ batch holds by
+  * construction (the selectorStalenessFromCounts / overlapFromSketches
+  * discipline).
+  *
+  * Every metric is exact int64 basis points (the t18/c11 integer-rank
+  * technique — no float crosses an engine boundary), so the whole
+  * decision replays bit-for-bit in DuckDB.  Magnitude regime: the
+  * cross-multiplied staleness numerators reach 10⁴·Σdist·n ≈ 7·10¹⁸ at
+  * sf0.1 — inside int64 with ~25% headroom; beyond ~10⁵ vectors of this
+  * distance scale the a12/decimal(38) regime note applies (promote the
+  * products to decimal on BOTH engines). */
+object RefreshDecision {
+
+  /** Default decision thresholds, baked into the DuckDB oracle; a
+    * deployment overrides via `spark.graft.refresh.minStalenessBp` /
+    * `spark.graft.refresh.minBenefitBp` (conf-reading queries diverge
+    * from the static oracle — the driver never sets these, the
+    * RefreshDecisionSpec exercises the overrides). */
+  val DefaultMinStalenessBp = 250L
+  val DefaultMinBenefitBp = 100L
+
+  def thresholds(s: SparkSession): (Long, Long) = (
+    s.conf.getOption("spark.graft.refresh.minStalenessBp").map(_.toLong)
+      .getOrElse(DefaultMinStalenessBp),
+    s.conf.getOption("spark.graft.refresh.minBenefitBp").map(_.toLong)
+      .getOrElse(DefaultMinBenefitBp))
+
+  /** Cross-multiplied staleness of an incoming slice vs the archive a
+    * stored model trained on, over a per-group relation carrying
+    * archive/incoming counts (`nA`/`nI`) and masses (`mA`/`mI` — IVF
+    * distance mass, PQ quantization-error mass):
+    *
+    *   staleness_bp = 10⁴ · (Σmᵢ·Σnₐ) div (Σmₐ·Σnᵢ) − 10⁴
+    *
+    * = the relative excess of the incoming slice's mean mass over the
+    * archive's, in basis points (positive = today's data fits the
+    * stored model worse; 0 = no drift; exactly s13/s14's shift
+    * statistic collapsed to one scheduling-grade number).  The batch
+    * legs pass the audit's per-cell/per-subspace relation; the live
+    * composition passes the monitor's reportOf output — same columns,
+    * same expression. */
+  def crossStalenessBp(per: DataFrame,
+      nA: String, nI: String, mA: String, mI: String): DataFrame =
+    per.agg(sum(col(nA)).as("na"), sum(col(nI)).as("ni"),
+        sum(col(mA)).as("ma"), sum(col(mI)).as("mi"))
+      .select(expr("(10000 * mi * na) div (ma * ni) - 10000").as("staleness_bp"))
+
+  /** Selector staleness AND refresh benefit in one pass over c12's
+    * per-bucket drift counts `(b, ct_arch, cr_arch, ct_inc, n_inc)`:
+    *
+    *   staleness_bp = 10⁴ · Σ|n_inc·NRₐ − cr_arch·TIᵣ| div (2·NRₐ·TIᵣ)
+    *     — the exact total-variation distance between the archive and
+    *     incoming raw-pool bucket distributions (the cross-multiplied
+    *     |shift_x| mass of c12, normalized; ≤ 10⁴ by construction).
+    *   benefit_bp = Σ|w_new − w_old| div #buckets
+    *     — the mean absolute move of the stored c11 weight (already in
+    *     bp) if the selector retrained on archive+incoming, i.e. how
+    *     much the selection scores would actually change.
+    *
+    * The live composition has no incoming TARGET counts (T20 streams
+    * the raw slice), so it passes `ct_inc = 0` and reads ONLY
+    * staleness_bp, taking benefit from the last batch refresh pricing —
+    * the staleness expression stays shared either way.  Totals ride a
+    * window over the ≤ B-row counts relation (the c4 single-partition-
+    * over-bounded-rows idiom), so the corpus-sized token pass below it
+    * runs ONCE. */
+  def selectorLegOf(per: DataFrame, buckets: Long): DataFrame = {
+    val w = Window.partitionBy()
+    per
+      .withColumn("nt_a", sum(col("ct_arch")).over(w))
+      .withColumn("nr_a", sum(col("cr_arch")).over(w))
+      .withColumn("ti_t", sum(col("ct_inc")).over(w))
+      .withColumn("ti_r", sum(col("n_inc")).over(w))
+      .withColumn("sh", abs(col("n_inc") * col("nr_a") - col("cr_arch") * col("ti_r")))
+      .withColumn("w_old", expr(
+        s"((ct_arch + 1) * (nr_a + $buckets) * 10000) div ((cr_arch + 1) * (nt_a + $buckets))"))
+      .withColumn("w_new", expr(
+        s"((ct_arch + ct_inc + 1) * (nr_a + ti_r + $buckets) * 10000) " +
+          s"div ((cr_arch + n_inc + 1) * (nt_a + ti_t + $buckets))"))
+      .agg(
+        expr("(10000 * sum(sh)) div (2 * max(nr_a) * max(ti_r))").as("staleness_bp"),
+        expr("sum(abs(w_new - w_old)) div count(*)").as("benefit_bp"))
+  }
+
+  /** THE decision rule over a `(family, staleness_bp, benefit_bp)`
+    * legs relation: refresh iff the model is stale enough AND the
+    * retrain buys enough — a stale model a refresh can't improve
+    * (drifted data the model family can't fit better) keeps serving,
+    * and a cheap-win refresh on a fresh model isn't scheduled either.
+    * Self-describing output: the thresholds ride along. */
+  def decide(legs: DataFrame, minStalenessBp: Long, minBenefitBp: Long): DataFrame =
+    legs.select(col("family"),
+        col("staleness_bp").cast("long").as("staleness_bp"),
+        col("benefit_bp").cast("long").as("benefit_bp"),
+        lit(minStalenessBp).as("min_staleness_bp"),
+        lit(minBenefitBp).as("min_benefit_bp"),
+        verdictCol(col("staleness_bp"), col("benefit_bp"),
+          minStalenessBp, minBenefitBp).as("verdict"))
+      .orderBy(col("family"))
+
+  def verdictCol(stalenessBp: Column, benefitBp: Column,
+      minStalenessBp: Long, minBenefitBp: Long): Column =
+    when(stalenessBp >= minStalenessBp && benefitBp >= minBenefitBp,
+      lit("refresh")).otherwise(lit("keep"))
+}

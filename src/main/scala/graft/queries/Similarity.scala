@@ -2001,7 +2001,7 @@ object Similarity {
   /** The shared DuckDB CTE chain of s13 and s15: quantize → archive
     * seeds → one training step (cent2 = the stale archive-trained index)
     * → full-corpus assignment `m(vec_id, list_id, dist)` under it. */
-  private def s13OracleCtes: String = s"""e AS (
+  private[queries] def s13OracleCtes: String = s"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       qz AS (
         SELECT vec_id, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
@@ -2115,9 +2115,12 @@ object Similarity {
     * zero corpus shuffles.  All arithmetic exact int64 (dist ≲ 2²⁴ summed
     * ≲ 2³⁵; disp ≲ 2²⁰; the a12/decimal(38) regime note beyond ~10⁹
     * vectors).  FULL value oracle via the shared [[s13OracleCtes]]. */
-  val s15WarmStartRefresh = NamedQuery(
-    "s15_warmstart_refresh",
-    (s, dir) => {
+  /** s15's per-cell refresh report as a memoized persisted ≤ k-row
+    * relation — the NamedQuery below returns it, and c13's IVF leg
+    * ([[ivfRefreshLeg]]) reads its d_before/d_after sums, so composing
+    * the refresh decision costs ~one audit, not two. */
+  private[queries] def s15RefreshReport(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s15RefreshReport") {
       graft.sentiment.GraftFunctions.register(s)
       val e = s13Quantized(s, dir)
       val m = s15StaleAssignment(s, dir)
@@ -2136,7 +2139,7 @@ object Similarity {
         .agg(count(lit(1)).as("n_before"), sum(col("dist")).cast("long").as("d_before"))
       val after = m2.groupBy(col("list_id"))
         .agg(count(lit(1)).as("n_after"), sum(col("dist")).cast("long").as("d_after"))
-      refreshed
+      val report = refreshed
         .withColumn("disp",
           (col("cc_old") - lit(2) * dot(col("cent_old"), col("cent")) + col("cc"))
             .cast("long"))
@@ -2149,9 +2152,15 @@ object Similarity {
           coalesce(col("d_before"), lit(0L)).as("d_before"),
           coalesce(col("d_after"), lit(0L)).as("d_after"))
         .orderBy(col("list_id"))
-    },
-    Some(s"""WITH $s13OracleCtes,
-      cd2 AS (
+      trackedPersist(report)
+    }
+
+  /** The s15 warm-start-refresh CTE chain appended to [[s13OracleCtes]]:
+    * one integer-mean update from the full-corpus stale assignment `m`
+    * (cd2/cent3a), empty-cell keep rule (cent3), and the full-corpus
+    * re-assignment `m2` under the refreshed index.  Shared by s15's
+    * oracle and c13's IVF leg. */
+  private[queries] def s15RefreshCtes: String = s"""cd2 AS (
         SELECT m.list_id, i, floor(sum(qv[i]) / count(*)) AS c
         FROM m JOIN qz2 USING (vec_id), range(1, 65) t(i)
         GROUP BY m.list_id, i),
@@ -2171,7 +2180,13 @@ object Similarity {
         SELECT vec_id, list_id, dist FROM (
           SELECT vec_id, list_id, dist,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
-          FROM d2) r WHERE rn = 1),
+          FROM d2) r WHERE rn = 1)"""
+
+  val s15WarmStartRefresh = NamedQuery(
+    "s15_warmstart_refresh",
+    (s, dir) => s15RefreshReport(s, dir),
+    Some(s"""WITH $s13OracleCtes,
+      $s15RefreshCtes,
       bef AS (
         SELECT list_id, CAST(count(*) AS BIGINT) AS n_before,
                CAST(sum(dist) AS BIGINT) AS d_before
@@ -2298,29 +2313,12 @@ object Similarity {
         sum(col("dist")).cast("long").as("err_arch"))
   }
 
-  val s14PqStaleness = NamedQuery(
-    "s14_pq_staleness",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      val isNew = s13IsNew
-      val sub = s14Subvectors(s, dir)
-      val cents1 = s14TrainedCodebooks(s, dir)
-      s14Assign(sub, cents1)
-        .groupBy(col("m"))
-        .agg(
-          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
-          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
-          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
-            .cast("long").as("err_arch"),
-          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
-            .cast("long").as("err_inc"))
-        .select(col("m"), col("n_arch"), col("n_inc"),
-          col("err_arch"), col("err_inc"),
-          (col("err_inc") * col("n_arch") - col("err_arch") * col("n_inc"))
-            .as("err_shift_x"))
-        .orderBy(col("m"))
-    },
-    Some(s"""WITH e AS (
+  /** The shared DuckDB CTE chain of s14 and c13's PQ leg: quantize →
+    * per-subspace subvectors → archive seeds → one training step
+    * (cent2 = the stale archive-trained codebooks) → full-corpus
+    * per-subspace assignment `a1(vec_id, m, code, dist)` under them
+    * (and `best`, the code-free projection s14's report reads). */
+  private[queries] def s14OracleCtes: String = s"""e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       qz AS (
         SELECT vec_id, list_transform(emb, x -> floor(x * $QuantScale)) AS qv
@@ -2353,11 +2351,60 @@ object Similarity {
       cent2 AS (
         SELECT m, code, cent, list_dot_product(cent, cent) AS cc FROM cent1),
       d1 AS (
-        SELECT v.vec_id, v.m,
+        SELECT v.vec_id, v.m, c.code,
                v.svv - 2 * list_dot_product(v.sv, c.cent) + c.cc AS dist
         FROM sub2 v JOIN cent2 c ON c.m = v.m),
-      best AS (
-        SELECT vec_id, m, min(dist) AS dist FROM d1 GROUP BY vec_id, m),
+      a1 AS (
+        SELECT vec_id, m, code, dist FROM (
+          SELECT vec_id, m, code, dist,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          FROM d1) r WHERE rn = 1),
+      best AS (SELECT vec_id, m, dist FROM a1)"""
+
+  /** The c13 PQ-leg refresh chain appended to [[s14OracleCtes]] — the
+    * s15 recipe per (m, code): one integer-mean update from the
+    * full-corpus assignment a1, empty-code keep rule, full re-assignment
+    * `pbest` under the refreshed codebooks. */
+  private[queries] def pqRefreshCtes: String = s"""pcd AS (
+        SELECT a1.m, a1.code, i, floor(sum(sv[i]) / count(*)) AS c
+        FROM a1 JOIN sub2 USING (vec_id, m), range(1, ${PqD + 1}) t(i)
+        GROUP BY a1.m, a1.code, i),
+      pcent AS (
+        SELECT m, code, list(c ORDER BY i) AS cent FROM pcd GROUP BY m, code),
+      pref AS (
+        SELECT s.m, s.code, coalesce(n.cent, s.cent) AS cent
+        FROM cent2 s LEFT JOIN pcent n USING (m, code)),
+      prefx AS (
+        SELECT m, code, cent, list_dot_product(cent, cent) AS cc FROM pref),
+      pd2 AS (
+        SELECT v.vec_id, v.m,
+               v.svv - 2 * list_dot_product(v.sv, c.cent) + c.cc AS dist
+        FROM sub2 v JOIN prefx c ON c.m = v.m),
+      pbest AS (SELECT vec_id, m, min(dist) AS dist FROM pd2 GROUP BY vec_id, m)"""
+
+  val s14PqStaleness = NamedQuery(
+    "s14_pq_staleness",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val isNew = s13IsNew
+      val sub = s14Subvectors(s, dir)
+      val cents1 = s14TrainedCodebooks(s, dir)
+      s14Assign(sub, cents1)
+        .groupBy(col("m"))
+        .agg(
+          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
+          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
+          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("err_arch"),
+          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("err_inc"))
+        .select(col("m"), col("n_arch"), col("n_inc"),
+          col("err_arch"), col("err_inc"),
+          (col("err_inc") * col("n_arch") - col("err_arch") * col("n_inc"))
+            .as("err_shift_x"))
+        .orderBy(col("m"))
+    },
+    Some(s"""WITH $s14OracleCtes,
       per AS (
         SELECT m,
           CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_arch,
@@ -2373,6 +2420,92 @@ object Similarity {
       "per-subspace cross-multiplied quantization-error shift in exact " +
       "int64 — s13's fine-level sibling (names the subspace drifting " +
       "before s9's recall decays); FULL value oracle")
+
+  // ------------------------------------------------- c13 legs (ivf, pq)
+  /** The IVF row of c13's refresh decision: staleness from the
+    * full-corpus stale assignment (s13's audit relation, memoized), the
+    * refresh benefit from s15's priced retrain (memoized report) —
+    * composing the decision costs ~one audit.
+    *
+    *   staleness_bp  [[RefreshDecision.crossStalenessBp]] over the
+    *                 per-cell arch/inc split of the stale assignment
+    *   benefit_bp    10⁴·(Σd_before − Σd_after) div Σd_before — the
+    *                 fraction of the stale index's distance mass ONE
+    *                 warm-start update removes, in bp */
+  private[queries] def ivfRefreshLeg(s: SparkSession, dir: String): DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val isNew = s13IsNew
+    val per = s15StaleAssignment(s, dir)
+      .groupBy(col("list_id"))
+      .agg(
+        sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
+        sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
+        sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
+          .cast("long").as("d_arch"),
+        sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
+          .cast("long").as("d_inc"))
+    val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc", "d_arch", "d_inc")
+    val ben = s15RefreshReport(s, dir)
+      .agg(sum(col("d_before")).as("db"), sum(col("d_after")).as("da"))
+      .select(expr("(10000 * (db - da)) div db").as("benefit_bp"))
+    st.crossJoin(broadcast(ben))
+      .select(lit("ivf").as("family"), col("staleness_bp"), col("benefit_bp"))
+  }
+
+  /** The PQ row of c13's refresh decision — the s15 recipe applied to
+    * the fine level: ONE warm-start integer-mean codebook update per
+    * (m, code) from the full-corpus assignment under the STORED
+    * codebooks (empty codes keep their stale centroid), full
+    * re-assignment, and the quantization-error mass before/after.
+    * Scale shape mirrors s15: the persisted subvector relation is the
+    * only corpus-sized input (memoized — s14's audit shares it), the
+    * codebooks and the update are PqM·PqK-row broadcasts, three corpus
+    * passes total, zero corpus shuffles.  The full-corpus assignment
+    * persists for its two consumers (the per-subspace split and the
+    * update step). */
+  private[queries] def pqRefreshLeg(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "pqRefreshLeg") {
+      graft.sentiment.GraftFunctions.register(s)
+      val isNew = s13IsNew
+      val sub = s14Subvectors(s, dir)
+      val cb = s14TrainedCodebooks(s, dir)
+      val a = trackedPersist(s14Assign(sub, cb))
+      val per = a.groupBy(col("m"))
+        .agg(
+          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
+          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
+          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("err_arch"),
+          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
+            .cast("long").as("err_inc"))
+      val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc",
+        "err_arch", "err_inc")
+      val upd = a
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
+        .groupBy(col("m"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("m"), col("code"),
+          transform(col("pc"), x => x.getField("c")).as("cent"))
+        .withColumn("cc", dot(col("cent"), col("cent")))
+      val refreshed = cb
+        .select(col("m"), col("code"),
+          col("cent").as("cent_old"), col("cc").as("cc_old"))
+        .join(broadcast(upd.select(col("m"), col("code"),
+          col("cent").as("cent_new"), col("cc").as("cc_new"))),
+          Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("cent_new"), col("cent_old")).as("cent"),
+          coalesce(col("cc_new"), col("cc_old")).as("cc"))
+      val after = s14Assign(sub, refreshed)
+        .agg(sum(col("dist")).cast("long").as("ea"))
+      val ben = per.agg(sum(col("err_arch") + col("err_inc")).as("eb"))
+        .crossJoin(broadcast(after))
+        .select(expr("(10000 * (eb - ea)) div eb").as("benefit_bp"))
+      st.crossJoin(broadcast(ben))
+        .select(lit("pq").as("family"), col("staleness_bp"), col("benefit_bp"))
+    }
 
   // ---------------------------------------------------------------- s16
   /** Quantization grid of the RADIUS-COMPLETE pair source: coarser than

@@ -66,15 +66,24 @@ object LiveSelectorStaleness {
     * archive stats (a bucket the archive never saw still drifts; a
     * bucket the stream hasn't touched still weighs), then the SHARED
     * batch expressions. */
-  def reportOf(updates: DataFrame, archiveStats: DataFrame): DataFrame = {
+  def reportOf(updates: DataFrame, archiveStats: DataFrame): DataFrame =
+    graft.queries.Curation.selectorStalenessFromCounts(
+      driftCountsOf(updates, archiveStats))
+
+  /** The live per-bucket drift-counts relation `(b, ct_arch, cr_arch,
+    * n_inc)` — the c12 report above and the live refresh decision
+    * ([[LiveRefreshDecision]]) both read it: latest count per bucket
+    * (`max_by(rev)`) full-outer-joined with the ≤ B-row stored archive
+    * stats (a bucket the archive never saw still drifts; a bucket the
+    * stream hasn't touched still weighs). */
+  def driftCountsOf(updates: DataFrame, archiveStats: DataFrame): DataFrame = {
     val latest = updates
       .groupBy(col("b"))
       .agg(max_by(col("n_inc"), col("rev")).as("n_inc"))
-    val per = archiveStats.join(latest, Seq("b"), "full_outer")
+    archiveStats.join(latest, Seq("b"), "full_outer")
       .select(col("b"),
         coalesce(col("ct_arch"), lit(0L)).as("ct_arch"),
         coalesce(col("cr_arch"), lit(0L)).as("cr_arch"),
         coalesce(col("n_inc"), lit(0L)).as("n_inc"))
-    graft.queries.Curation.selectorStalenessFromCounts(per)
   }
 }
