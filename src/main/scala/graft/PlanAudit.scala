@@ -537,6 +537,28 @@ object PlanAudit {
         "map-side combined to ≤ k longs per source); the ordered output " +
         "range-partitions — a 3rd occurrence means the corpus leaked " +
         "into the pair arithmetic"),
+    // d18 three-way overlap (round-13: d17's estimator on source
+    // triples — SAME persisted synopsis relation, no new corpus pass)
+    Expect("d18_threeway_overlap", "ReadSchema: struct<text:string,source:string>",
+      "the documents scan must prune to (text, source) and appear ONCE — " +
+        "all three sides of the triple join read the persisted " +
+        "≤ |sources|-row sketch relation", maxCount = 1),
+    Expect("d18_threeway_overlap", "InMemoryRelation",
+      "the sketch relation must sit behind a persist boundary (tree + " +
+        "detail per triple side = 6 renders)", maxCount = 6),
+    Expect("d18_threeway_overlap", "ObjectHashAggregate",
+      "graft_kmv_mins must plan as ObjectHashAggregate with a " +
+        "partial/final split — map-side combine bounds the one shuffle " +
+        "at ≤ k longs per source per mapper (≤ 4 renders per side)",
+      maxCount = 12),
+    Expect("d18_threeway_overlap", "SortMergeJoin", present = false,
+      why = "the triple join is over the ≤ |sources|-row sketch " +
+        "relation and must broadcast — an SMJ means a tiny relation " +
+        "got shuffled"),
+    Expect("d18_threeway_overlap", "hashpartitioning(", maxCount = 2,
+      why = "exactly 1 data shuffle (the per-source sketch aggregate); " +
+        "the ordered output range-partitions — a 3rd occurrence means " +
+        "the corpus leaked into the triple arithmetic"),
     // c13 refresh decision (round-13: the maintenance triad composed —
     // three family legs unioned, each riding its memoized audit
     // relations, so the decision costs ~one audit per family)

@@ -438,23 +438,25 @@ object TextOps {
     * at sf0.001 every source does, which is how the spec pins the
     * estimator against d16's exact matrix with equality, not tolerance.
     * d16 stays the exact audit; d17 is what runs continuously. */
-  val d17OverlapSketch = NamedQuery(
-    "d17_overlap_sketch",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      val K = OverlapSketchK
-      // PERSIST the ≤ |sources|-row sketch relation: both sides of the
-      // pair join read it, and without the boundary the corpus is
-      // shingled+sketched TWICE (d16's round-11 defect class — PlanAudit
-      // gates the single pruned scan)
-      val sk = Dedup.constructionPersist(s, shingles(s, dir)
-        .select(col("source"), call_function("graft_charfold", col("shingle")).as("h"))
-        .groupBy(col("source"))
-        .agg(call_function("graft_kmv_mins",
-          col("h"), lit(K), lit(graft.functions.CharFoldKernel.Prime)).as("mins")))
-      overlapFromSketches(sk, K)
-    },
-    Some(s"""WITH tok AS (
+  /** The ≤ |sources|-row KMV sketch relation `(source, mins)` shared by
+    * d17's pairwise and d18's three-way estimators — PERSISTED: every
+    * side of the pair/triple joins reads it, and without the boundary
+    * the corpus is shingled+sketched once per side (d16's round-11
+    * defect class — PlanAudit gates the single pruned scan). */
+  private def overlapSketchRelation(s: SparkSession, dir: String): DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    Dedup.constructionPersist(s, shingles(s, dir)
+      .select(col("source"), call_function("graft_charfold", col("shingle")).as("h"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_kmv_mins",
+        col("h"), lit(OverlapSketchK), lit(graft.functions.CharFoldKernel.Prime))
+        .as("mins")))
+  }
+
+  /** The shared DuckDB replay of [[overlapSketchRelation]]: corpus →
+    * distinct per-source word-trigram shingles → charfold → per-source
+    * k smallest (`mins(source, mins)`). */
+  private def overlapSketchCtes: String = s"""tok AS (
         SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''),
       sh AS (
@@ -470,7 +472,12 @@ object TextOps {
         SELECT source, list(h ORDER BY h) AS mins FROM (
           SELECT source, h,
                  row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-          FROM hs) r WHERE rn <= $OverlapSketchK GROUP BY source),
+          FROM hs) r WHERE rn <= $OverlapSketchK GROUP BY source)"""
+
+  val d17OverlapSketch = NamedQuery(
+    "d17_overlap_sketch",
+    (s, dir) => overlapFromSketches(overlapSketchRelation(s, dir), OverlapSketchK),
+    Some(s"""WITH $overlapSketchCtes,
       pairs AS (
         SELECT a.source AS src_a, b.source AS src_b,
                a.mins AS ma, b.mins AS mb,
@@ -537,6 +544,124 @@ object TextOps {
         col("est_a"), col("est_b"), col("est_shared"), col("jaccard_bp"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  // ---------------------------------------------------------------- d18
+  /** d18's THREE-WAY estimator over a `(source, mins)` sketch relation —
+    * the d17 arithmetic extended to triples (Beyer et al. §4
+    * generalizes: the k-mins of A∪B∪C are exactly the k smallest of the
+    * pooled mins, and for any h among them "h ∈ X" is decidable from
+    * mins(X) alone — fewer than k union elements sit below h, so h is
+    * within X's k smallest whenever it is in X at all).  THE single
+    * definition, shared by the batch query and the live monitor's
+    * three-way report ([[graft.stream.LiveOverlapSketch.threeWayReportOf]]).
+    *
+    *   ρ_abc / k     estimates J(A∪B∪C vs A∩B∩C) — `jaccard3_bp`
+    *   ρ_abc·|∪|est div k   estimates |A∩B∩C| — `est_abc`
+    *   10⁴·ρ_abc div ρ_ab   estimates |A∩B∩C| / |A∩B| — `contain_ab_c_bp`,
+    *     "how much of A∩B is also in C": the number c4's source-mixing
+    *     weights need to avoid double-discounting mass shared across a
+    *     source TRIPLE (pairwise overlap alone over-subtracts it twice);
+    *     NULL when the A∩B evidence is empty (no containment to state).
+    *
+    * Triples where all three sketches are complete (< k distinct
+    * shingles) take the EXACT branch — full-set arithmetic, which is how
+    * the spec pins the estimator against plain set recounts with
+    * equality.  All exact int64; replays bit-for-bit in DuckDB. */
+  private[graft] def threeWayFromSketches(sk: DataFrame, K: Int): DataFrame = {
+    val km = (K - 1).toLong * graft.functions.CharFoldKernel.Prime
+    sk.select(col("source").as("src_a"), col("mins").as("ma"))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("src_b"), col("mins").as("mb"))))
+      .crossJoin(broadcast(
+        sk.select(col("source").as("src_c"), col("mins").as("mc"))))
+      .filter(col("src_a") < col("src_b") && col("src_b") < col("src_c"))
+      .withColumn("la", size(col("ma")).cast("long"))
+      .withColumn("lb", size(col("mb")).cast("long"))
+      .withColumn("lc", size(col("mc")).cast("long"))
+      .withColumn("exact", col("la") < K && col("lb") < K && col("lc") < K)
+      .withColumn("uni",
+        array_sort(array_distinct(concat(col("ma"), col("mb"), col("mc")))))
+      .withColumn("u", slice(col("uni"), 1, K))
+      .withColumn("iab", array_intersect(col("ma"), col("mb")))
+      .withColumn("iabc", array_intersect(col("iab"), col("mc")))
+      .withColumn("rho_ab", size(array_intersect(col("u"), col("iab"))).cast("long"))
+      .withColumn("rho_abc", size(array_intersect(col("u"), col("iabc"))).cast("long"))
+      .withColumn("n_ab",
+        when(col("exact"), size(col("iab")).cast("long")).otherwise(col("rho_ab")))
+      .withColumn("n_abc",
+        when(col("exact"), size(col("iabc")).cast("long")).otherwise(col("rho_abc")))
+      .withColumn("est_union", when(col("exact"), size(col("uni")).cast("long"))
+        .otherwise(expr(s"$km div element_at(u, $K)")))
+      .withColumn("est_abc", when(col("exact"), size(col("iabc")).cast("long"))
+        .otherwise(expr(s"(rho_abc * est_union) div $K")))
+      .withColumn("jaccard3_bp",
+        when(col("exact"), expr("(10000 * size(iabc)) div size(uni)").cast("long"))
+          .otherwise(expr(s"(10000 * rho_abc) div $K")))
+      .withColumn("contain_ab_c_bp",
+        when(col("n_ab") === 0, lit(null).cast("long"))
+          .otherwise(expr("(10000 * n_abc) div n_ab")))
+      .select(col("src_a"), col("src_b"), col("src_c"), col("exact"),
+        col("est_union"), col("est_abc"), col("jaccard3_bp"),
+        col("contain_ab_c_bp"))
+      .orderBy(col("src_a"), col("src_b"), col("src_c"))
+  }
+
+  /** Three-way cross-source overlap — d17 extended to source TRIPLES on
+    * the SAME persisted synopsis relation (no new corpus pass, no new
+    * state: the sketch already supports k-way union by the pooled-mins
+    * theorem, so the triple estimates are free at sketch-build time).
+    * The containment column is the estimator c4's source-mixing weights
+    * consume to avoid double-discounting mass shared across triples.
+    * FULL value oracle, like d17. */
+  val d18ThreeWayOverlap = NamedQuery(
+    "d18_threeway_overlap",
+    (s, dir) => threeWayFromSketches(overlapSketchRelation(s, dir), OverlapSketchK),
+    Some(s"""WITH $overlapSketchCtes,
+      triples AS (
+        SELECT a.source AS src_a, b.source AS src_b, c.source AS src_c,
+               a.mins AS ma, b.mins AS mb, c.mins AS mc,
+               CAST(len(a.mins) AS BIGINT) AS la,
+               CAST(len(b.mins) AS BIGINT) AS lb,
+               CAST(len(c.mins) AS BIGINT) AS lc
+        FROM mins a
+        JOIN mins b ON a.source < b.source
+        JOIN mins c ON b.source < c.source),
+      arrs AS (
+        SELECT src_a, src_b, src_c, la, lb, lc,
+               la < $OverlapSketchK AND lb < $OverlapSketchK
+                 AND lc < $OverlapSketchK AS ex,
+               list_sort(list_distinct(ma || mb || mc)) AS uni,
+               list_intersect(ma, mb) AS iab,
+               list_intersect(list_intersect(ma, mb), mc) AS iabc
+        FROM triples),
+      calc AS (
+        SELECT src_a, src_b, src_c, ex, uni, iab, iabc,
+               CAST(len(list_intersect(uni[1:$OverlapSketchK], iab)) AS BIGINT) AS rho_ab,
+               CAST(len(list_intersect(uni[1:$OverlapSketchK], iabc)) AS BIGINT) AS rho_abc,
+               CASE WHEN ex THEN CAST(len(uni) AS BIGINT)
+                    ELSE ${(OverlapSketchK - 1) * 1000000007L}
+                         // uni[$OverlapSketchK] END AS est_union
+        FROM arrs),
+      calc2 AS (
+        SELECT src_a, src_b, src_c, ex, uni, iab, iabc, rho_ab, rho_abc, est_union,
+               CASE WHEN ex THEN CAST(len(iab) AS BIGINT) ELSE rho_ab END AS n_ab,
+               CASE WHEN ex THEN CAST(len(iabc) AS BIGINT) ELSE rho_abc END AS n_abc
+        FROM calc)
+      SELECT src_a, src_b, src_c, ex AS exact,
+        CAST(est_union AS BIGINT) AS est_union,
+        CAST(CASE WHEN ex THEN len(iabc)
+                  ELSE (rho_abc * est_union) // $OverlapSketchK END AS BIGINT) AS est_abc,
+        CAST(CASE WHEN ex THEN (10000 * len(iabc)) // len(uni)
+                  ELSE (10000 * rho_abc) // $OverlapSketchK END AS BIGINT) AS jaccard3_bp,
+        CAST(CASE WHEN n_ab = 0 THEN NULL
+                  ELSE (10000 * n_abc) // n_ab END AS BIGINT) AS contain_ab_c_bp
+      FROM calc2 ORDER BY src_a, src_b, src_c"""),
+    doc = "three-way cross-source overlap from the SAME per-source KMV " +
+      "synopses as d17 (pooled k-mins theorem — no new corpus pass): " +
+      "triple intersection/Jaccard estimates plus the A∩B-in-C " +
+      "containment c4's mixing weights need to avoid double-discounting " +
+      "shared mass across source triples; exact branch on complete " +
+      "sketches, exact int64 throughout, FULLY value-oracled")
 
   /** Scale-adaptive exact-Jaccard pairs (both paths produce identical
     * results — proven by QueryPacksSpec in both scopes): for small corpora
@@ -1994,6 +2119,6 @@ object TextOps {
     t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
     t15TypoPairs, t19EncodingQa, t20BpeTrain, t21BpeApply,
     d1DedupExact, d2NgramJaccard, d10Containment, d16SourceOverlap,
-    d17OverlapSketch,
+    d17OverlapSketch, d18ThreeWayOverlap,
     c1CorpusCuration, c2Contamination, c7NgramDecontamination)
 }

@@ -83,10 +83,20 @@ object LiveOverlapSketch {
     * sketch per source (`max_by(rev)`), then the SHARED batch estimator
     * ([[graft.queries.TextOps.overlapFromSketches]]). */
   def reportOf(updates: DataFrame,
-      k: Int = graft.queries.TextOps.OverlapSketchK): DataFrame = {
-    val latest = updates
+      k: Int = graft.queries.TextOps.OverlapSketchK): DataFrame =
+    graft.queries.TextOps.overlapFromSketches(latestOf(updates), k)
+
+  /** d18's three-way overlap report over the same live state — the
+    * pooled-mins theorem means the triple estimates read off the
+    * identical per-source synopses (SHARED batch estimator,
+    * [[graft.queries.TextOps.threeWayFromSketches]]). */
+  def threeWayReportOf(updates: DataFrame,
+      k: Int = graft.queries.TextOps.OverlapSketchK): DataFrame =
+    graft.queries.TextOps.threeWayFromSketches(latestOf(updates), k)
+
+  /** Latest sketch per source (`max_by(rev)`). */
+  private def latestOf(updates: DataFrame): DataFrame =
+    updates
       .groupBy(col("source"))
       .agg(max_by(col("mins"), col("rev")).as("mins"))
-    graft.queries.TextOps.overlapFromSketches(latest, k)
-  }
 }

@@ -135,4 +135,102 @@ class OverlapSketchSpec extends SparkSpec {
     assert(want.nonEmpty && got == want,
       s"sf0.001 mismatch: got ${got.size} rows, want ${want.size}")
   }
+
+  // ------------------------------------------------------------- d18
+  /** The expected d18 rows — the three-way estimator as local loops. */
+  private def expected3(rows: Seq[(String, String)])
+      : Seq[(String, String, String, Boolean, Long, Long, Long, Option[Long])] = {
+    val mins: Map[String, Vector[Long]] = rows
+      .filter { case (_, t) => t != null && t.nonEmpty }
+      .groupBy(_._1)
+      .map { case (src, rs) =>
+        src -> rs.iterator.flatMap(r => shinglesOf(r._2)).map(fold).toSet
+          .toVector.sorted.take(K)
+      }
+      .filter(_._2.nonEmpty)
+    val srcs = mins.keys.toSeq.sorted
+    for { a <- srcs; b <- srcs if a < b; c <- srcs if b < c } yield {
+      val (ma, mb, mc) = (mins(a), mins(b), mins(c))
+      val uni = (ma ++ mb ++ mc).distinct.sorted
+      val u = uni.take(K)
+      val exact = ma.size < K && mb.size < K && mc.size < K
+      val iab = ma.toSet & mb.toSet
+      val iabc = iab & mc.toSet
+      val rhoAb = u.count(iab).toLong
+      val rhoAbc = u.count(iabc).toLong
+      val estU = if (exact) uni.size.toLong else (K - 1).toLong * P / u(K - 1)
+      val estAbc = if (exact) iabc.size.toLong else rhoAbc * estU / K
+      val j3 = if (exact) 10000L * iabc.size / uni.size else 10000L * rhoAbc / K
+      val nAb = if (exact) iab.size.toLong else rhoAb
+      val nAbc = if (exact) iabc.size.toLong else rhoAbc
+      val contain = if (nAb == 0) None else Some(10000L * nAbc / nAb)
+      (a, b, c, exact, estU, estAbc, j3, contain)
+    }
+  }
+
+  private def runD18(dir: String)
+      : Seq[(String, String, String, Boolean, Long, Long, Long, Option[Long])] =
+    TextOps.d18ThreeWayOverlap.fn(spark, dir).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+
+  test("d18 exact branch equals plain set arithmetic incl. containment and its NULL case") {
+    // blog repeats exactly ONE of web∩wiki's two shared shingles; mail
+    // is disjoint from everything
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (1L, "the quick brown fox sat under an old oak tree", "wiki"),
+      (2L, "the quick brown cat naps all day long somewhere", "blog"),
+      (3L, "completely disjoint correspondence nobody repeats anywhere at all", "mail"))
+    val dir = writeDocs("d18-small", docs)
+    val got = runD18(dir)
+    val want = expected3(docs.map { case (_, t, s) => (s, t) })
+    assert(got == want, s"small-source mismatch:\n got  $got\n want $want")
+    assert(got.forall(_._4), "complete sketches — every triple must take the exact branch")
+    // eyeball case: blog∩web = {'the quick brown'} ⊆ wiki → containment 10000
+    val bww = got.find(r => r._1 == "blog" && r._2 == "web" && r._3 == "wiki").get
+    assert(bww._8 == Some(10000L), s"blog∩web fully inside wiki: $bww")
+    // mail-containing triples have empty A∩B evidence → NULL, never 0/0
+    val bmw = got.find(r => r._1 == "blog" && r._2 == "mail").get
+    assert(bmw._8 == None, s"blog∩mail is empty — containment must be NULL: $bmw")
+  }
+
+  test("d18 estimator branch: planted triple truth within tolerance, recount exact") {
+    // three large sources sharing a 300-word core; srcC repeats only the
+    // first 150 core words → true containment(A∩B in C) ≈ 148/298
+    val ta = prose("alpha", 300, 300)
+    val tb = prose("beta", 300, 300)
+    val tc = ((0 until 150).map(i => s"shared$i") ++
+      (0 until 450).map(i => s"gamma$i")).mkString(" ")
+    val dir = writeDocs("d18-large",
+      Seq((0L, ta, "srcA"), (1L, tb, "srcB"), (2L, tc, "srcC")))
+    val got = runD18(dir)
+    assert(got.size == 1 && !got.head._4, "must take the estimator branch")
+    // strict gate: the distributed query equals the local replay
+    val want = expected3(Seq(("srcA", ta), ("srcB", tb), ("srcC", tc)))
+    assert(got == want, s"estimator recount mismatch:\n got  $got\n want $want")
+    // estimator quality: containment within ±1500 bp of the planted truth
+    val sa = shinglesOf(ta); val sb = shinglesOf(tb); val sc = shinglesOf(tc)
+    val cTrue = 10000.0 * (sa & sb & sc).size / (sa & sb).size
+    val cEst = got.head._8.get.toDouble
+    assert(math.abs(cEst - cTrue) <= 1500,
+      f"containment estimate $cEst%.0f vs truth $cTrue%.0f")
+    // and the triple Jaccard within 3σ
+    val uni = (sa ++ sb ++ sc).size.toDouble
+    val jTrue = (sa & sb & sc).size / uni
+    val sigma = math.sqrt(jTrue * (1 - jTrue) / K)
+    assert(math.abs(got.head._7 / 10000.0 - jTrue) <= 3 * sigma,
+      f"j3 estimate ${got.head._7 / 10000.0}%.4f vs truth $jTrue%.4f (3σ=${3 * sigma}%.4f)")
+  }
+
+  test("d18 equals the local recount on the sf0.001 corpus") {
+    val raw = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val want = expected3(raw)
+    val got = runD18(sf())
+    assert(want.nonEmpty && got == want,
+      s"sf0.001 mismatch: got ${got.size} rows, want ${want.size}")
+  }
 }

@@ -59,6 +59,24 @@ class OverlapParitySpec extends SparkSpec {
       val batch = batchRows(dir)
       assert(batch.nonEmpty, "degenerate fixture: batch report empty")
       assert(live == batch, s"report divergence:\n live=${live.take(4)}\n batch=${batch.take(4)}")
+      // the SAME live state also serves d18's three-way report (the
+      // pooled-mins theorem — no extra state): it must equal the
+      // oracle-checked d18 rows exactly
+      def optLong(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val live3 = LiveOverlapSketch
+        .threeWayReportOf(spark.table("overlap_parity").toDF())
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), optLong(r, 7)))
+        .toSeq
+      val batch3 = graft.SparkEntry.queries("d18_threeway_overlap")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), optLong(r, 7)))
+        .toSeq
+      assert(batch3.nonEmpty && live3 == batch3,
+        s"3-way divergence:\n live=${live3.take(3)}\n batch=${batch3.take(3)}")
     } finally q.stop()
   }
 
