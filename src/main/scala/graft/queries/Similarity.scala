@@ -148,6 +148,26 @@ object Similarity {
     pairs.union(failRow.toDF(cols: _*))
   }
 
+  /** The radius-mass guard — [[recallFloorGuard]]'s wiring (union with a
+    * conditionally-failing 1-row branch; exchange-free, cut-safe) with
+    * the INVERTED predicate: the s16 certificate reports the
+    * multi-assignment mass provable completeness forces, and the flip
+    * fails when that mass EXCEEDS the cap (completeness without
+    * selectivity is just all-pairs with extra steps). */
+  private[queries] def massCapGuard(
+      pairs: DataFrame, cert: DataFrame, capBp: Long, conf: String,
+      detail: String): DataFrame = {
+    val failRow = cert.filter(col("cell_mass_bp") > capBp)
+      .select(
+        assert_true(lit(false),
+          concat(lit("graft: radius-mass guard: measured cell_mass_bp "),
+            col("cell_mass_bp"),
+            lit(s" > $conf=$capBp — $detail"))).cast("long").as("a"),
+        lit(0L).as("b"))
+    val cols = pairs.columns
+    pairs.union(failRow.toDF(cols: _*))
+  }
+
   // ---------------------------------------------------------------- s1
   val s1AnnBruteForce = NamedQuery(
     "s1_ann_bruteforce",
@@ -1117,7 +1137,9 @@ object Similarity {
   }
 
   /** The pair-source selector for the EMBEDDING dup graph —
-    * `spark.graft.embed.pairs = exact | bucketed` (default `exact`),
+    * `spark.graft.embed.pairs = exact | bucketed | radius` (default
+    * `exact`; `radius` is the provably-complete s16 ball source, guarded
+    * by the mass meter — see the radius-mass guard below),
     * mirroring `spark.graft.dedup.pairs` with the OPPOSITE default, for
     * a measured reason: the d13 certificate proved ZERO banding loss on
     * the Jaccard graph (recall_bp = 10000), which authorized flipping
@@ -1152,14 +1174,55 @@ object Similarity {
       sourceOverride: Option[String] = None): DataFrame = {
     val source = sourceOverride.getOrElse(
       s.conf.getOption("spark.graft.embed.pairs").getOrElse("exact") match {
-        case v @ ("exact" | "bucketed") => v
+        case v @ ("exact" | "bucketed" | "radius") => v
         case other => throw new IllegalArgumentException(
-          s"spark.graft.embed.pairs must be 'exact' or 'bucketed', got '$other'")
+          s"spark.graft.embed.pairs must be 'exact', 'bucketed' or 'radius', got '$other'")
       })
     val pairs = (source match {
       case "bucketed" => bucketedEmbeddingPairs(s, dir)
+      case "radius" => radiusCompleteEmbeddingPairs(s, dir)
       case _ => embeddingPairs(s, dir)
     }).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    // RADIUS-MASS GUARD (round-12 verdict #5, wired round 13): the
+    // radius source is provably COMPLETE at any τ (s16's triangle
+    // bound), but completeness is only worth flipping to when it is
+    // also SELECTIVE — and s16's mass meter prices that per corpus per
+    // τ WITHOUT running the pair join.  A conf-selected flip therefore
+    // consults the memoized 1-row certificate and fails loudly when
+    // the ball assignment would degenerate toward all-pairs
+    // (cell_mass_bp above the cap — at τ = 4000 the theorem makes it
+    // 10000 on ANY corpus, so the default flip fails by design: use
+    // exact there, or raise the cap deliberately to accept all-pairs
+    // cost with a completeness proof attached).  Same union-with-
+    // conditionally-failing-row wiring as the recall-floor guard; only
+    // conf-selected flips are guarded (sourceOverride callers are the
+    // certificate machinery).
+    val radiusGuarded =
+      if (source != "radius" || sourceOverride.nonEmpty) pairs
+      else {
+        val capBp = s.conf.getOption("spark.graft.embed.radius.maxCellMassBp")
+          .map(_.toLong).getOrElse(RadiusMaxCellMassBp)
+        val cert = radiusMassCert(s, dir, EmbedPairTauBp)
+        val detail = "s16's mass meter says provable completeness is not " +
+          "selective at tau=" + EmbedPairTauBp + " on this corpus (the " +
+          "ball assignment degenerates toward all-pairs); keep " +
+          "spark.graft.embed.pairs=exact, or raise the cap deliberately " +
+          "to accept the cost with the completeness proof attached"
+        s.conf.getOption("spark.graft.embed.recallGuard").getOrElse("fail") match {
+          case "warn" =>
+            val bp = cert.collect().head.getLong(0)
+            if (bp > capBp) org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+              s"graft: embed pair source 'radius' measured cell_mass_bp $bp > " +
+                s"spark.graft.embed.radius.maxCellMassBp=$capBp on $dir — " +
+                "proceeding because spark.graft.embed.recallGuard=warn")
+            pairs
+          case "fail" => massCapGuard(pairs, cert, capBp,
+            "spark.graft.embed.radius.maxCellMassBp", detail)
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.embed.recallGuard must be 'fail' or 'warn', got '$other'")
+        }
+      }
+    val pairsOut = radiusGuarded
     // RECALL-FLOOR GUARD (round-10 verdict #4): a conf-selected flip to
     // the bucketed source under `spark.graft.embed.minRecallBp` measures
     // the d15 certificate (memoized; `spark.graft.embed.recallSampleMod`
@@ -1170,7 +1233,7 @@ object Similarity {
     val floorBp =
       if (source != "bucketed" || sourceOverride.nonEmpty) None
       else s.conf.getOption("spark.graft.embed.minRecallBp").map(_.toLong)
-    floorBp.fold(pairs) { f =>
+    floorBp.fold(pairsOut) { f =>
       val sampleMod = s.conf.getOption("spark.graft.embed.recallSampleMod")
         .map(_.toLong).getOrElse(1L)
       val cert = embedRecallCert(s, dir, sampleMod)
@@ -1184,9 +1247,9 @@ object Similarity {
             s"graft: embed pair source 'bucketed' measured recall $bp bp < " +
               s"spark.graft.embed.minRecallBp=$f (sampleMod=$sampleMod) on $dir — " +
               "proceeding because spark.graft.embed.recallGuard=warn")
-          pairs
+          pairsOut
         case "fail" =>
-          recallFloorGuard(pairs, cert, f, "spark.graft.embed.minRecallBp",
+          recallFloorGuard(pairsOut, cert, f, "spark.graft.embed.minRecallBp",
             "the bucketed embedding pair source would silently lose near-dup " +
               "pairs on this corpus; keep spark.graft.embed.pairs=exact, retune " +
               "cells/probe, or lower the floor deliberately (sampleMod=" +
@@ -2629,6 +2692,56 @@ object Similarity {
     * it does not (ANY corpus at τ = 0.4, where 2Dq exceeds the sphere
     * diameter) — [[s16RadiusCert]] reports that mass per τ WITHOUT
     * running the quadratic join, which is how a deployment decides. */
+  /** The dup-graph kernel's cosine threshold in bp (the d5/d7 `≥ 0.4`),
+    * as the radius source consumes it. */
+  private[queries] val EmbedPairTauBp = 4000
+
+  /** Default cap of the radius-mass guard: allow the conf-selected flip
+    * to the radius source only when provable completeness costs at most
+    * half the all-pairs probe mass (cell_mass_bp ≤ 5000) — above that
+    * the triangle ball is doing less than half the pruning and the
+    * exact kernel is the honest posture.  At τ = 4000 the s16 theorem
+    * makes the mass 10000 on ANY corpus, so the default flip fails by
+    * design; the cap exists for the higher-τ regimes where the ball IS
+    * selective (SCALING.md's s16 curve). */
+  private[queries] val RadiusMaxCellMassBp = 5000L
+
+  /** Dir-plumbed [[radiusCompleteEmbeddingPairsOf]] at the dup-graph
+    * kernel's τ — the third `spark.graft.embed.pairs` source. */
+  def radiusCompleteEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .as[(Long, Array[Double], Double)]
+    radiusCompleteEmbeddingPairsOf(s, e, EmbedPairTauBp)
+  }
+
+  /** The 1-row radius-mass certificate at one τ — s16's meter scoped to
+    * the guard's question, memoized + persisted per (session, dir, τ):
+    * `cell_mass_bp = (Σ per-vector cells within the triangle bound) ·
+    * 10⁴ div (n_vec · cells)`.  Θ(n·k), never the pair join. */
+  private def radiusMassCert(s: SparkSession, dir: String, tauBp: Int): DataFrame =
+    memoized(s, dir, s"radiusMassCert:$tauBp") {
+      graft.sentiment.GraftFunctions.register(s)
+      val e = s16NormQuantized(s, dir).select(col("vec_id"), col("qn"), col("vv"))
+      val cents = s16Cells(e, EmbedCells, 1L)
+      val twoDq = radiusTwoDq(tauBp)
+      trackedPersist(e.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          col("vv") - lit(2) * dot(col("qn"), col("cent")) + col("cc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dist")).as("dbest"), collect_list(col("dist")).as("ds"))
+        .withColumn("thr",
+          (floor(sqrt(col("dbest"))) + lit(1) + lit(twoDq)) *
+            (floor(sqrt(col("dbest"))) + lit(1) + lit(twoDq)))
+        .select(size(filter(col("ds"), d => d <= col("thr")))
+          .cast("long").as("n_probe"))
+        .agg(expr(s"(sum(n_probe) * 10000) div (count(1) * $EmbedCells)")
+          .as("cell_mass_bp")))
+    }
+
   def radiusCompleteEmbeddingPairsOf(
       s: SparkSession,
       corpus: org.apache.spark.sql.Dataset[(Long, Array[Double], Double)],

@@ -280,4 +280,53 @@ class RecallGuardSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         s"full measurement after sampled one must re-trip: ${failureMessage(e)}")
     }
   }
+
+  // ----------------------------------------------------------- radius
+  // round-12 verdict #5: the s16 radius-complete source wired as the
+  // third conf-selectable pair source, guarded by the MASS meter (the
+  // theorem is built; this is the policy wiring).
+
+  test("radius: the default flip fails loudly — the theorem says the ball is all-pairs at tau=4000") {
+    withConfs("spark.graft.embed.pairs" -> "radius") {
+      val e = intercept[Exception] {
+        Similarity.embedPairs(spark, sf()).collect()
+      }
+      val msg = failureMessage(e)
+      assert(msg.contains("radius-mass guard"), s"wrong failure: $msg")
+      assert(msg.contains("spark.graft.embed.radius.maxCellMassBp=5000"), msg)
+      // the measured mass is named and is the theorem's 10000
+      assert(msg.contains("cell_mass_bp 10000"), s"measured mass missing: $msg")
+    }
+  }
+
+  test("radius: with the cap deliberately raised, pairs EQUAL the exact source (completeness)") {
+    val exact = Similarity.embedPairs(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    withConfs(
+      "spark.graft.embed.pairs" -> "radius",
+      "spark.graft.embed.radius.maxCellMassBp" -> "10000") {
+      val got = Similarity.embedPairs(spark, sf())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exact,
+        s"radius source must be COMPLETE: |radius|=${got.size} |exact|=${exact.size}, " +
+          s"missing=${(exact -- got).take(3)}, extra=${(got -- exact).take(3)}")
+    }
+  }
+
+  test("radius: warn mode lets the over-mass flip flow") {
+    withConfs(
+      "spark.graft.embed.pairs" -> "radius",
+      "spark.graft.embed.recallGuard" -> "warn") {
+      assert(Similarity.embedPairs(spark, sf()).count() > 0)
+    }
+  }
+
+  test("radius: an invalid pairs source is still rejected by name") {
+    withConfs("spark.graft.embed.pairs" -> "spherical") {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.embedPairs(spark, sf())
+      }
+      assert(e.getMessage.contains("'exact', 'bucketed' or 'radius'"), e.getMessage)
+    }
+  }
 }
