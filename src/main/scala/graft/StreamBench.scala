@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.stream._
+
+/** Streaming throughput soak harness (round-12 verdict #3): every live
+  * stage is parity-proven and restart-proven, but a 100× claim needs
+  * rows/s — this main drives each stage from an over-provisioned rate
+  * source for a fixed wall-clock soak and reports what the stage
+  * actually sustained, plus its state footprint.
+  *
+  * Method: `rate` generates `SPARK_GRAFT_STREAM_BENCH_RATE` rows/s
+  * (default 100k — deliberately above what most stages sustain at
+  * local[4], so the STAGE is the bottleneck and the measured input
+  * rate is its throughput, not the source's); each stage runs
+  * `SPARK_GRAFT_STREAM_BENCH_SECS` (default 20; the committed
+  * SCALING.md table uses 60) against a noop sink with its own
+  * checkpoint, and the result reads off the query's progress events:
+  * rows/s = Σ numInputRows / wall, state = the last batch's
+  * stateOperators totals.  Event-time stages (windows, joins,
+  * sessions) use the rate source's own wall-clock timestamps, so
+  * watermarks advance naturally; within a short soak most windows stay
+  * OPEN — the measured number is ingest+state-update throughput, which
+  * is the capacity claim that matters (emission is a per-window
+  * trickle).  Inputs are deterministic functions of the rate value
+  * (the monitors' parity specs pin correctness; this harness prices
+  * speed).
+  *
+  * The reference's envelope is ≤ 100 records per 30 s trigger
+  * (~3.3 rec/s, `consumer/spark_streaming_job.py:117,159`) — the bar
+  * every row here must clear by orders of magnitude. */
+object StreamBench {
+
+  final case class SoakResult(name: String, secs: Double, rows: Long,
+      rowsPerSec: Long, stateRows: Long, stateMb: Double, batches: Int)
+
+  /** Deterministic ~24-token text from a rate value (splitmix-style
+    * mixing; ~50k-word vocabulary so shingles/buckets vary without
+    * pathological collisions). */
+  private def textOf(v: Long): String = {
+    val sb = new StringBuilder(160)
+    var i = 0
+    while (i < 24) {
+      var h = v * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+      h ^= h >>> 31
+      sb.append('w').append(java.lang.Math.floorMod(h, 50000L))
+      if (i < 23) sb.append(' ')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Deterministic 64-dim embedding on the same grid the stored models
+    * quantize (values in [0, 1)). */
+  private def embOf(v: Long): Array[Double] = {
+    val out = new Array[Double](64)
+    var d = 0
+    while (d < 64) {
+      var h = (v << 8 | d) * 0x9E3779B97F4A7C15L
+      h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
+      h ^= h >>> 31
+      out(d) = java.lang.Math.floorMod(h, 1000000L) / 1000000.0
+      d += 1
+    }
+    out
+  }
+
+  private def soak(spark: SparkSession, name: String, rate: Int, secs: Int)(
+      build: DataFrame => Dataset[_]): SoakResult = {
+    val cp = java.nio.file.Files.createTempDirectory(s"sbench-$name").toString
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate.toLong)
+      .option("numPartitions", 4)
+      .load()
+    val q = build(src).writeStream.format("noop")
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .start()
+    val t0 = System.nanoTime()
+    // NO processAllAvailable here: the rate source keeps producing, so
+    // draining never terminates for a stage slower than the source — the
+    // soak is wall-clock-bounded and the cut-off in-flight batch is an
+    // (acceptable) undercount, amortized by the soak length
+    try Thread.sleep(secs * 1000L) finally q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val prog = q.recentProgress
+    val rows = prog.map(_.numInputRows).sum
+    val lastState = prog.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    SoakResult(name, wall, rows, (rows / wall).toLong,
+      lastState.map(_.numRowsTotal).sum,
+      lastState.map(_.memoryUsedBytes).sum / 1e6,
+      prog.length)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_SECS", "20").toInt
+    // over-provision by default so the STAGE is the bottleneck; a stage
+    // whose rows/s lands at ~the rate kept up (source-limited lower bound)
+    val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_RATE", "200000").toInt
+    implicit val spark: SparkSession = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // stored models the staleness/scoring twins consume (the deployment
+    // loading sequence — memoized, one training pass each)
+    val ivfIndex = graft.queries.Similarity.s13IndexArray(spark, sfDir)
+    val pqBooks = graft.queries.Similarity.s14CodebookArray(spark, sfDir)
+    val (dsirW, dsirNt, dsirNr) = graft.queries.Curation.dsirWeightExport(spark, sfDir)
+    val driftRef: Map[String, Seq[Long]] =
+      (0 until 5).map(t => s"t$t" -> Seq.fill(256)(10L)).toMap
+
+    def evs(src: DataFrame): Dataset[(Long, java.sql.Timestamp)] =
+      src.select(col("value"), col("timestamp"))
+        .as[(Long, java.sql.Timestamp)]
+
+    val stages: Seq[(String, DataFrame => Dataset[_])] = Seq(
+      "T10_trend_burst" -> ((src: DataFrame) =>
+        TrendBurst.bursts(evs(src).map { case (v, ts) =>
+          TrendBurst.Post("l" + (v % 20), ts) })),
+      "T10b_anomaly_zscore" -> ((src: DataFrame) =>
+        AnomalyZscore.anomalies(evs(src).map { case (v, ts) =>
+          AnomalyZscore.Event("k" + (v % 20), ts) })),
+      "T12_heavy_hitters" -> ((src: DataFrame) =>
+        LiveHeavyHitters.sketch(evs(src).map { case (v, ts) =>
+          LiveHeavyHitters.Event(v % 100000L, ts) })),
+      "T13_drift" -> ((src: DataFrame) =>
+        LiveDrift.monitor(evs(src).map { case (v, ts) =>
+          LiveDrift.Event("t" + (v % 5), (v % 1000L).toDouble, ts) },
+          driftRef, 0L, 999L)),
+      // T14 carries per-doc shingle SETS in bucket state (the verified
+      // stage's price); at the global over-provisioned rate its first
+      // backlog batch never completes inside a soak, so it gets its own
+      // (still far-above-reference) source rate — see rateOf below
+      "T14_near_dup_verified" -> ((src: DataFrame) =>
+        LiveNearDup.verifiedPairs(evs(src).map { case (v, _) =>
+          LiveNearDup.DocEvent(v, textOf(v)) })),
+      "T6_sessionize" -> ((src: DataFrame) =>
+        Sessionize.sessionize(evs(src).map { case (v, ts) =>
+          Sessionize.Ev(v % 100000L, ts) })),
+      "T15_funnel" -> ((src: DataFrame) =>
+        LiveFunnel.monitor(evs(src).map { case (v, ts) =>
+          LiveFunnel.FEv(v % 100000L, ts,
+            Seq("view", "click", "purchase")((v % 3L).toInt)) })),
+      "T11_stream_join" -> ((src: DataFrame) => {
+        val views = evs(src).map { case (v, ts) => StreamJoin.View(v % 100000L, v, ts) }
+        val clicks = spark.readStream.format("rate")
+          .option("rowsPerSecond", rate.toLong).option("numPartitions", 4).load()
+          .select(col("value"), col("timestamp"))
+          .as[(Long, java.sql.Timestamp)]
+          .map { case (v, ts) => StreamJoin.Click(v % 100000L, v, ts) }
+        StreamJoin.inner(views, clicks)
+      }),
+      "T16_index_staleness" -> ((src: DataFrame) =>
+        LiveIndexStaleness.monitor(evs(src).map { case (v, _) =>
+          LiveIndexStaleness.VEv(v, embOf(v)) }, ivfIndex)),
+      "T17_pq_staleness" -> ((src: DataFrame) =>
+        LivePqStaleness.monitor(evs(src).map { case (v, _) =>
+          LiveIndexStaleness.VEv(v, embOf(v)) }, pqBooks)),
+      "T18_dsir_scorer" -> ((src: DataFrame) =>
+        LiveDsirScorer.monitor(evs(src).map { case (v, _) =>
+          LiveDsirScorer.DocEv(v, textOf(v), "src" + (1 + v % 5)) },
+          dsirW, dsirNt, dsirNr)),
+      "T19_overlap_sketch" -> ((src: DataFrame) =>
+        LiveOverlapSketch.monitor(evs(src).map { case (v, _) =>
+          LiveOverlapSketch.DocEv(v, textOf(v), "src" + (v % 20)) })),
+      "T20_selector_staleness" -> ((src: DataFrame) =>
+        LiveSelectorStaleness.monitor(evs(src).map { case (v, _) =>
+          LiveSelectorStaleness.DocEv(v, textOf(v), "src" + (1 + v % 5)) })))
+
+    // per-stage source rates where the global over-provisioning would
+    // make the first backlog batch un-completable inside the soak
+    def rateOf(stage: String): Int = stage match {
+      case "T14_near_dup_verified" => math.min(rate, 10000)
+      case _ => rate
+    }
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_STREAM_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = stages
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (n, b) =>
+        val r = soak(spark, n, rateOf(n), secs)(b)
+        println(f"| ${r.name}%-24s | ${r.rowsPerSec}%,d | ${r.rows}%,d | ${r.secs}%.1f | ${r.stateRows}%,d | ${r.stateMb}%.1f | ${r.batches} |")
+        r
+      }
+    val js = results.map(r =>
+      s"""{"stage":"${r.name}","rows_per_sec":${r.rowsPerSec},"rows":${r.rows},""" +
+        s""""secs":${f"${r.secs}%.1f"},"state_rows":${r.stateRows},""" +
+        s""""state_mb":${f"${r.stateMb}%.2f"},"batches":${r.batches}}""")
+      .mkString("[", ",", "]")
+    println(s"""{"stream_bench":true,"rate":$rate,"secs":$secs,"sf":"$sfDir","results":$js}""")
+    spark.stop()
+  }
+}
