@@ -462,6 +462,28 @@ object PlanAudit {
         "stats rollups — ≤ 9 logical data shuffles, rendered with " +
         "InMemoryRelation tree+detail duplication; a 12th occurrence " +
         "means a corpus-sized shuffle leaked in"),
+    // s17 PQ warm-start refresh (round-13: s15's gate set at the fine
+    // level — broadcast codebooks, one pruned scan, bounded shuffles)
+    Expect("s17_pq_refresh", "BroadcastHashJoin",
+      "every codebook pass (archive training, stale assignment, " +
+        "refreshed assignment, the report joins-back) joins the " +
+        "PqM·PqK-row codebooks as a BROADCAST on m — the subvector " +
+        "relation is scanned, never shuffled", maxCount = 20),
+    Expect("s17_pq_refresh", "SortMergeJoin", present = false,
+      why = "every join side is the broadcast codebook relation or a " +
+        "≤ PqM·PqK-row stats rollup — an SMJ means the corpus got " +
+        "shuffled on a join key"),
+    Expect("s17_pq_refresh", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan must prune to (vec_id, embedding) and is " +
+        "read ONCE into the memoized subvector relation shared with s14",
+      maxCount = 1),
+    Expect("s17_pq_refresh", "hashpartitioning(", maxCount = 11,
+      why = "bounded shuffle budget: the training argmin + two-stage " +
+        "codebook update (s14's), the stale argmin, the warm-start " +
+        "two-stage update, the refreshed argmin and the two per-(m,code) " +
+        "stats rollups — rendered with InMemoryRelation tree+detail " +
+        "duplication; a 12th occurrence means a corpus-sized shuffle " +
+        "leaked in"),
     // s16 radius-completeness certificate (round-12: the frontier close —
     // the cert must stay Θ(n·k), never run the pair join it prices)
     Expect("s16_radius_cert", "BroadcastNestedLoopJoin",
@@ -579,10 +601,11 @@ object PlanAudit {
       "every centroid-assignment pass (ivf training, stale, refreshed) " +
         "and every 1-row leg combine BROADCASTS the constant side to the " +
         "scanned relation", maxCount = 20),
-    Expect("c13_refresh_decision", "hashpartitioning(", maxCount = 22,
+    Expect("c13_refresh_decision", "hashpartitioning(", maxCount = 25,
       why = "bounded shuffle budget: the ivf leg's s13/s15 chain (≤ 11 " +
-        "rendered), the pq leg's s14 chain + warm-start update (≤ 10), " +
-        "the selector leg's single bucket aggregate — a 23rd occurrence " +
+        "rendered), the pq leg's s14 chain + s17's warm-start update and " +
+        "per-(m,code) rollups (≤ 13 — all ≤ PqM·PqK-row relations), the " +
+        "selector leg's single bucket aggregate — a 26th occurrence " +
         "means a corpus-sized shuffle leaked into the composition"))
 
   private def occurrences(plan: String, marker: String): Int = {

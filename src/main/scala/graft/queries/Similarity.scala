@@ -793,7 +793,7 @@ object Similarity {
     * vs the s1 brute-force truth is pinned in QueryPacksSpec. */
   private[graft] val PqM = 8  // subspaces
   private[graft] val PqD = 8  // dims per subspace
-  private val PqK = 16 // codebook entries per subspace
+  private[queries] val PqK = 16 // codebook entries per subspace
   private val PqCand = 20 // ADC candidates re-ranked exactly
 
   val s7AnnPq = NamedQuery(
@@ -2435,15 +2435,22 @@ object Similarity {
       pcent AS (
         SELECT m, code, list(c ORDER BY i) AS cent FROM pcd GROUP BY m, code),
       pref AS (
-        SELECT s.m, s.code, coalesce(n.cent, s.cent) AS cent
+        SELECT s.m, s.code, coalesce(n.cent, s.cent) AS cent,
+               s.cent AS cent_old
         FROM cent2 s LEFT JOIN pcent n USING (m, code)),
       prefx AS (
-        SELECT m, code, cent, list_dot_product(cent, cent) AS cc FROM pref),
+        SELECT m, code, cent, list_dot_product(cent, cent) AS cc, cent_old
+        FROM pref),
       pd2 AS (
-        SELECT v.vec_id, v.m,
+        SELECT v.vec_id, v.m, c.code,
                v.svv - 2 * list_dot_product(v.sv, c.cent) + c.cc AS dist
         FROM sub2 v JOIN prefx c ON c.m = v.m),
-      pbest AS (SELECT vec_id, m, min(dist) AS dist FROM pd2 GROUP BY vec_id, m)"""
+      pa1 AS (
+        SELECT vec_id, m, code, dist FROM (
+          SELECT vec_id, m, code, dist,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          FROM pd2) r WHERE rn = 1),
+      pbest AS (SELECT vec_id, m, dist FROM pa1)"""
 
   val s14PqStaleness = NamedQuery(
     "s14_pq_staleness",
@@ -2515,34 +2522,32 @@ object Similarity {
       .select(lit("ivf").as("family"), col("staleness_bp"), col("benefit_bp"))
   }
 
-  /** The PQ row of c13's refresh decision — the s15 recipe applied to
-    * the fine level: ONE warm-start integer-mean codebook update per
-    * (m, code) from the full-corpus assignment under the STORED
-    * codebooks (empty codes keep their stale centroid), full
-    * re-assignment, and the quantization-error mass before/after.
-    * Scale shape mirrors s15: the persisted subvector relation is the
-    * only corpus-sized input (memoized — s14's audit shares it), the
-    * codebooks and the update are PqM·PqK-row broadcasts, three corpus
-    * passes total, zero corpus shuffles.  The full-corpus assignment
-    * persists for its two consumers (the per-subspace split and the
-    * update step). */
-  private[queries] def pqRefreshLeg(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "pqRefreshLeg") {
+  /** The full-corpus per-subspace assignment under the STORED (stale,
+    * archive-trained) codebooks — memoized + persisted: s17's refresh
+    * report, its update step and c13's pq staleness split all read it
+    * (the s15StaleAssignment pattern at the fine level). */
+  private def s17StaleAssignment(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s17StaleAssignment")(
+      trackedPersist(s14Assign(s14Subvectors(s, dir), s14TrainedCodebooks(s, dir))))
+
+  /** PQ warm-start REFRESH report — s15's recipe applied to the fine
+    * level, completing the per-family symmetry (every stored model now
+    * has audit → priced refresh → decision): ONE floored-integer-mean
+    * codebook update per (m, code) from the full-corpus assignment
+    * under the STORED codebooks (empty codes keep their stale centroid —
+    * the s15 empty-cell rule), full re-assignment, and per-(m, code)
+    * occupancy rebalance, squared integer displacement and
+    * quantization-error mass before/after.  Scale shape mirrors s15:
+    * the persisted subvector relation is the only corpus-sized input
+    * (memoized — s14's audit shares it), codebooks and the update are
+    * PqM·PqK-row broadcasts, three corpus passes total, zero corpus
+    * shuffles. */
+  private[queries] def s17PqRefreshReport(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s17PqRefreshReport") {
       graft.sentiment.GraftFunctions.register(s)
-      val isNew = s13IsNew
       val sub = s14Subvectors(s, dir)
       val cb = s14TrainedCodebooks(s, dir)
-      val a = trackedPersist(s14Assign(sub, cb))
-      val per = a.groupBy(col("m"))
-        .agg(
-          sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
-          sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
-          sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
-            .cast("long").as("err_arch"),
-          sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
-            .cast("long").as("err_inc"))
-      val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc",
-        "err_arch", "err_inc")
+      val a = s17StaleAssignment(s, dir)
       val upd = a
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy(col("m"), col("code"), col("pos"))
@@ -2560,15 +2565,85 @@ object Similarity {
           Seq("m", "code"), "left")
         .select(col("m"), col("code"),
           coalesce(col("cent_new"), col("cent_old")).as("cent"),
-          coalesce(col("cc_new"), col("cc_old")).as("cc"))
-      val after = s14Assign(sub, refreshed)
-        .agg(sum(col("dist")).cast("long").as("ea"))
-      val ben = per.agg(sum(col("err_arch") + col("err_inc")).as("eb"))
-        .crossJoin(broadcast(after))
-        .select(expr("(10000 * (eb - ea)) div eb").as("benefit_bp"))
-      st.crossJoin(broadcast(ben))
-        .select(lit("pq").as("family"), col("staleness_bp"), col("benefit_bp"))
+          coalesce(col("cc_new"), col("cc_old")).as("cc"),
+          col("cent_old"), col("cc_old"))
+      val a2 = s14Assign(sub, refreshed.select(col("m"), col("code"),
+        col("cent"), col("cc")))
+      val before = a.groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(col("dist")).cast("long").as("err_before"))
+      val after = a2.groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("dist")).cast("long").as("err_after"))
+      val report = refreshed
+        .withColumn("disp",
+          (col("cc_old") - lit(2) * dot(col("cent_old"), col("cent")) + col("cc"))
+            .cast("long"))
+        .join(broadcast(before), Seq("m", "code"), "left")
+        .join(broadcast(after), Seq("m", "code"), "left")
+        .select(col("m"), col("code"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("disp"),
+          coalesce(col("err_before"), lit(0L)).as("err_before"),
+          coalesce(col("err_after"), lit(0L)).as("err_after"))
+        .orderBy(col("m"), col("code"))
+      trackedPersist(report)
     }
+
+  /** The PQ row of c13's refresh decision: staleness from the memoized
+    * stale assignment's arch/inc split, benefit from [[s17PqRefreshReport]]
+    * (memoized — composing the decision costs ~one audit). */
+  private[queries] def pqRefreshLeg(s: SparkSession, dir: String): DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val isNew = s13IsNew
+    val per = s17StaleAssignment(s, dir).groupBy(col("m"))
+      .agg(
+        sum(when(!isNew(col("vec_id")), 1L).otherwise(0L)).as("n_arch"),
+        sum(when(isNew(col("vec_id")), 1L).otherwise(0L)).as("n_inc"),
+        sum(when(!isNew(col("vec_id")), col("dist")).otherwise(0.0))
+          .cast("long").as("err_arch"),
+        sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
+          .cast("long").as("err_inc"))
+    val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc",
+      "err_arch", "err_inc")
+    val ben = s17PqRefreshReport(s, dir)
+      .agg(sum(col("err_before")).as("eb"), sum(col("err_after")).as("ea"))
+      .select(expr("(10000 * (eb - ea)) div eb").as("benefit_bp"))
+    st.crossJoin(broadcast(ben))
+      .select(lit("pq").as("family"), col("staleness_bp"), col("benefit_bp"))
+  }
+
+  val s17PqRefresh = NamedQuery(
+    "s17_pq_refresh",
+    (s, dir) => s17PqRefreshReport(s, dir),
+    Some(s"""WITH $s14OracleCtes,
+      $pqRefreshCtes,
+      bef AS (
+        SELECT m, code, CAST(count(*) AS BIGINT) AS n_before,
+               CAST(sum(dist) AS BIGINT) AS err_before
+        FROM a1 GROUP BY m, code),
+      aft AS (
+        SELECT m, code, CAST(count(*) AS BIGINT) AS n_after,
+               CAST(sum(dist) AS BIGINT) AS err_after
+        FROM pa1 GROUP BY m, code)
+      SELECT c.m, c.code,
+        CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+        CAST(coalesce(n_after, 0) AS BIGINT) AS n_after,
+        CAST(list_dot_product(cent_old, cent_old)
+             - 2 * list_dot_product(cent_old, cent)
+             + list_dot_product(cent, cent) AS BIGINT) AS disp,
+        CAST(coalesce(err_before, 0) AS BIGINT) AS err_before,
+        CAST(coalesce(err_after, 0) AS BIGINT) AS err_after
+      FROM prefx c LEFT JOIN bef USING (m, code) LEFT JOIN aft USING (m, code)
+      ORDER BY c.m, c.code"""),
+    doc = "PQ codebook warm-start refresh: one integer-mean update per " +
+      "(m, code) over the full corpus starting from the stored " +
+      "archive-trained codebooks — per-code occupancy rebalance, " +
+      "squared centroid displacement and quantization-error change " +
+      "(what retraining the fine level would buy; s15's recipe applied " +
+      "to s14's model — every stored model family now has audit + " +
+      "priced refresh + decision); FULL value oracle via the shared CTEs")
 
   // ---------------------------------------------------------------- s16
   /** Quantization grid of the RADIUS-COMPLETE pair source: coarser than
@@ -2876,5 +2951,5 @@ object Similarity {
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
       s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall,
-      s14PqStaleness, s15WarmStartRefresh, s16RadiusCert)
+      s14PqStaleness, s15WarmStartRefresh, s16RadiusCert, s17PqRefresh)
 }

@@ -67,7 +67,12 @@ class EmptyCorpusSpec extends SparkSpec {
     val globalAgg = Set("a1_metrics", "a2_emoji_mood", "q21_funnel",
       "t7_rolling_fingerprint", "t9_distinctive_terms", "d1_dedup_exact",
       "d2_ngram_jaccard", "c1_corpus_curation", "t13_vocab_oov",
-      "d13_banding_recall", "d15_embed_recall")
+      "d13_banding_recall", "d15_embed_recall",
+      // c13 composes three GLOBAL aggregates (one per model family), so
+      // an empty corpus yields its three family rows with null metrics
+      // and 'keep' verdicts — the DuckDB oracle replays the same SQL
+      // semantics
+      "c13_refresh_decision")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val n = try fn(spark, emptyDir).count() catch {
         case e: Throwable =>
