@@ -288,7 +288,7 @@ object Bench {
     val slowest = r.mins.sortBy(-_._2).take(10)
       .map { case (k, v) => jStr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
     val t = r.tiers
-    f"""{"summary":"$tag","total_s":${r.total}%.2f,"cpus":${r.cpus},"sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"load_before":${r.loadBefore}%.2f,"load_after":${r.loadAfter}%.2f,"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"n_errors":${r.errors.size},"slowest":$slowest}"""
+    f"""{"summary":"$tag","total_s":${r.total}%.2f,"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"load_before":${r.loadBefore}%.2f,"load_after":${r.loadAfter}%.2f,"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"n_errors":${r.errors.size},"slowest":$slowest}"""
   }
   private def tierTotal(t: Option[Seq[(String, Double)]]): String =
     t.map(ts => f"${ts.map(_._2).sum}%.2f").getOrElse("null")

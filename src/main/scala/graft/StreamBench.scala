@@ -107,6 +107,12 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // accounting reads q.recentProgress, whose DEFAULT retention is
+      // 100 events — a fast stage completes several hundred micro-batches
+      // in a 60 s soak and would report only the retained tail's rows
+      // divided by the full wall (round-13 review finding: five stages
+      // sat exactly at batches=99)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

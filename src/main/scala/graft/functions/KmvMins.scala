@@ -47,8 +47,18 @@ case class KmvMins(
 
   override def checkInputDataTypes(): TypeCheckResult =
     (child.dataType, kExpr.dataType, mExpr.dataType) match {
-      case (LongType, IntegerType, IntegerType | LongType) =>
+      // foldability is part of the analysis-time contract too: a k/m
+      // COLUMN of the right type would otherwise pass here and throw the
+      // lazy-val IllegalArgumentException on an executor (the round-12
+      // failure class this check exists to close)
+      case (LongType, IntegerType, IntegerType | LongType)
+          if kExpr.foldable && mExpr.foldable =>
         TypeCheckResult.TypeCheckSuccess
+      case (LongType, IntegerType, IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_kmv_mins requires LITERAL k and m arguments " +
+            s"(got non-foldable: k foldable=${kExpr.foldable}, " +
+            s"m foldable=${mExpr.foldable})")
       case (c, kk, mm) => TypeCheckResult.TypeCheckFailure(
         "graft_kmv_mins requires (bigint, int literal, int|bigint literal), " +
           s"got $c / $kk / $mm")

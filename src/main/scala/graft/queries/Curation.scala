@@ -798,8 +798,8 @@ object Curation {
             FROM m),
           aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2)
          SELECT 'ivf' AS family,
-           CAST((10000 * mi * na) // (ma * ni) - 10000 AS BIGINT) AS staleness_bp,
-           CAST((10000 * (ma + mi - ea)) // (ma + mi) AS BIGINT) AS benefit_bp
+           CAST((10000 * mi * na) // nullif(ma * ni, 0) - 10000 AS BIGINT) AS staleness_bp,
+           CAST((10000 * (ma + mi - ea)) // nullif(ma + mi, 0) AS BIGINT) AS benefit_bp
          FROM tot, aft)
         UNION ALL
         (WITH ${Similarity.s14OracleCtes},
@@ -813,8 +813,8 @@ object Curation {
             FROM best),
           aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest)
          SELECT 'pq' AS family,
-           CAST((10000 * mi * na) // (ma * ni) - 10000 AS BIGINT) AS staleness_bp,
-           CAST((10000 * (ma + mi - ea)) // (ma + mi) AS BIGINT) AS benefit_bp
+           CAST((10000 * mi * na) // nullif(ma * ni, 0) - 10000 AS BIGINT) AS staleness_bp,
+           CAST((10000 * (ma + mi - ea)) // nullif(ma + mi, 0) AS BIGINT) AS benefit_bp
          FROM tot, aft)
         UNION ALL
         (WITH d AS (
@@ -849,8 +849,8 @@ object Curation {
               max(nr_a) AS nr_a, max(ti_r) AS ti_r, max(nb) AS nb
             FROM per, tot)
          SELECT 'selector' AS family,
-           CAST((10000 * sh) // (2 * nr_a * ti_r) AS BIGINT) AS staleness_bp,
-           CAST(dw // nb AS BIGINT) AS benefit_bp
+           CAST((10000 * sh) // nullif(2 * nr_a * ti_r, 0) AS BIGINT) AS staleness_bp,
+           CAST(dw // nullif(nb, 0) AS BIGINT) AS benefit_bp
          FROM calc)
       ) t ORDER BY family"""),
     doc = "refresh decision: composes the stored-model maintenance triad " +

@@ -53,9 +53,15 @@ object RefreshDecision {
     * same expression. */
   def crossStalenessBp(per: DataFrame,
       nA: String, nI: String, mA: String, mI: String): DataFrame =
+    // nullif: the live composition's cold start (monitors booted, no
+    // incoming data yet) coalesces the incoming side to TRUE ZEROS (not
+    // the nulls an empty batch aggregate yields), and an un-guarded
+    // integer div by zero raises under ANSI — no-evidence must read as
+    // null staleness (→ 'keep'), never crash the decision query
     per.agg(sum(col(nA)).as("na"), sum(col(nI)).as("ni"),
         sum(col(mA)).as("ma"), sum(col(mI)).as("mi"))
-      .select(expr("(10000 * mi * na) div (ma * ni) - 10000").as("staleness_bp"))
+      .select(expr("(10000 * mi * na) div nullif(ma * ni, 0) - 10000")
+        .as("staleness_bp"))
 
   /** Selector staleness AND refresh benefit in one pass over c12's
     * per-bucket drift counts `(b, ct_arch, cr_arch, ct_inc, n_inc)`:
@@ -90,8 +96,11 @@ object RefreshDecision {
         s"((ct_arch + ct_inc + 1) * (nr_a + ti_r + $buckets) * 10000) " +
           s"div ((cr_arch + n_inc + 1) * (nt_a + ti_t + $buckets))"))
       .agg(
-        expr("(10000 * sum(sh)) div (2 * max(nr_a) * max(ti_r))").as("staleness_bp"),
-        expr("sum(abs(w_new - w_old)) div count(*)").as("benefit_bp"))
+        // nullif: the crossStalenessBp cold-start rationale — a live
+        // stream with zero incoming tokens must read null, not crash
+        expr("(10000 * sum(sh)) div nullif(2 * max(nr_a) * max(ti_r), 0)")
+          .as("staleness_bp"),
+        expr("sum(abs(w_new - w_old)) div nullif(count(*), 0)").as("benefit_bp"))
   }
 
   /** THE decision rule over a `(family, staleness_bp, benefit_bp)`

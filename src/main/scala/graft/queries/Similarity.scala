@@ -2517,7 +2517,7 @@ object Similarity {
     val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc", "d_arch", "d_inc")
     val ben = s15RefreshReport(s, dir)
       .agg(sum(col("d_before")).as("db"), sum(col("d_after")).as("da"))
-      .select(expr("(10000 * (db - da)) div db").as("benefit_bp"))
+      .select(expr("(10000 * (db - da)) div nullif(db, 0)").as("benefit_bp"))
     st.crossJoin(broadcast(ben))
       .select(lit("ivf").as("family"), col("staleness_bp"), col("benefit_bp"))
   }
@@ -2609,7 +2609,7 @@ object Similarity {
       "err_arch", "err_inc")
     val ben = s17PqRefreshReport(s, dir)
       .agg(sum(col("err_before")).as("eb"), sum(col("err_after")).as("ea"))
-      .select(expr("(10000 * (eb - ea)) div eb").as("benefit_bp"))
+      .select(expr("(10000 * (eb - ea)) div nullif(eb, 0)").as("benefit_bp"))
     st.crossJoin(broadcast(ben))
       .select(lit("pq").as("family"), col("staleness_bp"), col("benefit_bp"))
   }
@@ -2735,13 +2735,22 @@ object Similarity {
       .withColumn("qn", transform(col("emb"),
         x => floor(x / col("nrm") * RadiusQuantScale)).cast("array<double>"))
       .withColumn("vv", dot(col("qn"), col("qn"))))
+    (radiusAssignFromGrid(e, tauBp, cells, seedStride), e)
+  }
+
+  /** The radius ball assignment over a prepared normalized-quantized
+    * relation — split out so the dir-plumbed source can feed the
+    * MEMOIZED [[s16NormQuantized]] grid (one materialization shared
+    * with the certificate/guard) instead of rebuilding it. */
+  private def radiusAssignFromGrid(e: DataFrame, tauBp: Int,
+      cells: Int, seedStride: Long): DataFrame = {
     val cents = s16Cells(e, cells, seedStride)
     val twoDq = radiusTwoDq(tauBp)
     // radius assignment: dist ≤ (⌊√dbest⌋ + 1 + 2Dq)² — the +1 makes the
     // integer sqrt an over-approximation; the square is an explicit
     // multiply (Math.pow is not correctly rounded and a 1-ulp-under
     // result would drop an equal-distance cell)
-    val am = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("dist", col("vv") - lit(2) * dot(col("qn"), col("cent")) + col("cc"))
       .groupBy(col("vec_id"))
       .agg(min(col("dist")).as("dbest"),
@@ -2752,7 +2761,6 @@ object Similarity {
       .select(col("vec_id"),
         explode(filter(col("ds"), t => t.getField("dist") <= col("thr"))).as("t"))
       .select(col("vec_id"), col("t.list_id").as("list_id"))
-    (am, e)
   }
 
   /** PROVABLY-COMPLETE embedding near-dup pair source: every vector is
@@ -2782,15 +2790,16 @@ object Similarity {
   private[queries] val RadiusMaxCellMassBp = 5000L
 
   /** Dir-plumbed [[radiusCompleteEmbeddingPairsOf]] at the dup-graph
-    * kernel's τ — the third `spark.graft.embed.pairs` source. */
+    * kernel's τ — the third `spark.graft.embed.pairs` source.  Reads the
+    * MEMOIZED [[s16NormQuantized]] grid, so the guarded flip and its
+    * mass certificate share ONE corpus materialization and ONE cell
+    * training pass per session (round-13 review finding: the first
+    * wiring rebuilt both). */
   def radiusCompleteEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
     graft.sentiment.GraftFunctions.register(s)
-    import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", norm(col("emb")))
-      .as[(Long, Array[Double], Double)]
-    radiusCompleteEmbeddingPairsOf(s, e, EmbedPairTauBp)
+    val e = s16NormQuantized(s, dir)
+    radiusPairsFrom(e, radiusAssignFromGrid(e, EmbedPairTauBp, EmbedCells, 1L),
+      EmbedPairTauBp)
   }
 
   /** The 1-row radius-mass certificate at one τ — s16's meter scoped to
@@ -2824,6 +2833,12 @@ object Similarity {
       cells: Int = EmbedCells,
       seedStride: Long = 1L): DataFrame = {
     val (am, e) = radiusAssignmentsOf(s, corpus, tauBp, cells, seedStride)
+    radiusPairsFrom(e, am, tauBp)
+  }
+
+  /** Shared-cell candidates + exact round-4 cosine verify over a radius
+    * assignment — the pair stage both radius entry points share. */
+  private def radiusPairsFrom(e: DataFrame, am: DataFrame, tauBp: Int): DataFrame = {
     val cand = am.select(col("list_id"), col("vec_id").as("vec_a"))
       .join(am.select(col("list_id"), col("vec_id").as("vec_b")), Seq("list_id"))
       .filter(col("vec_a") < col("vec_b"))

@@ -72,6 +72,27 @@ class RefreshDecisionParitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cold start (monitors booted, no incoming data) reads 'keep', never crashes") {
+    // the live reportOf/driftCountsOf shapes COALESCE the incoming side
+    // to true zeros; under ANSI an unguarded integer div by zero would
+    // kill the decision query — no-evidence must be null staleness + keep
+    val s = spark
+    import s.implicits._
+    val ivfPer = Seq((0, 10L, 0L, 100L, 0L))
+      .toDF("list_id", "n_arch", "n_inc", "d_arch", "d_inc")
+    val pqPer = Seq((0, 10L, 0L, 100L, 0L))
+      .toDF("m", "n_arch", "n_inc", "err_arch", "err_inc")
+    val selPer = Seq((1L, 3L, 5L, 0L)).toDF("b", "ct_arch", "cr_arch", "n_inc")
+    val ben = LiveRefreshDecision.StoredBenefits(500L, 500L, 500L)
+    val got = LiveRefreshDecision.decisionOf(ivfPer, pqPer, selPer, ben)
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getString(5)))
+      .toSeq
+    assert(got == Seq(("ivf", None, "keep"), ("pq", None, "keep"),
+      ("selector", None, "keep")), got.mkString(", "))
+  }
+
   test("threshold overrides flow through the live rule identically") {
     val s = spark
     import s.implicits._

@@ -22,7 +22,7 @@ class StreamBenchTableSpec extends AnyFunSuite {
     java.nio.file.Files.readAllLines(p).asScala.toSeq
   }
 
-  private val stages = Seq("T10 ", "T10b", "T12", "T13", "T15", "T6",
+  private val stages = Seq("T10", "T10b", "T12", "T13", "T15", "T6",
     "T16", "T17", "T18", "T11", "T19", "T20", "T14")
 
   private val Row = raw"\|\s*(T\S+)[^|]*\|\s*([\d,]+)[^|]*\|.*".r
@@ -40,9 +40,11 @@ class StreamBenchTableSpec extends AnyFunSuite {
   }.toMap
 
   test("every live stage has a measured row") {
+    // exact tag match (the row tag is "T<n>" or "T<n>b"), not a prefix —
+    // a missing T10 row must not be satisfied by T10b
     val tags = rates.keySet
     for (s <- stages)
-      assert(tags.exists(_.startsWith(s.trim)), s"stage $s missing: $tags")
+      assert(tags.contains(s), s"stage $s missing: $tags")
     assert(rates.size == stages.size, s"unexpected rows: $rates")
   }
 
