@@ -53,6 +53,34 @@ class KmvMinsSpec extends SparkSpec {
     }
   }
 
+  test("the 3-WAY pooled-mins theorem + membership lemma (d18's foundations)") {
+    // d18 rests on two facts Beyer et al. §4 generalizes to k-way:
+    //  (1) k-mins(A∪B∪C) = the k smallest of the pooled per-set mins
+    //  (2) for any h among them, "h ∈ X" is decidable from mins(X)
+    //      alone (fewer than k union elements sit below h, so h is
+    //      within X's k smallest whenever it is in X at all)
+    // — verified over seeded set triples with engineered pairwise AND
+    // triple overlap
+    val k = 16
+    for (seed <- 1L to 60L) {
+      val a = sample(seed, 50).distinct.toSet
+      val b = (sample(seed + 500, 50).distinct ++ a.take((seed % 15).toInt)).toSet
+      val c = (sample(seed + 900, 50).distinct ++ a.take((seed % 7).toInt) ++
+        b.take((seed % 5).toInt)).toSet
+      val ka = a.toVector.sorted.take(k)
+      val kb = b.toVector.sorted.take(k)
+      val kc = c.toVector.sorted.take(k)
+      val direct = (a ++ b ++ c).toVector.sorted.take(k)
+      val pooled = (ka ++ kb ++ kc).distinct.sorted.take(k)
+      assert(direct == pooled, s"seed=$seed: 3-way pooled-mins theorem violated")
+      for (h <- pooled) {
+        assert(a.contains(h) == ka.contains(h), s"seed=$seed h=$h: A membership")
+        assert(b.contains(h) == kb.contains(h), s"seed=$seed h=$h: B membership")
+        assert(c.contains(h) == kc.contains(h), s"seed=$seed h=$h: C membership")
+      }
+    }
+  }
+
   test("live shingle hashing == the batch expression pipeline on gnarly whitespace") {
     graft.sentiment.GraftFunctions.register(spark)
     val s = spark
