@@ -364,6 +364,21 @@ object PlanAudit {
     Expect("t21_bpe_apply", "graft_bpe_apply",
       "the application must run through the codegen'd kernel expression, " +
         "not window passes"),
+    // t22 fertility (round-13: t21's one-pass shape — same gates)
+    Expect("t22_bpe_fertility", "Scan parquet", maxCount = 2,
+      why = "the fertility scan touches the corpus EXACTLY ONCE (tree+" +
+        "detail = 2) — the trainer reads only lineage-cut sample " +
+        "relations; more parquet scans means a corpus re-read leaked in"),
+    Expect("t22_bpe_fertility", "BroadcastNestedLoopJoin Cross BuildRight",
+      "the rank-ordered merge table joins in as ONE broadcast row",
+      maxCount = 1),
+    Expect("t22_bpe_fertility", "graft_bpe_apply",
+      "fertility must price the PRODUCTION encoder — the codegen'd " +
+        "kernel, not window passes"),
+    Expect("t22_bpe_fertility", "SortMergeJoin", present = false,
+      why = "one corpus scan + one broadcast row + one per-source " +
+        "aggregate — an SMJ means something corpus-sized got shuffled " +
+        "on a join key"),
     // round-9 additions (d14 incremental dedup, s11 embedding drift)
     Expect("d14_incremental_dedup", "BroadcastHashJoin",
       "the incoming batch's band keys must PROBE the bucket relation " +

@@ -2112,12 +2112,86 @@ object TextOps {
       "spark.graft.bpe.apply=passes selects the declarative K-pass " +
       "reference; FULL value oracle unrolling trainer + application stages")
 
+  // ---------------------------------------------------------------- t22
+  /** Tokenizer FERTILITY — the number tokenizer work is actually tuned
+    * against: characters per encoded token, per source, under the
+    * trained t20 merges (on this pure-ASCII corpus chars == bytes, so
+    * this IS the standard bytes/token figure; see the charfold ASCII
+    * note).  A source whose fertility is low relative to the fleet is
+    * under-served by the learned merges (its text fragments into more
+    * tokens per byte), which is what a vocabulary re-train or a
+    * per-source merge budget decision reads.  In basis points —
+    * `fertility_bp = Σchars·10⁴ div Σtokens` — exact int64 end to end.
+    *
+    * Scale shape: t21's one-pass production encoder verbatim (ONE
+    * broadcast merge row, ONE corpus scan, the codegen'd
+    * `graft_bpe_apply` kernel), one map-side-combined per-source
+    * aggregate; the trainer cost amortizes through the shared session
+    * memo exactly as t21's does.  FULL value oracle via the unrolled
+    * trainer + application stages. */
+  val t22BpeFertility = NamedQuery(
+    "t22_bpe_fertility",
+    (s, dir) => withBpeConstructionConfs(s) {
+      val (bests, _) = bpeTrainLoopCached(s, dir)
+      graft.sentiment.GraftFunctions.register(s)
+      val mergesRow = bests.zipWithIndex.map { case (b, i) =>
+        b.select(lit(i + 1).as("rank"), col("l"), col("r"))
+      }.reduce(_ unionAll _)
+        .agg(array_sort(collect_list(struct(col("rank"), col("l"), col("r")))).as("ms"))
+        .select(transform(col("ms"),
+          m => struct(m.getField("l"), m.getField("r"))).as("merges"))
+      Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("source"), length(col("text")).cast("long").as("n_chars"),
+          tokens(col("text")).as("toks"))
+        .crossJoin(broadcast(mergesRow))
+        .select(col("source"), col("n_chars"),
+          size(call_function("graft_bpe_apply", col("toks"), col("merges")))
+            .cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(col("n_tok")).as("tokens"),
+          expr("(sum(n_chars) * 10000) div nullif(sum(n_tok), 0)")
+            .as("fertility_bp"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val trainStages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
+      val applyStages = (0 until BpeRounds).map(bpeApplyStageSql).mkString(",")
+      raw"""WITH tok0 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
+        FROM documents
+        WHERE text IS NOT NULL AND text <> '' AND doc_id % 20 = 0),
+      occ0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM tok0),$trainStages,
+      ftok0 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      focc0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM ftok0),$applyStages,
+      a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+            FROM focc$BpeRounds GROUP BY doc_id),
+      j AS (SELECT d.source, CAST(length(d.text) AS BIGINT) AS n_chars, a.n_tok
+            FROM documents d JOIN a ON a.doc_id = d.doc_id)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars,
+        CAST(sum(n_tok) AS BIGINT) AS tokens,
+        CAST((sum(n_chars) * 10000) // nullif(sum(n_tok), 0) AS BIGINT) AS fertility_bp
+      FROM j GROUP BY source ORDER BY source"""
+    },
+    doc = "tokenizer fertility: chars (== bytes on this ASCII corpus) per " +
+      "encoded token per source under the trained t20 merges, in exact " +
+      "integer bp — the per-source figure a vocabulary retrain or merge " +
+      "budget is tuned against; t21's one-pass encoder verbatim, FULL " +
+      "value oracle via the unrolled trainer+application stages")
+
   def all: Seq[NamedQuery] = Seq(
     t1TokenStats, t2LangId, t3QualityScore, t4Fingerprint, t5Preview,
     t6BpeTokens, t7RollingFingerprint, t8TrainSplit, t9DistinctiveTerms,
     t10Repetition, t11PiiScrub, t12UrlDomains, t13VocabOov, t14FreqSpectrum,
     t16BigramSurprisal, t17VocabScrub, t18Cooccurrence,
-    t15TypoPairs, t19EncodingQa, t20BpeTrain, t21BpeApply,
+    t15TypoPairs, t19EncodingQa, t20BpeTrain, t21BpeApply, t22BpeFertility,
     d1DedupExact, d2NgramJaccard, d10Containment, d16SourceOverlap,
     d17OverlapSketch, d18ThreeWayOverlap,
     c1CorpusCuration, c2Contamination, c7NgramDecontamination)

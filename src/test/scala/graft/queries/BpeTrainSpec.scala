@@ -222,4 +222,30 @@ class BpeTrainSpec extends SparkSpec {
     assert(apply(Seq("a", "b"), Seq(("z", "z"))) == Seq("a", "b"))
     assert(apply(Seq("a"), Seq(("a", "a"))) == Seq("a"))
   }
+
+  test("t22 fertility: tokens == t21's tokens_after per source; bp recounts from its own sums") {
+    // both queries run the SAME one-pass encoder over the SAME trained
+    // merges, so the per-source encoded-token totals must be identical —
+    // and fertility_bp must be exactly chars·10⁴ div tokens
+    val dir = sf()
+    spark.conf.set("spark.graft.bpe.cache", "true")
+    try {
+      val t21 = TextOps.t21BpeApply.fn(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("tokens_after")).toMap
+      val t22 = TextOps.t22BpeFertility.fn(spark, dir).collect()
+      assert(t22.nonEmpty)
+      for (r <- t22) {
+        val (src, chars, tokens, bp) = (r.getString(0),
+          r.getAs[Long]("chars"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("fertility_bp"))
+        assert(tokens == t21(src), s"$src: t22 tokens $tokens != t21 ${t21(src)}")
+        assert(bp == chars * 10000L / tokens, s"$src: bp recount")
+        // sanity: ≥ 1 char per token, and bounded by the longest doc
+        assert(bp >= 10000L, s"$src: fertility below 1 char/token: $bp")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.bpe.cache")
+      TextOps.clearBpeCache()
+    }
+  }
 }
