@@ -67,7 +67,9 @@ class QueryPacksSpec extends SparkSpec {
     // lineage-cut RDD chain those futures compute are permitted; any
     // driver-side action (collect/count/take/first/…) names its stage
     // after that call site and fails the gate.
-    val iterative = Set("t20_bpe_train", "t21_bpe_apply")
+    // t22 consumes the same trainer as t21 (fertility over the one-pass
+    // encoder), so its construction runs the identical lineage-cut chain
+    val iterative = Set("t20_bpe_train", "t21_bpe_apply", "t22_bpe_fertility")
     val metadataSite = (s: String) => s.startsWith("parquet at") || s.startsWith("json at")
     val iterativeAllowed = (s: String) => metadataSite(s) ||
       s.startsWith("$anonfun$withThreadLocalCaptured") || // broadcast exchange future
