@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
@@ -33,16 +33,20 @@ case class KmvMins(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) if v >= 2 => v
-    case _ => throw new IllegalArgumentException(
-      "graft_kmv_mins requires an integer literal k >= 2")
+  // eval(), not a Literal pattern-match: checkInputDataTypes admits any
+  // FOLDABLE k/m, and a foldable non-Literal (e.g. SQL `2+2`) only
+  // becomes a Literal if ConstantFolding ran — evaluating the constant
+  // expression directly keeps the contract optimizer-configuration-proof
+  private lazy val k: Int = kExpr.eval() match {
+    case v: Int if v >= 2 => v
+    case v => throw new IllegalArgumentException(
+      s"graft_kmv_mins requires a constant integer k >= 2, got $v")
   }
-  private lazy val m: Long = mExpr match {
-    case Literal(v: Long, LongType) if v > 0 => v
-    case Literal(v: Int, IntegerType) if v > 0 => v.toLong
-    case _ => throw new IllegalArgumentException(
-      "graft_kmv_mins requires a positive integer literal m (the hash range)")
+  private lazy val m: Long = mExpr.eval() match {
+    case v: Long if v > 0 => v
+    case v: Int if v > 0 => v.toLong
+    case v => throw new IllegalArgumentException(
+      s"graft_kmv_mins requires a constant positive integer m (the hash range), got $v")
   }
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -2062,38 +2062,17 @@ object TextOps {
           .join(before, "doc_id").join(after, "doc_id"))
       } else {
         graft.sentiment.GraftFunctions.register(s)
-        // the 8 one-row argmax relations collapse into ONE broadcast row
-        // holding the rank-ordered merge table (array_sort on the
-        // (rank, l, r) structs orders by rank — the leading field)
-        val mergesRow = bests.zipWithIndex.map { case (b, i) =>
-          b.select(lit(i + 1).as("rank"), col("l"), col("r"))
-        }.reduce(_ unionAll _)
-          .agg(array_sort(collect_list(struct(col("rank"), col("l"), col("r")))).as("ms"))
-          .select(transform(col("ms"),
-            m => struct(m.getField("l"), m.getField("r"))).as("merges"))
         bpeBudgetSummary(Tables.documents(s, dir)
           .filter(col("text").isNotNull && col("text") =!= "")
           .select(col("source"), tokens(col("text")).as("toks"))
-          .crossJoin(broadcast(mergesRow))
+          .crossJoin(broadcast(bpeMergesRow(bests)))
           .select(col("source"), size(col("toks")).cast("long").as("nb"),
             size(call_function("graft_bpe_apply", col("toks"), col("merges")))
               .cast("long").as("na")))
       }
     },
     Some {
-      val trainStages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
-      val applyStages = (0 until BpeRounds).map(bpeApplyStageSql).mkString(",")
-      raw"""WITH tok0 AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
-        FROM documents
-        WHERE text IS NOT NULL AND text <> '' AND doc_id % 20 = 0),
-      occ0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM tok0),$trainStages,
-      ftok0 AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
-        FROM documents WHERE text IS NOT NULL AND text <> ''),
-      focc0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM ftok0),$applyStages,
+      raw"""WITH $bpeOracleChain,
       b AS (SELECT doc_id, count(*) AS nb FROM focc0 GROUP BY doc_id),
       a AS (SELECT doc_id, count(*) AS na FROM focc$BpeRounds GROUP BY doc_id),
       j AS (SELECT d.source, b.nb, a.na FROM documents d
@@ -2129,22 +2108,48 @@ object TextOps {
     * aggregate; the trainer cost amortizes through the shared session
     * memo exactly as t21's does.  FULL value oracle via the unrolled
     * trainer + application stages. */
+  /** The 8 one-row argmax relations collapsed into ONE broadcast row
+    * holding the rank-ordered merge table (array_sort on the (rank, l, r)
+    * structs orders by rank — the leading field) — THE single
+    * construction, shared by t21's and t22's one-pass encoders. */
+  private def bpeMergesRow(bests: Seq[DataFrame]): DataFrame =
+    bests.zipWithIndex.map { case (b, i) =>
+      b.select(lit(i + 1).as("rank"), col("l"), col("r"))
+    }.reduce(_ unionAll _)
+      .agg(array_sort(collect_list(struct(col("rank"), col("l"), col("r")))).as("ms"))
+      .select(transform(col("ms"),
+        m => struct(m.getField("l"), m.getField("r"))).as("merges"))
+
+  /** The shared DuckDB replay of trainer + full-corpus application:
+    * sampled tok0/occ0 → the unrolled training stages → full ftok0/focc0
+    * → the unrolled application stages (focc`BpeRounds` = the encoded
+    * corpus).  t21's and t22's oracles both open with this chain. */
+  private def bpeOracleChain: String = {
+    val trainStages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
+    val applyStages = (0 until BpeRounds).map(bpeApplyStageSql).mkString(",")
+    raw"""tok0 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
+        FROM documents
+        WHERE text IS NOT NULL AND text <> '' AND doc_id % 20 = 0),
+      occ0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM tok0),$trainStages,
+      ftok0 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      focc0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM ftok0),$applyStages"""
+  }
+
   val t22BpeFertility = NamedQuery(
     "t22_bpe_fertility",
     (s, dir) => withBpeConstructionConfs(s) {
       val (bests, _) = bpeTrainLoopCached(s, dir)
       graft.sentiment.GraftFunctions.register(s)
-      val mergesRow = bests.zipWithIndex.map { case (b, i) =>
-        b.select(lit(i + 1).as("rank"), col("l"), col("r"))
-      }.reduce(_ unionAll _)
-        .agg(array_sort(collect_list(struct(col("rank"), col("l"), col("r")))).as("ms"))
-        .select(transform(col("ms"),
-          m => struct(m.getField("l"), m.getField("r"))).as("merges"))
       Tables.documents(s, dir)
         .filter(col("text").isNotNull && col("text") =!= "")
         .select(col("source"), length(col("text")).cast("long").as("n_chars"),
           tokens(col("text")).as("toks"))
-        .crossJoin(broadcast(mergesRow))
+        .crossJoin(broadcast(bpeMergesRow(bests)))
         .select(col("source"), col("n_chars"),
           size(call_function("graft_bpe_apply", col("toks"), col("merges")))
             .cast("long").as("n_tok"))
@@ -2157,19 +2162,7 @@ object TextOps {
         .orderBy(col("source"))
     },
     Some {
-      val trainStages = (0 until BpeRounds).map(bpeStageSql).mkString(",")
-      val applyStages = (0 until BpeRounds).map(bpeApplyStageSql).mkString(",")
-      raw"""WITH tok0 AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
-        FROM documents
-        WHERE text IS NOT NULL AND text <> '' AND doc_id % 20 = 0),
-      occ0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM tok0),$trainStages,
-      ftok0 AS (
-        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-               generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS seq
-        FROM documents WHERE text IS NOT NULL AND text <> ''),
-      focc0 AS MATERIALIZED (SELECT doc_id, seq, tok FROM ftok0),$applyStages,
+      raw"""WITH $bpeOracleChain,
       a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
             FROM focc$BpeRounds GROUP BY doc_id),
       j AS (SELECT d.source, CAST(length(d.text) AS BIGINT) AS n_chars, a.n_tok

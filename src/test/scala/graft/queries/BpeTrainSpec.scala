@@ -235,9 +235,16 @@ class BpeTrainSpec extends SparkSpec {
       val t22 = TextOps.t22BpeFertility.fn(spark, dir).collect()
       assert(t22.nonEmpty)
       for (r <- t22) {
-        val (src, chars, tokens, bp) = (r.getString(0),
-          r.getAs[Long]("chars"), r.getAs[Long]("tokens"),
-          r.getAs[Long]("fertility_bp"))
+        val src = r.getString(0)
+        val chars = r.getAs[Long]("chars")
+        val tokens = r.getAs[Long]("tokens")
+        // name the degenerate branch FIRST: getAs[Long] on a NULL
+        // fertility_bp would silently unbox to 0 and the recount would
+        // die with an unrelated /-by-zero instead of naming the source
+        assert(tokens > 0, s"$src: zero encoded tokens (fertility_bp is " +
+          s"the nullif-guarded NULL branch) — degenerate fixture")
+        assert(!r.isNullAt(r.fieldIndex("fertility_bp")), s"$src: null bp at tokens=$tokens")
+        val bp = r.getAs[Long]("fertility_bp")
         assert(tokens == t21(src), s"$src: t22 tokens $tokens != t21 ${t21(src)}")
         assert(bp == chars * 10000L / tokens, s"$src: bp recount")
         // sanity: ≥ 1 char per token, and bounded by the longest doc
