@@ -245,9 +245,17 @@ object Bench {
   }
 
   // ---------------------------------------------------------------- JSON
+  // ALL fixed-point formatting goes through Locale.ROOT: the default-locale
+  // f-interpolator emits '0,12' on comma-decimal locales (e.g. de_DE),
+  // which is invalid JSON (ADVICE r13).  Bare Double concatenation is safe
+  // (Double.toString is locale-independent by spec).
+  private def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
   private def jStr(s: String): String = "\"" + s.replace("\"", "'") + "\""
   private def jNumOpt(v: Option[Double]): String =
-    v.map(x => f"$x%.3f").getOrElse("null")
+    v.map(fmt3).getOrElse("null")
   private def tierJsonOf(t: Option[Seq[(String, Double)]]): String = t.map { ts =>
     (ts.map { case (k, v) => jStr(k) + ":" + v } :+
       ("\"total\":" + ts.map(_._2).sum)).mkString("{", ",", "}")
@@ -259,7 +267,7 @@ object Bench {
   // excluded) is the number the pair-source flip actually buys; field
   // names carry the exclusion to close the r12 naming-drift nit.
   private def prodSubtotal(t: Option[Seq[(String, Double)]]): String = t.map(ts =>
-    f"${ts.filterNot(_._1 == "d13_banding_recall").map(_._2).sum}%.2f").getOrElse("null")
+    fmt2(ts.filterNot(_._1 == "d13_banding_recall").map(_._2).sum)).getOrElse("null")
 
   private def tiersJson(t: Option[TierResults]): String = t.map { tr =>
     s"""{"dupgraph_exact_tier":${tierJsonOf(tr.cache)},""" +
@@ -278,20 +286,30 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = r.errors.map(jStr).mkString("[", ",", "]")
     s"""{"cpus":"${r.cpus}","total_s":${r.total},"n_queries":${r.mins.size},""" +
-      s""""repeat":$repeat,"queries":$qs,"queries_runs":$qruns,""" +
+      s""""repeat":$repeat,"contended":${contended(r)},""" +
+      s""""queries":$qs,"queries_runs":$qruns,""" +
       s""""tiers":${tiersJson(r.tiers)},"errors":$errs,""" +
       s""""load_before":${r.loadBefore},"load_after":${r.loadAfter},""" +
       s""""cpu_busy_pct":${jNumOpt(r.cpuBusyPct)}}"""
   }
 
+  // A dirty artifact must SELF-IDENTIFY (r13 "What's wrong" #1: the
+  // driver's contended rerun silently overwrote the committed clean
+  // BENCH_full.json): a pass whose pre-run 1-min load average exceeds 3
+  // — well above the ~1.3 clean band, below the 5.11 of the known
+  // contended run — is flagged `contended` in both the full artifact and
+  // the summary trailer, so nobody has to cross-check load fields by hand.
+  private val ContendedLoadBefore = 3.0
+  private def contended(r: SuiteResult): Boolean = r.loadBefore > ContendedLoadBefore
+
   private def summaryLine(tag: String, r: SuiteResult, repeat: Int, sfDir: String): String = {
     val slowest = r.mins.sortBy(-_._2).take(10)
-      .map { case (k, v) => jStr(k) + ":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) => jStr(k) + ":" + fmt2(v) }.mkString("{", ",", "}")
     val t = r.tiers
-    f"""{"summary":"$tag","total_s":${r.total}%.2f,"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"load_before":${r.loadBefore}%.2f,"load_after":${r.loadAfter}%.2f,"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"n_errors":${r.errors.size},"slowest":$slowest}"""
+    s"""{"summary":"$tag","total_s":${fmt2(r.total)},"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"contended":${contended(r)},"load_before":${fmt2(r.loadBefore)},"load_after":${fmt2(r.loadAfter)},"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"n_errors":${r.errors.size},"slowest":$slowest}"""
   }
   private def tierTotal(t: Option[Seq[(String, Double)]]): String =
-    t.map(ts => f"${ts.map(_._2).sum}%.2f").getOrElse("null")
+    t.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -330,19 +348,44 @@ object Bench {
         s""""note":"canonical = local[4], the judge methodology (32-way task scheduling dominates sf0.1 partitions — see Bench.scala header); scaling = the env-requested width, queries only; prod_c1d6d9 tier subtotals exclude d13, whose ground truth is pinned to the exact pair source","""  +
         s""""canonical":${suiteJson(canonical, repeat)},""" +
         s""""scaling":${scaling.map(suiteJson(_, repeat)).getOrElse("null")}}"""
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-        fullJson.getBytes("UTF-8")): Unit
-      println("BENCH_full.json written (complete per-query repetition arrays)")
-    } catch { case e: Throwable =>
-      System.err.println(s"BENCH_full.json write failed: ${e.getMessage}")
+    // Written TWICE: the stable name (driver/judge contract) AND a
+    // round-stamped snapshot that nothing ever overwrites — the r13
+    // divergence (a contended end-of-round rerun silently replacing the
+    // committed clean artifact in the working tree) becomes structurally
+    // impossible because each run's full record survives under its own
+    // name.  Round number = 1 + the highest BENCH_r<N>.json the driver
+    // has committed so far (the driver writes that file AFTER this runs).
+    val round: Int = try {
+      val dir = java.nio.file.Paths.get(".")
+      val re = "BENCH_r(\\d+)\\.json".r
+      val s = java.nio.file.Files.list(dir)
+      try {
+        val it = s.iterator()
+        var mx = 0
+        while (it.hasNext) it.next().getFileName.toString match {
+          case re(n) => mx = mx.max(n.toInt)
+          case _ => ()
+        }
+        mx + 1
+      } finally s.close()
+    } catch { case _: Throwable => 0 }
+    val fullNames = Seq("BENCH_full.json") ++
+      (if (round > 0) Seq(f"BENCH_full_r$round%02d.json") else Nil)
+    fullNames.foreach { fn =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(fn),
+          fullJson.getBytes("UTF-8")): Unit
+        println(s"$fn written (complete per-query repetition arrays)")
+      } catch { case e: Throwable =>
+        System.err.println(s"$fn write failed: ${e.getMessage}")
+      }
     }
 
     // Driver contract: ONE {"metric":...} JSON line — the CANONICAL pass.
     val qs = canonical.mins.map { case (k, v) => jStr(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = allErrors.map(jStr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${canonical.total},"unit":"sec","queries":$qs,"repeat":$repeat,"cpus":4,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${canonical.total},"unit":"sec","queries":$qs,"repeat":$repeat,"cpus":4,"contended":${contended(canonical)},"errors":$errs,"sf":"$sfDir"}""")
     // Compact trailer: the driver's artifact keeps only the LAST 2000
     // chars of output, so these ≤700-char lines always survive the tail
     // and carry the verdict-driving numbers for BOTH passes: totals,

@@ -198,10 +198,14 @@ object StreamBench {
         println(f"| ${r.name}%-24s | ${r.rowsPerSec}%,d | ${r.rows}%,d | ${r.secs}%.1f | ${r.stateRows}%,d | ${r.stateMb}%.1f | ${r.batches} |")
         r
       }
+    // Locale.ROOT, not the f-interpolator: a comma-decimal default locale
+    // (de_DE) would emit '0,12' and break the JSON line (ADVICE r13).
+    def fmt(pat: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pat, Double.box(v))
     val js = results.map(r =>
       s"""{"stage":"${r.name}","rows_per_sec":${r.rowsPerSec},"rows":${r.rows},""" +
-        s""""secs":${f"${r.secs}%.1f"},"state_rows":${r.stateRows},""" +
-        s""""state_mb":${f"${r.stateMb}%.2f"},"batches":${r.batches}}""")
+        s""""secs":${fmt("%.1f", r.secs)},"state_rows":${r.stateRows},""" +
+        s""""state_mb":${fmt("%.2f", r.stateMb)},"batches":${r.batches}}""")
       .mkString("[", ",", "]")
     println(s"""{"stream_bench":true,"rate":$rate,"secs":$secs,"sf":"$sfDir","results":$js}""")
     spark.stop()

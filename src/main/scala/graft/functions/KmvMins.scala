@@ -57,7 +57,22 @@ case class KmvMins(
       // failure class this check exists to close)
       case (LongType, IntegerType, IntegerType | LongType)
           if kExpr.foldable && mExpr.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // the constants are foldable, so their VALUES are analysis-time
+        // facts too — range-check them here rather than letting the lazy
+        // vals throw the first time offer() runs on an executor
+        (kExpr.eval(), mExpr.eval()) match {
+          case (kv: Int, _) if kv < 2 => TypeCheckResult.TypeCheckFailure(
+            s"graft_kmv_mins requires constant k >= 2, got $kv")
+          case (null, _) => TypeCheckResult.TypeCheckFailure(
+            "graft_kmv_mins requires a non-null constant k")
+          case (_, null) => TypeCheckResult.TypeCheckFailure(
+            "graft_kmv_mins requires a non-null constant m")
+          case (_, mv: Int) if mv <= 0 => TypeCheckResult.TypeCheckFailure(
+            s"graft_kmv_mins requires constant m > 0 (the hash range), got $mv")
+          case (_, mv: Long) if mv <= 0L => TypeCheckResult.TypeCheckFailure(
+            s"graft_kmv_mins requires constant m > 0 (the hash range), got $mv")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (LongType, IntegerType, IntegerType | LongType) =>
         TypeCheckResult.TypeCheckFailure(
           "graft_kmv_mins requires LITERAL k and m arguments " +

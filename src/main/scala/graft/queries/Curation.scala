@@ -746,7 +746,8 @@ object Curation {
     * composition). */
   private[queries] def selectorRefreshLeg(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    RefreshDecision.selectorLegOf(dsirDriftCounts(s, dir), DsirBuckets)
+    RefreshDecision.selectorLegOf(dsirDriftCounts(s, dir), DsirBuckets,
+        decimal = RefreshDecision.decimal128(s))
       .select(lit("selector").as("family"), col("staleness_bp"), col("benefit_bp"))
 
   /** REFRESH DECISION — the operator a 100 TB pipeline actually

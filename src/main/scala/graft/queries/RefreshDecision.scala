@@ -16,12 +16,41 @@ import org.apache.spark.sql.functions._
   *
   * Every metric is exact int64 basis points (the t18/c11 integer-rank
   * technique — no float crosses an engine boundary), so the whole
-  * decision replays bit-for-bit in DuckDB.  Magnitude regime: the
-  * cross-multiplied staleness numerators reach 10⁴·Σdist·n ≈ 7·10¹⁸ at
-  * sf0.1 — inside int64 with ~25% headroom; beyond ~10⁵ vectors of this
-  * distance scale the a12/decimal(38) regime note applies (promote the
-  * products to decimal on BOTH engines). */
+  * decision replays bit-for-bit in DuckDB.
+  *
+  * Magnitude regime — now a TESTED CONFIG PATH, not a comment (r13 nit
+  * #3): the cross-multiplied staleness numerators reach 10⁴·Σdist·n ≈
+  * 7·10¹⁸ at sf0.1 — inside int64 with ~25% headroom — and the selector
+  * leg's w_old/w_new products grow as per-bucket-count × total-count ×
+  * 10⁴, which overflows EARLIER (roughly beyond ~10⁹ total tokens with a
+  * hot bucket).  Under ANSI both fail correct-by-crash.  Setting
+  * `spark.graft.decimal128=true` promotes every overflow-capable product
+  * (staleness cross-products, the selector shift mass and weight
+  * numerators/denominators, the benefit numerators) to decimal(38,0) —
+  * the integral `div` still returns bigint, so OUTPUT schemas and values
+  * are identical where int64 doesn't overflow (Decimal128ParitySpec pins
+  * both: parity on real data, survival on a planted overflow-scale
+  * fixture).  DuckDB replays the promoted arithmetic as HUGEINT (int128
+  * — the a12/a13 convention), so the decision still value-oracles when a
+  * deployment flips the conf. */
 object RefreshDecision {
+
+  /** The decimal(38,0) promotion flag — see the magnitude-regime note
+    * above.  Default off: int64 is the codegen-friendly fast path and
+    * ANSI makes overflow loud, never wrong. */
+  def decimal128(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.decimal128").exists(_.toBoolean)
+
+  /** Wrap a SQL term in the decimal(38,0) promotion when `dec` — ONE
+    * promoted factor per product is enough: decimal is sticky through
+    * `*`/`-`, and integral `div` over decimals returns bigint. */
+  private def big(e: String, dec: Boolean): String =
+    if (dec) s"cast(($e) as decimal(38,0))" else s"($e)"
+
+  /** `10⁴·(before − after) div before` in bp — the priced-retrain
+    * benefit expression the ivf/pq legs share, promotion-aware. */
+  def benefitBp(before: String, after: String, decimal: Boolean): Column =
+    expr(s"(10000 * (${big(before, decimal)} - ($after))) div nullif($before, 0)")
 
   /** Default decision thresholds, baked into the DuckDB oracle; a
     * deployment overrides via `spark.graft.refresh.minStalenessBp` /
@@ -52,7 +81,8 @@ object RefreshDecision {
     * composition passes the monitor's reportOf output — same columns,
     * same expression. */
   def crossStalenessBp(per: DataFrame,
-      nA: String, nI: String, mA: String, mI: String): DataFrame =
+      nA: String, nI: String, mA: String, mI: String,
+      decimal: Boolean = false): DataFrame =
     // nullif: the live composition's cold start (monitors booted, no
     // incoming data yet) coalesces the incoming side to TRUE ZEROS (not
     // the nulls an empty batch aggregate yields), and an un-guarded
@@ -60,7 +90,8 @@ object RefreshDecision {
     // null staleness (→ 'keep'), never crash the decision query
     per.agg(sum(col(nA)).as("na"), sum(col(nI)).as("ni"),
         sum(col(mA)).as("ma"), sum(col(mI)).as("mi"))
-      .select(expr("(10000 * mi * na) div nullif(ma * ni, 0) - 10000")
+      .select(expr(s"(10000 * ${big("mi", decimal)} * na) " +
+          s"div nullif(${big("ma", decimal)} * ni, 0) - 10000")
         .as("staleness_bp"))
 
   /** Selector staleness AND refresh benefit in one pass over c12's
@@ -82,24 +113,33 @@ object RefreshDecision {
     * window over the ≤ B-row counts relation (the c4 single-partition-
     * over-bounded-rows idiom), so the corpus-sized token pass below it
     * runs ONCE. */
-  def selectorLegOf(per: DataFrame, buckets: Long): DataFrame = {
+  def selectorLegOf(per: DataFrame, buckets: Long,
+      decimal: Boolean = false): DataFrame = {
     val w = Window.partitionBy()
+    // every count × total product is promotion-wrapped: these are the
+    // expressions whose int64 ceiling arrives FIRST (the header's
+    // w_old/w_new regime — per-bucket-count × total-count × 10⁴)
     per
       .withColumn("nt_a", sum(col("ct_arch")).over(w))
       .withColumn("nr_a", sum(col("cr_arch")).over(w))
       .withColumn("ti_t", sum(col("ct_inc")).over(w))
       .withColumn("ti_r", sum(col("n_inc")).over(w))
-      .withColumn("sh", abs(col("n_inc") * col("nr_a") - col("cr_arch") * col("ti_r")))
+      .withColumn("sh", expr(
+        s"abs(${big("n_inc", decimal)} * nr_a - ${big("cr_arch", decimal)} * ti_r)"))
       .withColumn("w_old", expr(
-        s"((ct_arch + 1) * (nr_a + $buckets) * 10000) div ((cr_arch + 1) * (nt_a + $buckets))"))
+        s"(${big("ct_arch + 1", decimal)} * (nr_a + $buckets) * 10000) " +
+          s"div (${big("cr_arch + 1", decimal)} * (nt_a + $buckets))"))
       .withColumn("w_new", expr(
-        s"((ct_arch + ct_inc + 1) * (nr_a + ti_r + $buckets) * 10000) " +
-          s"div ((cr_arch + n_inc + 1) * (nt_a + ti_t + $buckets))"))
+        s"(${big("ct_arch + ct_inc + 1", decimal)} * (nr_a + ti_r + $buckets) * 10000) " +
+          s"div (${big("cr_arch + n_inc + 1", decimal)} * (nt_a + ti_t + $buckets))"))
       .agg(
         // nullif: the crossStalenessBp cold-start rationale — a live
         // stream with zero incoming tokens must read null, not crash
-        expr("(10000 * sum(sh)) div nullif(2 * max(nr_a) * max(ti_r), 0)")
+        expr(s"(10000 * ${big("sum(sh)", decimal)}) " +
+            s"div nullif(2 * ${big("max(nr_a)", decimal)} * max(ti_r), 0)")
           .as("staleness_bp"),
+        // w_old/w_new are bigint either way (div's output type), so the
+        // benefit mean needs no promotion
         expr("sum(abs(w_new - w_old)) div nullif(count(*), 0)").as("benefit_bp"))
   }
 

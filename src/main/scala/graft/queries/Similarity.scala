@@ -1210,7 +1210,11 @@ object Similarity {
           "to accept the cost with the completeness proof attached"
         s.conf.getOption("spark.graft.embed.recallGuard").getOrElse("fail") match {
           case "warn" =>
-            val bp = cert.collect().head.getLong(0)
+            // null cell_mass_bp (empty/degenerate corpus) = no evidence of
+            // degeneracy: treat as 0 so warn mode agrees with fail mode,
+            // whose `null > cap` filter passes the same input silently
+            val certRow = cert.collect().head
+            val bp = if (certRow.isNullAt(0)) 0L else certRow.getLong(0)
             if (bp > capBp) org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
               s"graft: embed pair source 'radius' measured cell_mass_bp $bp > " +
                 s"spark.graft.embed.radius.maxCellMassBp=$capBp on $dir — " +
@@ -2514,10 +2518,12 @@ object Similarity {
           .cast("long").as("d_arch"),
         sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
           .cast("long").as("d_inc"))
-    val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc", "d_arch", "d_inc")
+    val dec = RefreshDecision.decimal128(s)
+    val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc", "d_arch", "d_inc",
+      decimal = dec)
     val ben = s15RefreshReport(s, dir)
       .agg(sum(col("d_before")).as("db"), sum(col("d_after")).as("da"))
-      .select(expr("(10000 * (db - da)) div nullif(db, 0)").as("benefit_bp"))
+      .select(RefreshDecision.benefitBp("db", "da", dec).as("benefit_bp"))
     st.crossJoin(broadcast(ben))
       .select(lit("ivf").as("family"), col("staleness_bp"), col("benefit_bp"))
   }
@@ -2605,11 +2611,12 @@ object Similarity {
           .cast("long").as("err_arch"),
         sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
           .cast("long").as("err_inc"))
+    val dec = RefreshDecision.decimal128(s)
     val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc",
-      "err_arch", "err_inc")
+      "err_arch", "err_inc", decimal = dec)
     val ben = s17PqRefreshReport(s, dir)
       .agg(sum(col("err_before")).as("eb"), sum(col("err_after")).as("ea"))
-      .select(expr("(10000 * (eb - ea)) div nullif(eb, 0)").as("benefit_bp"))
+      .select(RefreshDecision.benefitBp("eb", "ea", dec).as("benefit_bp"))
     st.crossJoin(broadcast(ben))
       .select(lit("pq").as("family"), col("staleness_bp"), col("benefit_bp"))
   }
@@ -2738,13 +2745,26 @@ object Similarity {
     (radiusAssignFromGrid(e, tauBp, cells, seedStride), e)
   }
 
+  /** Trained s16 cells over the memoized grid, themselves memoized +
+    * persisted per (session, dir) — so the guarded flip, the radius-mass
+    * certificate and s16's full certificate share ONE cell training pass
+    * per session (the broadcast-sized relation is cheap, but recomputing
+    * it per consumer made the sharing comment a lie — ADVICE r13). */
+  private def s16TrainedCells(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s16TrainedCells") {
+      trackedPersist(s16Cells(
+        s16NormQuantized(s, dir).select(col("vec_id"), col("qn"), col("vv")),
+        EmbedCells, 1L))
+    }
+
   /** The radius ball assignment over a prepared normalized-quantized
     * relation — split out so the dir-plumbed source can feed the
     * MEMOIZED [[s16NormQuantized]] grid (one materialization shared
     * with the certificate/guard) instead of rebuilding it. */
   private def radiusAssignFromGrid(e: DataFrame, tauBp: Int,
-      cells: Int, seedStride: Long): DataFrame = {
-    val cents = s16Cells(e, cells, seedStride)
+      cells: Int, seedStride: Long,
+      centsOverride: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOverride.getOrElse(s16Cells(e, cells, seedStride))
     val twoDq = radiusTwoDq(tauBp)
     // radius assignment: dist ≤ (⌊√dbest⌋ + 1 + 2Dq)² — the +1 makes the
     // integer sqrt an over-approximation; the square is an explicit
@@ -2798,7 +2818,9 @@ object Similarity {
   def radiusCompleteEmbeddingPairs(s: SparkSession, dir: String): DataFrame = {
     graft.sentiment.GraftFunctions.register(s)
     val e = s16NormQuantized(s, dir)
-    radiusPairsFrom(e, radiusAssignFromGrid(e, EmbedPairTauBp, EmbedCells, 1L),
+    radiusPairsFrom(e,
+      radiusAssignFromGrid(e, EmbedPairTauBp, EmbedCells, 1L,
+        centsOverride = Some(s16TrainedCells(s, dir))),
       EmbedPairTauBp)
   }
 
@@ -2810,7 +2832,7 @@ object Similarity {
     memoized(s, dir, s"radiusMassCert:$tauBp") {
       graft.sentiment.GraftFunctions.register(s)
       val e = s16NormQuantized(s, dir).select(col("vec_id"), col("qn"), col("vv"))
-      val cents = s16Cells(e, EmbedCells, 1L)
+      val cents = s16TrainedCells(s, dir)
       val twoDq = radiusTwoDq(tauBp)
       trackedPersist(e.crossJoin(broadcast(cents))
         .withColumn("dist",
@@ -2888,7 +2910,7 @@ object Similarity {
     (s, dir) => {
       graft.sentiment.GraftFunctions.register(s)
       val e = s16NormQuantized(s, dir).select(col("vec_id"), col("qn"), col("vv"))
-      val cents = s16Cells(e, EmbedCells, 1L)
+      val cents = s16TrainedCells(s, dir)
       val taus = array(RadiusCertTaus.map(t =>
         struct(lit(t).as("tau_bp"), lit(radiusTwoDq(t)).as("two_dq"))): _*)
       e.crossJoin(broadcast(cents))

@@ -443,7 +443,7 @@ object TextOps {
     * side of the pair/triple joins reads it, and without the boundary
     * the corpus is shingled+sketched once per side (d16's round-11
     * defect class — PlanAudit gates the single pruned scan). */
-  private def overlapSketchRelation(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def overlapSketchRelation(s: SparkSession, dir: String): DataFrame = {
     graft.sentiment.GraftFunctions.register(s)
     Dedup.constructionPersist(s, shingles(s, dir)
       .select(col("source"), call_function("graft_charfold", col("shingle")).as("h"))
@@ -456,7 +456,7 @@ object TextOps {
   /** The shared DuckDB replay of [[overlapSketchRelation]]: corpus →
     * distinct per-source word-trigram shingles → charfold → per-source
     * k smallest (`mins(source, mins)`). */
-  private def overlapSketchCtes: String = s"""tok AS (
+  private[graft] def overlapSketchCtes: String = s"""tok AS (
         SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''),
       sh AS (
@@ -662,6 +662,128 @@ object TextOps {
       "containment c4's mixing weights need to avoid double-discounting " +
       "shared mass across source triples; exact branch on complete " +
       "sketches, exact int64 throughout, FULLY value-oracled")
+
+  /** EFFECTIVE (deduplicated) shingle mass per source — the c4 ← d17/d18
+    * consumption loop (r13 verdict #1): inclusion–exclusion truncated at
+    * depth 3 over the SAME sketch estimates,
+    *
+    *   eff(s) = est(s) − Σ_{t≠s} est_shared(s,t)
+    *                   + Σ_{t<u; t,u≠s} est_abc(s,t,u)
+    *
+    * which counts a shingle of s held by m other sources with weight
+    * 1 − m + C(m,2): mass unique to s counts once, mass shared with one
+    * or two other sources counts ZERO (fully discounted — another source
+    * also brings it), and the triple add-back is exactly what stops the
+    * pairwise subtraction from double-discounting triple-shared mass
+    * into the negatives.  Beyond m = 3 the truncation over-counts
+    * (1−3+3 = 1 at m = 3) — the standard Bonferroni upper bound;
+    * fleet-sized source counts rarely share 4-ways, and the greatest(0)
+    * floor keeps estimator noise from going negative either way.
+    *
+    * Every input is the estimators' exact int64 output over the ONE
+    * persisted synopsis relation — no new corpus pass; the pair/triple
+    * relations are ≤ S²/S³ rows of a broadcast-sized input. */
+  private[graft] def effectiveSourceMass(sk: DataFrame, K: Int): DataFrame = {
+    val km = (K - 1).toLong * graft.functions.CharFoldKernel.Prime
+    val singles = sk
+      .withColumn("l", size(col("mins")).cast("long"))
+      .withColumn("est_total", when(col("l") < K, col("l"))
+        .otherwise(expr(s"$km div element_at(mins, $K)")))
+      .select(col("source"), col("est_total"))
+    val pairs = overlapFromSketches(sk, K)
+      .select(explode(array(col("src_a"), col("src_b"))).as("source"),
+        col("est_shared"))
+      .groupBy(col("source")).agg(sum(col("est_shared")).as("pair_discount"))
+    val triples = threeWayFromSketches(sk, K)
+      .select(explode(array(col("src_a"), col("src_b"), col("src_c"))).as("source"),
+        col("est_abc"))
+      .groupBy(col("source")).agg(sum(col("est_abc")).as("triple_addback"))
+    singles
+      .join(broadcast(pairs), Seq("source"), "left")
+      .join(broadcast(triples), Seq("source"), "left")
+      .withColumn("pair_discount", coalesce(col("pair_discount"), lit(0L)))
+      .withColumn("triple_addback", coalesce(col("triple_addback"), lit(0L)))
+      .withColumn("eff_mass", greatest(
+        col("est_total") - col("pair_discount") + col("triple_addback"), lit(0L)))
+      .select(col("source"), col("est_total"), col("pair_discount"),
+        col("triple_addback"), col("eff_mass"))
+  }
+
+  /** The DuckDB replay of [[effectiveSourceMass]], continuing
+    * [[overlapSketchCtes]] (which ends at `mins(source, mins)`) — ends at
+    * `eff(source, est_total, pair_discount, triple_addback, eff_mass)`.
+    * The pair/triple arithmetic is the d17/d18 oracle chains verbatim,
+    * reduced to the est_shared / est_abc columns c14 consumes. */
+  private[graft] def effectiveMassCtes: String = {
+    val K = OverlapSketchK
+    val km = (K - 1).toLong * graft.functions.CharFoldKernel.Prime
+    s"""singles AS (
+        SELECT source,
+          CASE WHEN len(mins) < $K THEN CAST(len(mins) AS BIGINT)
+               ELSE $km // mins[$K] END AS est_total
+        FROM mins),
+      e_pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(len(a.mins) AS BIGINT) AS la, CAST(len(b.mins) AS BIGINT) AS lb,
+               list_intersect(a.mins, b.mins) AS ab,
+               list_sort(list_distinct(a.mins || b.mins)) AS uni
+        FROM mins a JOIN mins b ON a.source < b.source),
+      e_pcalc AS (
+        SELECT src_a, src_b, ab,
+               la < $K AND lb < $K AS ex,
+               CAST(len(list_intersect(uni[1:$K], ab)) AS BIGINT) AS rho,
+               CASE WHEN la < $K AND lb < $K THEN CAST(len(uni) AS BIGINT)
+                    ELSE $km // uni[$K] END AS est_union
+        FROM e_pairs),
+      e_pshared AS (
+        SELECT src_a, src_b,
+               CAST(CASE WHEN ex THEN len(ab)
+                         ELSE (rho * est_union) // $K END AS BIGINT) AS est_shared
+        FROM e_pcalc),
+      e_pdisc AS (
+        SELECT source, CAST(sum(est_shared) AS BIGINT) AS pair_discount FROM (
+          SELECT src_a AS source, est_shared FROM e_pshared
+          UNION ALL SELECT src_b AS source, est_shared FROM e_pshared) u
+        GROUP BY source),
+      e_triples AS (
+        SELECT a.source AS src_a, b.source AS src_b, c.source AS src_c,
+               CAST(len(a.mins) AS BIGINT) AS la,
+               CAST(len(b.mins) AS BIGINT) AS lb,
+               CAST(len(c.mins) AS BIGINT) AS lc,
+               list_sort(list_distinct(a.mins || b.mins || c.mins)) AS uni,
+               list_intersect(list_intersect(a.mins, b.mins), c.mins) AS iabc
+        FROM mins a
+        JOIN mins b ON a.source < b.source
+        JOIN mins c ON b.source < c.source),
+      e_tcalc AS (
+        SELECT src_a, src_b, src_c, iabc,
+               la < $K AND lb < $K AND lc < $K AS ex,
+               CAST(len(list_intersect(uni[1:$K], iabc)) AS BIGINT) AS rho_abc,
+               CASE WHEN la < $K AND lb < $K AND lc < $K
+                    THEN CAST(len(uni) AS BIGINT)
+                    ELSE $km // uni[$K] END AS est_union
+        FROM e_triples),
+      e_tshared AS (
+        SELECT src_a, src_b, src_c,
+               CAST(CASE WHEN ex THEN len(iabc)
+                         ELSE (rho_abc * est_union) // $K END AS BIGINT) AS est_abc
+        FROM e_tcalc),
+      e_tadd AS (
+        SELECT source, CAST(sum(est_abc) AS BIGINT) AS triple_addback FROM (
+          SELECT src_a AS source, est_abc FROM e_tshared
+          UNION ALL SELECT src_b AS source, est_abc FROM e_tshared
+          UNION ALL SELECT src_c AS source, est_abc FROM e_tshared) u
+        GROUP BY source),
+      eff AS (
+        SELECT s.source, s.est_total,
+               CAST(coalesce(p.pair_discount, 0) AS BIGINT) AS pair_discount,
+               CAST(coalesce(t.triple_addback, 0) AS BIGINT) AS triple_addback,
+               CAST(greatest(s.est_total - coalesce(p.pair_discount, 0)
+                 + coalesce(t.triple_addback, 0), 0) AS BIGINT) AS eff_mass
+        FROM singles s
+        LEFT JOIN e_pdisc p ON p.source = s.source
+        LEFT JOIN e_tadd t ON t.source = s.source)"""
+  }
 
   /** Scale-adaptive exact-Jaccard pairs (both paths produce identical
     * results — proven by QueryPacksSpec in both scopes): for small corpora

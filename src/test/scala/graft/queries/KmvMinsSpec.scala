@@ -135,4 +135,21 @@ class KmvMinsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("graft_kmv_mins"), e2.getMessage)
   }
+
+  test("out-of-range CONSTANTS fail at analysis time too (r13 ADVICE)") {
+    // k/m are foldable, so their VALUES are analysis-time facts: k=1 or
+    // m=0 used to ride through the type check and throw the lazy-val
+    // IllegalArgumentException in offer() on an executor
+    graft.sentiment.GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L, 2L).toDF("h")
+    for ((k, m) <- Seq((lit(1), lit(P)), (lit(0), lit(P)),
+      (lit(4), lit(0)), (lit(4), lit(-5L)))) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(call_function("graft_kmv_mins", col("h"), k, m)).collect()
+      }
+      assert(e.getMessage.contains("graft_kmv_mins"), e.getMessage)
+    }
+  }
 }
