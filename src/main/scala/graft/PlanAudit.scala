@@ -596,6 +596,24 @@ object PlanAudit {
       why = "exactly 1 data shuffle (the per-source sketch aggregate); " +
         "the ordered output range-partitions — a 3rd occurrence means " +
         "the corpus leaked into the triple arithmetic"),
+    // c14 overlap-aware mixing (round-14: the c4 ← d17/d18 consumption
+    // loop — effective mass from the SAME persisted synopsis relation)
+    Expect("c14_overlap_aware_mixing", "ReadSchema: struct<text:string,source:string>",
+      "the documents scan must prune to (text, source) and appear ONCE — " +
+        "singles, pair discounts and triple add-backs all read the " +
+        "persisted ≤ |sources|-row sketch relation, never the corpus",
+      maxCount = 1),
+    Expect("c14_overlap_aware_mixing", "InMemoryRelation",
+      "the sketch relation must sit behind a persist boundary (tree + " +
+        "detail across the 6 consumer sides = 12 renders)", maxCount = 12),
+    Expect("c14_overlap_aware_mixing", "SortMergeJoin", present = false,
+      why = "every join is over ≤ S²/S³-row estimator relations and must " +
+        "broadcast — an SMJ means a tiny relation got shuffled"),
+    Expect("c14_overlap_aware_mixing", "hashpartitioning(", maxCount = 3,
+      why = "exactly 3 bounded shuffles: the per-source sketch aggregate " +
+        "(map-side combined, ≤ k longs/source) and the two ≤ S-row " +
+        "discount/add-back aggregates — a 4th means the corpus leaked " +
+        "into the mixing arithmetic"),
     // c13 refresh decision (round-13: the maintenance triad composed —
     // three family legs unioned, each riding its memoized audit
     // relations, so the decision costs ~one audit per family)

@@ -122,6 +122,69 @@ object Curation {
     doc = "data-mixture plan: per-source acceptance rate (basis points) for an " +
       "equal-share half-corpus token budget, no upsampling")
 
+  // ---------------------------------------------------------------- c14
+  /** Overlap-aware source mixing — c4's budget split priced on EFFECTIVE
+    * (deduplicated) mass instead of raw per-source mass, closing the
+    * c4 ← d17/d18 consumption loop (r13 verdict #1): raw availability
+    * over-credits sources whose content other sources also carry, so an
+    * equal-share plan over raw mass double-buys the shared portion.  The
+    * effective mass comes from [[TextOps.effectiveSourceMass]] —
+    * inclusion–exclusion over d17's pairwise `est_shared` corrected by
+    * d18's triple intersections, all read off the ONE persisted KMV
+    * synopsis relation (no corpus pass beyond the sketch build d17/d18
+    * already pay; the mixing window then runs over ≤ |sources| rows —
+    * the c4 scale shape).
+    *
+    * Mass is in DISTINCT-SHINGLE units (the only unit the overlap
+    * estimators can de-duplicate across sources); rates in bp transfer
+    * to token budgets because within a source, tokens ∝ shingle mass at
+    * corpus scale.  Same mixing recipe as c4 — half-total budget, equal
+    * share, no upsampling — so the two plans differ exactly where
+    * overlap moves the mass.  Exact int64; FULL value oracle. */
+  val c14OverlapAwareMixing = NamedQuery(
+    "c14_overlap_aware_mixing",
+    (s, dir) => {
+      val eff = TextOps.effectiveSourceMass(
+        TextOps.overlapSketchRelation(s, dir), TextOps.OverlapSketchK)
+      val all = Window.partitionBy()
+      eff
+        .withColumn("budget", expr("sum(eff_mass) OVER () div 2"))
+        .withColumn("n_sources", count(lit(1)).over(all))
+        .withColumn("target_mass", expr("budget div n_sources"))
+        // eff_mass = 0 (a source fully contained in the others) has no
+        // exclusive mass to accept: the rate is moot, pinned 10⁴ so the
+        // plan stays total — planned_mass is 0 either way
+        .withColumn("rate_bp", expr(
+          "CASE WHEN eff_mass = 0 THEN CAST(10000 AS BIGINT) " +
+            "ELSE least((target_mass * 10000) div eff_mass, 10000) END"))
+        .withColumn("planned_mass", expr("(eff_mass * rate_bp) div 10000"))
+        .select(col("source"), col("est_total"), col("pair_discount"),
+          col("triple_addback"), col("eff_mass"), col("target_mass"),
+          col("rate_bp"), col("planned_mass"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH ${TextOps.overlapSketchCtes},
+      ${TextOps.effectiveMassCtes},
+      mix AS (
+        SELECT source, est_total, pair_discount, triple_addback, eff_mass,
+          (CAST(sum(eff_mass) OVER () AS BIGINT) // 2)
+            // (count(*) OVER ()) AS target_mass
+        FROM eff)
+      SELECT source, est_total, pair_discount, triple_addback, eff_mass,
+        CAST(target_mass AS BIGINT) AS target_mass,
+        CAST(CASE WHEN eff_mass = 0 THEN 10000
+                  ELSE least((target_mass * 10000) // eff_mass, 10000)
+             END AS BIGINT) AS rate_bp,
+        CAST((eff_mass * CASE WHEN eff_mass = 0 THEN 10000
+                  ELSE least((target_mass * 10000) // eff_mass, 10000) END)
+          // 10000 AS BIGINT) AS planned_mass
+      FROM mix ORDER BY source"""),
+    doc = "overlap-aware data-mixture plan: per-source acceptance rate over " +
+      "EFFECTIVE (deduplicated) shingle mass — inclusion-exclusion over " +
+      "d17's pairwise overlap estimates corrected by d18's triple " +
+      "intersections, all from the one persisted KMV synopsis relation; " +
+      "c4's recipe priced on mass no other source also brings")
+
   // ---------------------------------------------------------------- c9
   /** Temperature-based source mixing — the standard multi-source
     * LLM-mixture scheme c4's equal-share plan can't express (Devlin et
@@ -863,5 +926,6 @@ object Curation {
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
       c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
-      c11DsirSelection, c12SelectorStaleness, c13RefreshDecision)
+      c11DsirSelection, c12SelectorStaleness, c13RefreshDecision,
+      c14OverlapAwareMixing)
 }
