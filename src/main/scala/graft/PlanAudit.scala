@@ -614,6 +614,28 @@ object PlanAudit {
         "(map-side combined, ≤ k longs/source) and the two ≤ S-row " +
         "discount/add-back aggregates — a 4th means the corpus leaked " +
         "into the mixing arithmetic"),
+    // c15 end-to-end curation pipeline (round-14: the capstone
+    // composition — dedup → decontaminate → select → mix → pack as one
+    // dataflow over ONE selected-relation cut)
+    Expect("c15_curation_pipeline", "Scan parquet", present = false,
+      why = "every corpus pass rides the one-shot selected cut and the " +
+        "memoized graph/token relations inside it — a parquet scan in " +
+        "the FINAL plan means a stage re-scans the corpus"),
+    Expect("c15_curation_pipeline", "at cut at Dedup.scala", maxCount = 2,
+      why = "both consumers (the rates aggregate and the mixing join) " +
+        "must read THE one persisted selected cut — more cut scans " +
+        "means the boundary was rebuilt per consumer"),
+    Expect("c15_curation_pipeline", "SortMergeJoin", present = false,
+      why = "the only join left above the cut is the ≤ |sources|-row " +
+        "rates relation, which must broadcast"),
+    Expect("c15_curation_pipeline", "hashpartitioning(", maxCount = 4,
+      why = "two data shuffles above the cut (the per-source rates " +
+        "aggregate and the packing window's (split, source) partition) " +
+        "plus the cut RDD's own doc_id layout rendered per consumer — " +
+        "more means a stage leaked a corpus shuffle"),
+    Expect("c15_curation_pipeline", "Window", maxCount = 4,
+      why = "exactly two windows (rates totals over ≤ |sources| rows, " +
+        "packing cumsum per (split, source)); tree + detail = 4 renders"),
     // c13 refresh decision (round-13: the maintenance triad composed —
     // three family legs unioned, each riding its memoized audit
     // relations, so the decision costs ~one audit per family)

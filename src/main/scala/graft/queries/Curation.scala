@@ -673,6 +673,177 @@ object Curation {
       "selected — the data-selection step between dedup and mixing; " +
       "FULL value oracle (the t18 integer-rank technique)")
 
+  // ---------------------------------------------------------------- c15
+
+  /** END-TO-END CURATION PIPELINE — the capstone composition (r13
+    * verdict #2): every stage exists as its own oracled operator; this
+    * relation chains them as ONE dataflow and proves the composition
+    * shares corpus passes instead of each stage re-scanning —
+    *
+    *   canonical dedup    d6/d9's cluster labels, non-keepers dropped
+    *                      (c1's anti-join discipline)
+    *   decontaminate      c10's benchmark convention (doc_id % 13 — the
+    *                      bench fp set, broadcast anti-join)
+    *   select             c11's stored selector applied as a FLOOR at
+    *                      the raw pool's mean score — "more target-like
+    *                      than the average raw doc", a threshold whose
+    *                      admitted volume scales with the corpus where
+    *                      c11's top-k pins at k; the 1-row floor
+    *                      broadcasts, so the cut is scan-side.
+    *                      Target-domain docs ride through (the selector
+    *                      scores only the raw pool)
+    *   mix                c4's equal-share half-budget rates over the
+    *                      SELECTED pool, executed with c5's
+    *                      deterministic md5 acceptance (salt `:c15mix`)
+    *   pack               c3's concat-and-chunk accounting per
+    *                      (split, source)
+    *
+    * Scale shape: the corpus-sized inputs are the base scan, the dup
+    * graph's shingle relation and the selector's token relation — each
+    * built ONCE (the graph and token relations ride their own persist
+    * boundaries; PlanAudit budgets the documents scans for the WHOLE
+    * composition).  The per-doc score join co-keys on doc_id; bench
+    * fps and mixing rates broadcast; packing shuffles once on
+    * (split, source).  All exact integer arithmetic — the FULL
+    * five-stage pipeline replays bit-for-bit in DuckDB. */
+  val c15CurationPipeline = NamedQuery(
+    "c15_curation_pipeline",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val base = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextOps.normFingerprint(col("text")).as("fp"))
+      val dropSet = Dedup.clusterLabels(s, dir)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      val bench = base.filter(col("doc_id") % 13 === 0).select(col("fp")).distinct()
+      val scores = dsirScoredDocs(s, dir).select(col("doc_id"), col("score_bp"))
+      val floorRel = scores.agg(expr("sum(score_bp) div count(1)").as("floor_bp"))
+      // RDD-cut boundary, not a plain persist: `selected` feeds BOTH the
+      // rates aggregate and the mixing join — without a boundary the
+      // entire upstream (dup graph, decontamination, score join)
+      // re-executes per consumer, exactly the stage-re-scanning defect
+      // this composition exists to disprove.  A `.persist()` is NOT
+      // enough here: the upstream contains the dup graph's LogicalRDD
+      // cuts, and the analyzer's self-join deduplication re-aliases one
+      // consumer's copy so the CacheManager's canonical lookup misses it
+      // (observed: one side substituted, the other recompiled raw).  The
+      // RDD cut shares by CONSTRUCTION — both consumers' plans reference
+      // the same persisted RDD, no cache matching involved.
+      val selected = Dedup.lineageCut(s, base
+        .join(dropSet, Seq("doc_id"), "left_anti")
+        .join(broadcast(bench), Seq("fp"), "left_anti")
+        .join(scores, Seq("doc_id"), "left")
+        .crossJoin(broadcast(floorRel))
+        .filter(col("source") === DsirTarget ||
+          col("score_bp") >= col("floor_bp"))
+        .select(col("doc_id"), col("source"), col("n_tokens")))
+      val all = Window.partitionBy()
+      val rates = selected.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("avail_tokens"))
+        .withColumn("budget", expr("sum(avail_tokens) OVER () div 2"))
+        .withColumn("n_sources", count(lit(1)).over(all))
+        .withColumn("target_tokens", expr("budget div n_sources"))
+        .withColumn("rate_bp",
+          least(expr("(target_tokens * 10000) div avail_tokens"), lit(10000L)))
+        .select(col("source"), col("rate_bp"))
+      val h4 = substring(md5(concat(col("doc_id").cast("string"), lit(":c15mix"))), 1, 4)
+      val thr = lower(lpad(hex(expr("(rate_bp * 65536) div 10000")), 4, "0"))
+      val mixed = selected.join(rates, "source")
+        .filter(col("rate_bp") === 10000L || h4 < thr)
+      val w = Window.partitionBy(col("split"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      mixed
+        .withColumn("split", TextOps.splitCol)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("straddles",
+          expr(s"(cum - n_tokens) div $SeqBudget") <
+            expr(s"(cum - 1) div $SeqBudget"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddlers"),
+          max(col("rate_bp")).as("rate_bp"))
+        .withColumn("n_seqs",
+          expr(s"(total_tokens + ${SeqBudget - 1}) div $SeqBudget"))
+        .select(col("split"), col("source"), col("n_docs"),
+          col("total_tokens"), col("n_seqs"), col("n_straddlers"),
+          col("rate_bp"))
+        .orderBy(col("split"), col("source"))
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.dupGraphCteSql},
+      dropset AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+      base AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+          lower(trim(text)) AS lt
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      bench AS (SELECT DISTINCT fp FROM base WHERE doc_id % 13 = 0),
+      ctok AS (
+        SELECT doc_id, source,
+          ${graft.functions.CharFoldKernel.sqlOf("t")} % $DsirBuckets AS b
+        FROM base, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
+      ccounts AS (
+        SELECT b,
+          sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct,
+          sum(CASE WHEN source = '$DsirTarget' THEN 0 ELSE 1 END) AS cr
+        FROM ctok GROUP BY b),
+      ctot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM ccounts),
+      cweights AS (
+        SELECT b, ((ct + 1) * (nr + $DsirBuckets) * 10000)
+                  // ((cr + 1) * (nt + $DsirBuckets)) AS w
+        FROM ccounts, ctot),
+      cscores AS (
+        SELECT t.doc_id, CAST(sum(w.w) // count(*) AS BIGINT) AS score_bp
+        FROM ctok t JOIN cweights w USING (b)
+        WHERE t.source <> '$DsirTarget'
+        GROUP BY t.doc_id),
+      cfloor AS (
+        SELECT CAST(sum(score_bp) // count(*) AS BIGINT) AS floor_bp
+        FROM cscores),
+      selected AS (
+        SELECT b.doc_id, b.source, b.n_tokens
+        FROM base b LEFT JOIN cscores s ON s.doc_id = b.doc_id
+        CROSS JOIN cfloor f
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM dropset)
+          AND b.fp NOT IN (SELECT fp FROM bench)
+          AND (b.source = '$DsirTarget' OR s.score_bp >= f.floor_bp)),
+      rates AS (
+        SELECT source,
+          least((((CAST(sum(avail) OVER () AS BIGINT) // 2)
+                   // (count(*) OVER ())) * 10000) // avail, 10000) AS rate_bp
+        FROM (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail
+              FROM selected GROUP BY source) p),
+      mixed AS (
+        SELECT s.doc_id, s.source, s.n_tokens, r.rate_bp
+        FROM selected s JOIN rates r USING (source)
+        WHERE r.rate_bp = 10000 OR
+          substr(md5(CAST(s.doc_id AS VARCHAR) || ':c15mix'), 1, 4) <
+            lower(lpad(hex((r.rate_bp * 65536) // 10000), 4, '0'))),
+      packed AS (
+        SELECT ${TextOps.splitCaseSql} AS split, source, n_tokens, rate_bp,
+          sum(n_tokens) OVER (PARTITION BY ${TextOps.splitCaseSql}, source
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM mixed)
+      SELECT split, source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        (CAST(sum(n_tokens) AS BIGINT) + ${SeqBudget - 1}) // $SeqBudget AS n_seqs,
+        CAST(sum(CASE WHEN (cum - n_tokens) // $SeqBudget < (cum - 1) // $SeqBudget
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+        CAST(max(rate_bp) AS BIGINT) AS rate_bp
+      FROM packed GROUP BY split, source ORDER BY split, source"""),
+    doc = "end-to-end curation pipeline: canonical dedup (d6/d9 labels) -> " +
+      "benchmark decontamination (c10's fp set) -> DSIR selection floor " +
+      "(c11's stored selector) -> equal-share mixing over the SELECTED " +
+      "pool executed with c5's md5 acceptance -> c3 packing accounting, " +
+      "composed as ONE dataflow; exact integers end to end, FULL value " +
+      "oracle over the composed CTE chains")
+
   // ---------------------------------------------------------------- c12
   /** Top-k report width of the selector-staleness audit. */
   private val StalenessTopK = 20
@@ -927,5 +1098,5 @@ object Curation {
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
       c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
       c11DsirSelection, c12SelectorStaleness, c13RefreshDecision,
-      c14OverlapAwareMixing)
+      c14OverlapAwareMixing, c15CurationPipeline)
 }

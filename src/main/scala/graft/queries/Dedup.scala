@@ -462,7 +462,7 @@ object Dedup {
     * is already hash-partitioned the way the next round's join/agg
     * needs it — a cut that erased the layout (the public
     * createDataFrame-over-.rdd form) re-shuffled every round. */
-  private def lineageCut(s: org.apache.spark.sql.SparkSession,
+  private[queries] def lineageCut(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     withLineageCutConfs(s)(
       org.apache.spark.sql.graftshim.PartitioningPreservingCut.cut(df, persist = true))
