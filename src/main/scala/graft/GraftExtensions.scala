@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BandValues(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_band_hashes"),
+      new ExpressionInfo(classOf[graft.functions.BandHashes].getName, "graft_band_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BandHashes(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_charfold"),
       new ExpressionInfo(classOf[graft.functions.CharFold].getName, "graft_charfold"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

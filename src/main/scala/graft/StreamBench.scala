@@ -67,13 +67,31 @@ object StreamBench {
     out
   }
 
-  private def soak(spark: SparkSession, name: String, rate: Int, secs: Int)(
+  private def soak(spark: SparkSession, name: String, rate: Int, secs: Int,
+      rowsPerBatch: Option[Int] = None)(
       build: DataFrame => Dataset[_]): SoakResult = {
     val cp = java.nio.file.Files.createTempDirectory(s"sbench-$name").toString
-    val src = spark.readStream.format("rate")
-      .option("rowsPerSecond", rate.toLong)
-      .option("numPartitions", 4)
-      .load()
+    // Two source modes.  Default: the plain rate source, over-provisioned
+    // so the stage is the bottleneck — right for stages that keep up
+    // (their batches stay small and steady).  For a stage SLOWER than any
+    // reasonable source rate, the rate source's batches SNOWBALL (each
+    // batch grabs the full backlog, so one giant in-flight batch spans
+    // the soak and the completed-rows accounting reports the batch-size
+    // ladder, not the stage — round-14 finding: the string-state T14, the
+    // hashed T14 and a stateless scan-only probe all "measured" the same
+    // 833 docs/s, which was 50 000 ladder rows / 60 s, not throughput).
+    // rate-micro-batch pins rowsPerBatch per trigger, batches run
+    // back-to-back, and rows/wall is the stage's true sustained capacity.
+    val src = rowsPerBatch match {
+      case Some(n) => spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", n.toLong)
+        .option("numPartitions", 4)
+        .load()
+      case None => spark.readStream.format("rate")
+        .option("rowsPerSecond", rate.toLong)
+        .option("numPartitions", 4)
+        .load()
+    }
     val q = build(src).writeStream.format("noop")
       .outputMode("append")
       .option("checkpointLocation", cp)
@@ -113,6 +131,9 @@ object StreamBench {
       // divided by the full wall (round-13 review finding: five stages
       // sat exactly at batches=99)
       .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_STATESTORE",
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -143,13 +164,28 @@ object StreamBench {
         LiveDrift.monitor(evs(src).map { case (v, ts) =>
           LiveDrift.Event("t" + (v % 5), (v % 1000L).toDouble, ts) },
           driftRef, 0L, 999L)),
-      // T14 carries per-doc shingle SETS in bucket state (the verified
-      // stage's price); at the global over-provisioned rate its first
-      // backlog batch never completes inside a soak, so it gets its own
-      // (still far-above-reference) source rate — see rateOf below
+      // T14 soaks the HASHED verify tier (round 14 — sorted shingle-hash
+      // arrays in bucket state, linear merge-intersection verify; the
+      // byte-exact string tier stays parity-spec'd but is ~12× heavier
+      // in state bytes + per-pair work); its backlog batches still pace
+      // slower than scan-side stages, so it keeps a dedicated source
+      // rate — see rateOf below
       "T14_near_dup_verified" -> ((src: DataFrame) =>
-        LiveNearDup.verifiedPairs(evs(src).map { case (v, _) =>
+        LiveNearDup.verifiedPairsHashed(evs(src).map { case (v, _) =>
           LiveNearDup.DocEvent(v, textOf(v)) })),
+      // isolation probe: T14's scan side alone (no state, no shuffle) —
+      // prices the per-doc banding+hashing chain the stateful stage
+      // rides; not part of the committed table's stage set
+      "T14_scan_only" -> ((src: DataFrame) => {
+        graft.sentiment.GraftFunctions.register(spark)
+        evs(src).map { case (v, _) => LiveNearDup.DocEvent(v, textOf(v)) }
+          .select(col("doc_id"), graft.queries.Dedup.bandHashesFor(col("text")).as("bh"))
+          .select(col("doc_id"),
+            posexplode(col("bh.bands")).as(Seq("band", "bv")),
+            col("bh.hashes").as("hashes"))
+          .select(col("doc_id"), col("band"), col("bv"), col("hashes"))
+          .as[LiveNearDup.DocHashes]
+      }),
       "T6_sessionize" -> ((src: DataFrame) =>
         Sessionize.sessionize(evs(src).map { case (v, ts) =>
           Sessionize.Ev(v % 100000L, ts) })),
@@ -183,18 +219,23 @@ object StreamBench {
         LiveSelectorStaleness.monitor(evs(src).map { case (v, _) =>
           LiveSelectorStaleness.DocEv(v, textOf(v), "src" + (1 + v % 5)) })))
 
-    // per-stage source rates where the global over-provisioning would
-    // make the first backlog batch un-completable inside the soak
-    def rateOf(stage: String): Int = stage match {
-      case "T14_near_dup_verified" => math.min(rate, 10000)
-      case _ => rate
+    // Stages slower than any sensible source rate get PACED batches
+    // (rate-micro-batch, fixed rows per trigger — see the soak() source
+    // modes comment): the plain rate source's snowballing backlog batches
+    // made their completed-rows accounting report the batch-size ladder,
+    // not throughput (round-14 finding; the scan-only probe "measured"
+    // the same 833 docs/s as the full stateful stage).
+    def rowsPerBatchOf(stage: String): Option[Int] = stage match {
+      case "T14_near_dup_verified" | "T14_scan_only" =>
+        Some(sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_T14_BATCH", "10000").toInt)
+      case _ => None
     }
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_STREAM_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val results = stages
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, b) =>
-        val r = soak(spark, n, rateOf(n), secs)(b)
+        val r = soak(spark, n, rate, secs, rowsPerBatchOf(n))(b)
         println(f"| ${r.name}%-24s | ${r.rowsPerSec}%,d | ${r.rows}%,d | ${r.secs}%.1f | ${r.stateRows}%,d | ${r.stateMb}%.1f | ${r.batches} |")
         r
       }

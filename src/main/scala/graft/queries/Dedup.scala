@@ -111,6 +111,41 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** The SORTED distinct shingle-HASH set of a text column — the lean
+    * verify-side state of the live near-dup tier
+    * ([[graft.stream.LiveNearDup.verifiedPairsHashed]]): the same
+    * mod-prime charfold base hash the banding kernel folds (h0), over
+    * the same single-definition shingle array, distinct then sorted so
+    * the stream's verify is a LINEAR merge-intersection of two sorted
+    * int64 arrays instead of a string-set probe.  Exact-Jaccard parity
+    * with the string tier holds up to h0 collisions within one compared
+    * pair's union (p ≈ 10⁹: ~|A|·|B|/p per pair — ~10⁻⁵ at
+    * hundred-shingle docs, and a collision can only NUDGE one pair's
+    * jaccard, never invent a candidate, since banding is upstream). */
+  def shingleHashSetFor(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = TextOps.tokens(text)
+    when(text.isNotNull && text =!= "" && size(w) >= 3,
+      array_sort(array_distinct(transform(TextOps.shingleArrayOf(w),
+        s => call_function("graft_charfold", s)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** BOTH live near-dup scan-side relations in ONE kernel pass — the
+    * struct `(bands, hashes)` of [[bandValuesFor]] and
+    * [[shingleHashSetFor]], computed by the native `graft_band_hashes`
+    * expression without materializing trigram strings (the T14 hot path;
+    * BandHashesSpec pins kernel ≡ both Column forms).  Null/short texts
+    * yield empty arrays in both fields. */
+  def bandHashesFor(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = TextOps.tokens(text)
+    val empty = struct(
+      array().cast("array<bigint>").as("bands"),
+      array().cast("array<bigint>").as("hashes"))
+    when(text.isNotNull && text =!= "" && size(w) >= 3,
+      call_function("graft_band_hashes", w))
+      .otherwise(empty)
+  }
+
   /** The identical signature pipeline as DuckDB SQL (constants inlined —
     * the s2-planes technique): h0 fold over shingle chars, 16 min-hashes,
     * per-band linear combination. */

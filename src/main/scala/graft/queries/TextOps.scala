@@ -567,14 +567,40 @@ object TextOps {
     * shingles) take the EXACT branch — full-set arithmetic, which is how
     * the spec pins the estimator against plain set recounts with
     * equality.  All exact int64; replays bit-for-bit in DuckDB. */
-  private[graft] def threeWayFromSketches(sk: DataFrame, K: Int): DataFrame = {
+  private[graft] def threeWayFromSketches(sk: DataFrame, K: Int,
+      minPairJaccardBp: Long = 0L): DataFrame = {
     val km = (K - 1).toLong * graft.functions.CharFoldKernel.Prime
-    sk.select(col("source").as("src_a"), col("mins").as("ma"))
-      .crossJoin(broadcast(
-        sk.select(col("source").as("src_b"), col("mins").as("mb"))))
-      .crossJoin(broadcast(
-        sk.select(col("source").as("src_c"), col("mins").as("mc"))))
-      .filter(col("src_a") < col("src_b") && col("src_b") < col("src_c"))
+    // TRIPLE BUDGET GUARD (r13 verdict #6): plain enumeration is S³/6
+    // rows — free at fleet-sized S, 1.6·10⁸ at S = 1000.  Above a
+    // configured pairwise-Jaccard floor, triples are built FROM the
+    // qualifying-pair relation instead (a triple all of whose pairwise
+    // overlaps clear the floor has all three edges in it), so the
+    // enumeration is bounded by qualifying-pair density, not S³.  The
+    // floor defaults to 0 = today's exhaustive behavior and exact plan.
+    val enumerated =
+      if (minPairJaccardBp <= 0L)
+        sk.select(col("source").as("src_a"), col("mins").as("ma"))
+          .crossJoin(broadcast(
+            sk.select(col("source").as("src_b"), col("mins").as("mb"))))
+          .crossJoin(broadcast(
+            sk.select(col("source").as("src_c"), col("mins").as("mc"))))
+          .filter(col("src_a") < col("src_b") && col("src_b") < col("src_c"))
+      else {
+        val qp = overlapFromSketches(sk, K)
+          .filter(col("jaccard_bp") >= minPairJaccardBp)
+          .select(col("src_a"), col("src_b"))
+        qp.join(broadcast(qp.select(col("src_a").as("src_b"),
+            col("src_b").as("src_c"))), Seq("src_b"))
+          .join(broadcast(qp.select(col("src_a"),
+            col("src_b").as("src_c"))), Seq("src_a", "src_c"), "left_semi")
+          .join(broadcast(sk.select(col("source").as("src_a"),
+            col("mins").as("ma"))), Seq("src_a"))
+          .join(broadcast(sk.select(col("source").as("src_b"),
+            col("mins").as("mb"))), Seq("src_b"))
+          .join(broadcast(sk.select(col("source").as("src_c"),
+            col("mins").as("mc"))), Seq("src_c"))
+      }
+    enumerated
       .withColumn("la", size(col("ma")).cast("long"))
       .withColumn("lb", size(col("mb")).cast("long"))
       .withColumn("lc", size(col("mc")).cast("long"))
@@ -615,7 +641,15 @@ object TextOps {
     * FULL value oracle, like d17. */
   val d18ThreeWayOverlap = NamedQuery(
     "d18_threeway_overlap",
-    (s, dir) => threeWayFromSketches(overlapSketchRelation(s, dir), OverlapSketchK),
+    // `spark.graft.overlap.tripleMinPairJaccardBp` (default 0 = exhaustive,
+    // the oracle's behavior): above the floor, triples enumerate from the
+    // qualifying-pair relation instead of S³/6 — the budget guard a
+    // hundreds-of-sources fleet sets before the cube gets real (the
+    // driver never sets it; ThreeWayGuardSpec pins filtered ≡ exhaustive
+    // above the floor)
+    (s, dir) => threeWayFromSketches(overlapSketchRelation(s, dir), OverlapSketchK,
+      s.conf.getOption("spark.graft.overlap.tripleMinPairJaccardBp")
+        .map(_.toLong).getOrElse(0L)),
     Some(s"""WITH $overlapSketchCtes,
       triples AS (
         SELECT a.source AS src_a, b.source AS src_b, c.source AS src_c,

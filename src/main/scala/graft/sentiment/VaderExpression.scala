@@ -81,6 +81,9 @@ object GraftFunctions {
       "graft_band_values",
       exprs => graft.functions.BandValues(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_band_hashes",
+      exprs => graft.functions.BandHashes(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kmv",
       exprs => graft.functions.KmvDistinct(exprs.head, exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -138,6 +138,105 @@ object LiveNearDup {
     * shingle HASHES instead (collision probability |A|·|B|/p per pair,
     * p ≈ 2³⁰) — not done here because the parity contract is
     * byte-exactness with d3. */
+  /** One band-key row carrying the doc's sorted distinct shingle-hash set. */
+  final case class DocHashes(doc_id: Long, band: Int, bv: Long, hashes: Array[Long])
+
+  /** A hashed bucket member (sorted hash array). */
+  final case class HashMember(doc_id: Long, hashes: Array[Long])
+
+  /** A hashed verify bucket's membership. */
+  final case class HashBucket(members: Seq[HashMember])
+
+  /** LIVE VERIFIED near-dup pairs, HASHED-STATE tier — the r13 verdict's
+    * "raise the T14 streaming floor": [[verifiedPairs]] carries full
+    * per-member shingle STRING sets in every bucket (×Bands replication
+    * — the soak's 201 MB state and 833 docs/s floor came from
+    * serializing and string-probing those sets per arrival).  This tier
+    * keeps the SAME two-stage discipline (band collision → exact
+    * verify in the same keyed state) but the state per member is its
+    * SORTED distinct shingle-hash array ([[graft.queries.Dedup.shingleHashSetFor]]
+    * — the banding kernel's own h0 fold), so:
+    *
+    *   - state shrinks ~6× (8-byte longs vs ~50-byte shingle strings);
+    *   - the verify is a LINEAR merge-intersection of two sorted int64
+    *     arrays — no hashing, no string compares;
+    *   - jaccard arithmetic, rounding and emission contract are
+    *     IDENTICAL (inter/union over distinct sets, round-4 HALF_UP).
+    *
+    * Exactness caveat (the one trade vs the string tier): two DIFFERENT
+    * shingles colliding under h0 within one pair's union (≈|A|·|B|/10⁹
+    * per compared pair) nudge that pair's jaccard; they cannot invent a
+    * candidate (banding is upstream) and cannot be engineered by an
+    * adversary knowing only the text (the fold constants are in the
+    * open, but d3's batch tier shares them — an attack on one is an
+    * attack on both).  LiveNearDupParitySpec pins hashed ≡ string ≡
+    * d3's batch relation on the real corpus.  Deployments wanting the
+    * byte-exact contract keep [[verifiedPairs]]. */
+  def verifiedPairsHashed(docs: Dataset[DocEvent], maxBucket: Int = 100000)(
+      implicit spark: SparkSession): Dataset[VerifiedPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.sentiment.GraftFunctions.register(spark)
+    // the one-pass kernel is materialized into ITS OWN projection, and
+    // the bands/hashes fields are read from that column in a second
+    // select: CollapseProject won't inline a non-cheap expression
+    // referenced twice, so the kernel runs once per document — the
+    // Column-form pair it replaces evaluated the interpreted shingle
+    // chain twice (BandHashesSpec pins arithmetic parity; the soak
+    // isolation that motivated this is in the verifiedPairsHashed doc)
+    val banded: Dataset[DocHashes] = docs
+      .select(col("doc_id"), graft.queries.Dedup.bandHashesFor(col("text")).as("bh"))
+      .select(col("doc_id"),
+        posexplode(col("bh.bands")).as(Seq("band", "bv")),
+        col("bh.hashes").as("hashes"))
+      .select(col("doc_id"), col("band"), col("bv"), col("hashes"))
+      .as[DocHashes]
+    banded
+      .groupByKey(r => (r.band, r.bv))
+      .flatMapGroupsWithState[HashBucket, VerifiedPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, bv), rows: Iterator[DocHashes], state: GroupState[HashBucket]) =>
+          val existing = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val byId = scala.collection.mutable.LinkedHashMap(
+            existing.map(m => m.doc_id -> m).toSeq: _*)
+          val out = Seq.newBuilder[VerifiedPair]
+          rows.toSeq.groupBy(_.doc_id).toSeq.sortBy(_._1).foreach { case (id, rs) =>
+            if (!byId.contains(id)) {
+              val hNew = rs.head.hashes
+              byId.valuesIterator.foreach { m =>
+                val inter = LiveNearDup.sortedIntersectCount(m.hashes, hNew)
+                val union = m.hashes.length + hNew.length - inter
+                if (union > 0) {
+                  val j = BigDecimal.decimal(inter.toDouble / union)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (j >= 0.5)
+                    out += VerifiedPair(math.min(m.doc_id, id), math.max(m.doc_id, id),
+                      j, band, bv)
+                }
+              }
+              byId(id) = HashMember(id, hNew)
+            }
+          }
+          require(byId.size <= maxBucket,
+            s"band bucket ($band, $bv) exceeded $maxBucket members — " +
+              "boilerplate-grade duplication; raise maxBucket or dedup upstream")
+          if (byId.size != existing.size)
+            state.update(HashBucket(byId.values.toVector))
+          out.result().iterator
+      }
+  }
+
+  /** Intersection size of two SORTED long arrays — one merge walk. */
+  private[stream] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { n += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def verifiedPairs(docs: Dataset[DocEvent], maxBucket: Int = 100000)(
       implicit spark: SparkSession): Dataset[VerifiedPair] = {
     import spark.implicits._

@@ -224,6 +224,36 @@ class OverlapSketchSpec extends SparkSpec {
       f"j3 estimate ${got.head._7 / 10000.0}%.4f vs truth $jTrue%.4f (3σ=${3 * sigma}%.4f)")
   }
 
+  test("d18 triple budget guard: filtered ≡ exhaustive above the pairwise floor") {
+    // r13 verdict #6 — the S³ budget guard: with the conf'd floor set,
+    // triples enumerate from the qualifying-pair relation; the result
+    // must equal the exhaustive enumeration restricted to triples whose
+    // THREE pairwise jaccards all clear the floor, on the real corpus
+    val dir = sf()
+    val exhaustive = runD18(dir)
+    val pairJ = runD17(dir).map(r => (r._1, r._2) -> r._7).toMap
+    // a floor that actually separates (some pairs above, some below)
+    val floors = Seq(1L, 50L, 200L)
+    for (floor <- floors) {
+      val want = exhaustive.filter { t =>
+        pairJ((t._1, t._2)) >= floor && pairJ((t._1, t._3)) >= floor &&
+          pairJ((t._2, t._3)) >= floor
+      }
+      spark.conf.set("spark.graft.overlap.tripleMinPairJaccardBp", floor.toString)
+      val got = try runD18(dir)
+        finally spark.conf.unset("spark.graft.overlap.tripleMinPairJaccardBp")
+      assert(got == want,
+        s"floor=$floor: got ${got.size} triples, want ${want.size}:\n" +
+          s" got  $got\n want $want")
+    }
+    // the guard must separate somewhere on this corpus, or the test is inert
+    val some = exhaustive.count { t =>
+      pairJ((t._1, t._2)) >= 50L && pairJ((t._1, t._3)) >= 50L &&
+        pairJ((t._2, t._3)) >= 50L }
+    assert(some > 0 && some < exhaustive.size,
+      s"floor 50 must drop SOME but not ALL triples (kept $some of ${exhaustive.size})")
+  }
+
   test("d18 equals the local recount on the sf0.001 corpus") {
     val raw = spark.read.parquet(s"${sf()}/documents.parquet")
       .selectExpr("source", "text").collect()

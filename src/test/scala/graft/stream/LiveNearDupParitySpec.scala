@@ -109,4 +109,41 @@ class LiveNearDupParitySpec extends SparkSpec {
           s"only-batch=${batch.diff(live).take(5)} (live=${live.size}, batch=${batch.size})")
     } finally q.stop()
   }
+
+  test("HASHED verify tier == d3's full verified relation (sf0.01)") {
+    // round 14's T14 floor-raiser: sorted shingle-hash arrays in bucket
+    // state instead of string sets — SAME emitted relation on the real
+    // corpus (an h0 collision inside one pair's union is the only way
+    // they could differ; this corpus plants none)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sf("sf0.01")
+
+    val batch = Dedup.bandedJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "corpus planted no verified near-dups — parity is vacuous")
+
+    val docs = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => LiveNearDup.DocEvent(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.verifiedPairsHashed(input.toDS())
+      .writeStream.format("memory").queryName("lnd_hparity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val perBand = spark.table("lnd_hparity").as[LiveNearDup.VerifiedPair].collect()
+      val live = perBand.map(p => (p.doc_a, p.doc_b, p.jaccard)).toSet
+      assert(live.map(p => (p._1, p._2)).size == live.size,
+        "the same pair carried different jaccard values across bands")
+      assert(live == batch,
+        s"hashed verify diverges from d3: only-live=${live.diff(batch).take(5)} " +
+          s"only-batch=${batch.diff(live).take(5)} (live=${live.size}, batch=${batch.size})")
+    } finally q.stop()
+  }
 }
