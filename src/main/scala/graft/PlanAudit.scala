@@ -661,7 +661,31 @@ object PlanAudit {
         "rendered), the pq leg's s14 chain + s17's warm-start update and " +
         "per-(m,code) rollups (≤ 13 — all ≤ PqM·PqK-row relations), the " +
         "selector leg's single bucket aggregate — a 26th occurrence " +
-        "means a corpus-sized shuffle leaked into the composition"))
+        "means a corpus-sized shuffle leaked into the composition"),
+    // c16 refresh execution (round-14: c13's verdicts ACTED on — the
+    // serving-parameter export must ride the decision's own memoized
+    // relations, adding no corpus pass beyond deciding)
+    Expect("c16_refresh_execution", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan budget is c13's — at most TWICE (the ivf " +
+        "leg's memoized quantized relation, the pq leg's memoized " +
+        "subvector relation); the parameter exports read the same " +
+        "memoized refreshed-model relations, never the corpus", maxCount = 2),
+    Expect("c16_refresh_execution", "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+      "the documents scan must appear ONCE — the selector verdict AND " +
+        "the serving-weight export both read the memoized persisted " +
+        "drift-counts relation (one corpus token pass per session)",
+      maxCount = 1),
+    Expect("c16_refresh_execution", "SortMergeJoin", present = false,
+      why = "every join side is a broadcast relation (3-row verdicts, " +
+        "≤ k/PqM·PqK-row parameter relations, ≤ B-row weights) — an SMJ " +
+        "means a corpus-sized relation got shuffled"),
+    Expect("c16_refresh_execution", "BroadcastNestedLoopJoin", maxCount = 25,
+      why = "c13's assignment/combine broadcasts plus the verdict joins; " +
+        "a 26th occurrence means a new non-broadcast combine appeared"),
+    Expect("c16_refresh_execution", "hashpartitioning(", maxCount = 30,
+      why = "c13's ≤ 25 bounded shuffles plus the parameter-export " +
+        "rollups over ≤ PqM·PqK-row relations — a 31st occurrence means " +
+        "a corpus-sized shuffle leaked into the execution step"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

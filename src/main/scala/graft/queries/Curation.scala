@@ -141,28 +141,36 @@ object Curation {
     * corpus scale.  Same mixing recipe as c4 — half-total budget, equal
     * share, no upsampling — so the two plans differ exactly where
     * overlap moves the mass.  Exact int64; FULL value oracle. */
+  /** c14's mixing arithmetic over an effective-mass relation
+    * `eff(source, est_total, pair_discount, triple_addback, eff_mass)` —
+    * THE single definition (the RefreshDecision discipline), shared by
+    * the batch query below and the live twin
+    * ([[graft.stream.LiveOverlapSketch.mixingPlanOf]]), so live ≡ batch
+    * holds by construction.  Runs over ≤ |sources| rows. */
+  private[graft] def overlapAwareMixingPlan(
+      eff: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val all = Window.partitionBy()
+    eff
+      .withColumn("budget", expr("sum(eff_mass) OVER () div 2"))
+      .withColumn("n_sources", count(lit(1)).over(all))
+      .withColumn("target_mass", expr("budget div n_sources"))
+      // eff_mass = 0 (a source fully contained in the others) has no
+      // exclusive mass to accept: the rate is moot, pinned 10⁴ so the
+      // plan stays total — planned_mass is 0 either way
+      .withColumn("rate_bp", expr(
+        "CASE WHEN eff_mass = 0 THEN CAST(10000 AS BIGINT) " +
+          "ELSE least((target_mass * 10000) div eff_mass, 10000) END"))
+      .withColumn("planned_mass", expr("(eff_mass * rate_bp) div 10000"))
+      .select(col("source"), col("est_total"), col("pair_discount"),
+        col("triple_addback"), col("eff_mass"), col("target_mass"),
+        col("rate_bp"), col("planned_mass"))
+      .orderBy(col("source"))
+  }
+
   val c14OverlapAwareMixing = NamedQuery(
     "c14_overlap_aware_mixing",
-    (s, dir) => {
-      val eff = TextOps.effectiveSourceMass(
-        TextOps.overlapSketchRelation(s, dir), TextOps.OverlapSketchK)
-      val all = Window.partitionBy()
-      eff
-        .withColumn("budget", expr("sum(eff_mass) OVER () div 2"))
-        .withColumn("n_sources", count(lit(1)).over(all))
-        .withColumn("target_mass", expr("budget div n_sources"))
-        // eff_mass = 0 (a source fully contained in the others) has no
-        // exclusive mass to accept: the rate is moot, pinned 10⁴ so the
-        // plan stays total — planned_mass is 0 either way
-        .withColumn("rate_bp", expr(
-          "CASE WHEN eff_mass = 0 THEN CAST(10000 AS BIGINT) " +
-            "ELSE least((target_mass * 10000) div eff_mass, 10000) END"))
-        .withColumn("planned_mass", expr("(eff_mass * rate_bp) div 10000"))
-        .select(col("source"), col("est_total"), col("pair_discount"),
-          col("triple_addback"), col("eff_mass"), col("target_mass"),
-          col("rate_bp"), col("planned_mass"))
-        .orderBy(col("source"))
-    },
+    (s, dir) => overlapAwareMixingPlan(TextOps.effectiveSourceMass(
+      TextOps.overlapSketchRelation(s, dir), TextOps.OverlapSketchK)),
     Some(s"""WITH ${TextOps.overlapSketchCtes},
       ${TextOps.effectiveMassCtes},
       mix AS (
@@ -921,23 +929,29 @@ object Curation {
     * leg additionally needs `ct_inc` (the incoming TARGET tokens) to
     * price what a full-pool retrain changes the stored weights by. */
   private[queries] def dsirDriftCounts(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    graft.sentiment.GraftFunctions.register(s)
-    val isInc = col("doc_id") % 10 === 7
-    val isT = col("source") === DsirTarget
-    Tables.documents(s, dir)
-      .filter(col("text").isNotNull && col("text") =!= "")
-      .select(col("doc_id"), col("source"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
-      .select(col("doc_id"), col("source"),
-        (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
-      .groupBy(col("b"))
-      .agg(
-        sum(when(!isInc && isT, 1L).otherwise(0L)).as("ct_arch"),
-        sum(when(!isInc && !isT, 1L).otherwise(0L)).as("cr_arch"),
-        sum(when(isInc && isT, 1L).otherwise(0L)).as("ct_inc"),
-        sum(when(isInc && !isT, 1L).otherwise(0L)).as("n_inc"))
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    // memoized + persisted (≤ B rows) since round 14: c12's staleness
+    // report, c13's selector leg and c16's serving-weight export all
+    // read these counts — without the boundary each consumer re-runs
+    // the corpus token pass (c16 embeds two consumers in ONE plan, so
+    // even a shared DataFrame object would scan documents twice)
+    Similarity.memoized(s, dir, "dsirDriftCounts") {
+      graft.sentiment.GraftFunctions.register(s)
+      val isInc = col("doc_id") % 10 === 7
+      val isT = col("source") === DsirTarget
+      Similarity.trackedPersist(Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .select(col("doc_id"), col("source"),
+          (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+        .groupBy(col("b"))
+        .agg(
+          sum(when(!isInc && isT, 1L).otherwise(0L)).as("ct_arch"),
+          sum(when(!isInc && !isT, 1L).otherwise(0L)).as("cr_arch"),
+          sum(when(isInc && isT, 1L).otherwise(0L)).as("ct_inc"),
+          sum(when(isInc && !isT, 1L).otherwise(0L)).as("n_inc")))
+    }
 
   val c12SelectorStaleness = NamedQuery(
     "c12_selector_staleness",
@@ -1094,9 +1108,182 @@ object Curation {
       "refresh/keep verdict under config thresholds — exact int64 bp " +
       "end to end, FULL value oracle over the shared CTE chains")
 
+  // ---------------------------------------------------------------- c16
+  /** REFRESH EXECUTION — c13's verdicts ACTED ON: the per-family
+    * serving-model hand-off a scheduler ships to the next epoch.  c13
+    * says refresh/keep; this relation emits the PARAMETERS that verdict
+    * selects — the warm-start-refreshed ones where it says refresh, the
+    * stored (stale) ones where it says keep — closing the stored-model
+    * lifecycle end to end: train → serve → audit → price → decide →
+    * EXECUTE.
+    *
+    * One row per (family, component, dimension), exact int64 values on
+    * each family's integer grid:
+    *
+    *   ivf       comp_a = list_id, dims 0..63 of the selected centroid
+    *             (s15's refreshed index vs s13's stored one)
+    *   pq        comp_a = m, comp_b = code, dims 0..PqD−1 of the
+    *             selected codebook entry (s17's vs s14's)
+    *   selector  comp_a = bucket, dim 0, the selected c11 weight in bp
+    *             (the full-pool retrained `w_new` vs the stored `w_old`)
+    *
+    * Scale shape: the verdicts are c13's 3-row relation (broadcast); the
+    * parameter relations are the families' memoized broadcast-sized
+    * exports (≤ k cells / PqM·PqK codes / ≤ B buckets) riding the same
+    * memoized audit relations as c13 — EXECUTING the decision adds no
+    * corpus pass beyond deciding it.  The flattened output is
+    * ≤ k·64 + PqM·PqK·PqD + B rows — serving-model-sized, never
+    * corpus-sized.  FULL value oracle (the shared chains re-derive both
+    * parameter sets and the verdicts). */
+  val c16RefreshExecution = NamedQuery(
+    "c16_refresh_execution",
+    (s, dir) => {
+      val legs = Similarity.ivfRefreshLeg(s, dir)
+        .unionByName(Similarity.pqRefreshLeg(s, dir))
+        .unionByName(selectorRefreshLeg(s, dir))
+      val (minSt, minBen) = RefreshDecision.thresholds(s)
+      val dec = RefreshDecision.decide(legs, minSt, minBen)
+        .select(col("family"), col("verdict"))
+      def pick(nw: org.apache.spark.sql.Column, old: org.apache.spark.sql.Column) =
+        when(col("verdict") === "refresh", nw).otherwise(old)
+      val ivf = Similarity.s15RefreshedCentroids(s, dir)
+        .select(lit("ivf").as("family"), col("list_id").cast("long").as("comp_a"),
+          lit(0L).as("comp_b"), col("cent"), col("cent_old"))
+      val pq = Similarity.s17RefreshedCodebooks(s, dir)
+        .select(lit("pq").as("family"), col("m").cast("long").as("comp_a"),
+          col("code").cast("long").as("comp_b"), col("cent"), col("cent_old"))
+      val vec = ivf.unionByName(pq)
+        .join(broadcast(dec), Seq("family"))
+        .select(col("family"), col("comp_a"), col("comp_b"), col("verdict"),
+          posexplode(pick(col("cent"), col("cent_old"))).as(Seq("dim", "v")))
+        .select(col("family"), col("comp_a"), col("comp_b"),
+          col("dim").cast("long").as("dim"), col("v").cast("long").as("value"),
+          col("verdict"))
+      val sel = RefreshDecision.selectorWeights(
+          dsirDriftCounts(s, dir), DsirBuckets, RefreshDecision.decimal128(s))
+        .select(lit("selector").as("family"), col("b").cast("long").as("comp_a"),
+          lit(0L).as("comp_b"), col("w_old"), col("w_new"))
+        .join(broadcast(dec), Seq("family"))
+        .select(col("family"), col("comp_a"), col("comp_b"), lit(0L).as("dim"),
+          pick(col("w_new"), col("w_old")).cast("long").as("value"),
+          col("verdict"))
+      vec.unionByName(sel)
+        .orderBy(col("family"), col("comp_a"), col("comp_b"), col("dim"))
+    },
+    Some(s"""SELECT family, comp_a, comp_b, dim, value, verdict FROM (
+        (WITH ${Similarity.s13OracleCtes},
+          ${Similarity.s15RefreshCtes},
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+            FROM m),
+          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
+          vdec AS (
+            SELECT CASE WHEN
+                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+                  >= ${RefreshDecision.DefaultMinStalenessBp}
+                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+                  >= ${RefreshDecision.DefaultMinBenefitBp}
+              THEN 'refresh' ELSE 'keep' END AS verdict
+            FROM tot, aft)
+         SELECT 'ivf' AS family, CAST(c.list_id AS BIGINT) AS comp_a,
+           CAST(0 AS BIGINT) AS comp_b, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(CASE WHEN v.verdict = 'refresh' THEN c.cent[i]
+                     ELSE c.cent_old[i] END AS BIGINT) AS value,
+           v.verdict
+         FROM cent3x c, range(1, 65) t(i), vdec v)
+        UNION ALL
+        (WITH ${Similarity.s14OracleCtes},
+          ${Similarity.pqRefreshCtes},
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+            FROM best),
+          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
+          vdec AS (
+            SELECT CASE WHEN
+                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+                  >= ${RefreshDecision.DefaultMinStalenessBp}
+                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+                  >= ${RefreshDecision.DefaultMinBenefitBp}
+              THEN 'refresh' ELSE 'keep' END AS verdict
+            FROM tot, aft)
+         SELECT 'pq' AS family, CAST(c.m AS BIGINT) AS comp_a,
+           CAST(c.code AS BIGINT) AS comp_b, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(CASE WHEN v.verdict = 'refresh' THEN c.cent[i]
+                     ELSE c.cent_old[i] END AS BIGINT) AS value,
+           v.verdict
+         FROM prefx c, range(1, ${Similarity.PqD + 1}) t(i), vdec v)
+        UNION ALL
+        (WITH d AS (
+            SELECT doc_id, source, lower(trim(text)) AS lt
+            FROM documents WHERE text IS NOT NULL AND text <> ''),
+          tok AS (
+            SELECT doc_id, source,
+              ${graft.functions.CharFoldKernel.sqlOf("t")} % $DsirBuckets AS b
+            FROM d, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
+          per AS (
+            SELECT b,
+              sum(CASE WHEN doc_id % 10 <> 7 AND source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct_arch,
+              sum(CASE WHEN doc_id % 10 <> 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS cr_arch,
+              sum(CASE WHEN doc_id % 10 = 7 AND source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct_inc,
+              sum(CASE WHEN doc_id % 10 = 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS n_inc
+            FROM tok GROUP BY b),
+          tot AS (
+            SELECT CAST(sum(ct_arch) AS BIGINT) AS nt_a,
+                   CAST(sum(cr_arch) AS BIGINT) AS nr_a,
+                   CAST(sum(ct_inc) AS BIGINT) AS ti_t,
+                   CAST(sum(n_inc) AS BIGINT) AS ti_r,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM per),
+          calc AS (
+            SELECT
+              CAST(sum(abs(n_inc * nr_a - cr_arch * ti_r)) AS BIGINT) AS sh,
+              CAST(sum(abs(
+                ((ct_arch + ct_inc + 1) * (nr_a + ti_r + $DsirBuckets) * 10000)
+                  // ((cr_arch + n_inc + 1) * (nt_a + ti_t + $DsirBuckets))
+                - ((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000)
+                  // ((cr_arch + 1) * (nt_a + $DsirBuckets)))) AS BIGINT) AS dw,
+              max(nr_a) AS nr_a, max(ti_r) AS ti_r, max(nb) AS nb
+            FROM per, tot),
+          vdec AS (
+            SELECT CASE WHEN
+                (10000 * sh) // nullif(2 * nr_a * ti_r, 0)
+                  >= ${RefreshDecision.DefaultMinStalenessBp}
+                AND dw // nullif(nb, 0)
+                  >= ${RefreshDecision.DefaultMinBenefitBp}
+              THEN 'refresh' ELSE 'keep' END AS verdict
+            FROM calc)
+         SELECT 'selector' AS family, CAST(w.b AS BIGINT) AS comp_a,
+           CAST(0 AS BIGINT) AS comp_b, CAST(0 AS BIGINT) AS dim,
+           CAST(CASE WHEN v.verdict = 'refresh' THEN w.w_new
+                     ELSE w.w_old END AS BIGINT) AS value,
+           v.verdict
+         FROM (
+           SELECT b,
+             ((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000)
+               // ((cr_arch + 1) * (nt_a + $DsirBuckets)) AS w_old,
+             ((ct_arch + ct_inc + 1) * (nr_a + ti_r + $DsirBuckets) * 10000)
+               // ((cr_arch + n_inc + 1) * (nt_a + ti_t + $DsirBuckets)) AS w_new
+           FROM per, tot) w, vdec v)
+      ) t ORDER BY family, comp_a, comp_b, dim"""),
+    doc = "refresh execution: c13's per-family verdicts acted on — emits " +
+      "the next-epoch SERVING parameters each verdict selects (s15's " +
+      "refreshed IVF centroids vs s13's stored ones, s17's refreshed PQ " +
+      "codebooks vs s14's, the full-pool retrained selector weights vs " +
+      "the stored c11 ones), one exact-int64 row per (family, component, " +
+      "dim); rides the same memoized audit relations as c13, so " +
+      "executing the decision adds no corpus pass beyond deciding it")
+
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
       c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
       c11DsirSelection, c12SelectorStaleness, c13RefreshDecision,
-      c14OverlapAwareMixing, c15CurationPipeline)
+      c14OverlapAwareMixing, c15CurationPipeline, c16RefreshExecution)
 }

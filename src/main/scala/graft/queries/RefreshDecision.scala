@@ -113,7 +113,12 @@ object RefreshDecision {
     * window over the ≤ B-row counts relation (the c4 single-partition-
     * over-bounded-rows idiom), so the corpus-sized token pass below it
     * runs ONCE. */
-  def selectorLegOf(per: DataFrame, buckets: Long,
+  /** The PER-BUCKET selector arithmetic — cross-multiplied shift mass
+    * plus the stored (`w_old`) and hypothetically-retrained (`w_new`)
+    * c11 weight per bucket, totals riding a window over the ≤ B-row
+    * counts relation.  Extracted so [[selectorLegOf]]'s aggregate and
+    * c16's serving-weight export read the SAME expressions. */
+  def selectorWeights(per: DataFrame, buckets: Long,
       decimal: Boolean = false): DataFrame = {
     val w = Window.partitionBy()
     // every count × total product is promotion-wrapped: these are the
@@ -132,6 +137,11 @@ object RefreshDecision {
       .withColumn("w_new", expr(
         s"(${big("ct_arch + ct_inc + 1", decimal)} * (nr_a + ti_r + $buckets) * 10000) " +
           s"div (${big("cr_arch + n_inc + 1", decimal)} * (nt_a + ti_t + $buckets))"))
+  }
+
+  def selectorLegOf(per: DataFrame, buckets: Long,
+      decimal: Boolean = false): DataFrame =
+    selectorWeights(per, buckets, decimal)
       .agg(
         // nullif: the crossStalenessBp cold-start rationale — a live
         // stream with zero incoming tokens must read null, not crash
@@ -141,7 +151,6 @@ object RefreshDecision {
         // w_old/w_new are bigint either way (div's output type), so the
         // benefit mean needs no promotion
         expr("sum(abs(w_new - w_old)) div nullif(count(*), 0)").as("benefit_bp"))
-  }
 
   /** THE decision rule over a `(family, staleness_bp, benefit_bp)`
     * legs relation: refresh iff the model is stale enough AND the

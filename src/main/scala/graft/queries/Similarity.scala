@@ -47,7 +47,7 @@ object Similarity {
   private val embedPersists =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
-  private def trackedPersist(df: DataFrame): DataFrame = {
+  private[queries] def trackedPersist(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     embedPersists.add(p)
     p
@@ -1970,7 +1970,7 @@ object Similarity {
     * the round-12 bench, invisible to the same-code Verify run).  A
     * double-checked block on the map's monitor is reentrant for the
     * building thread, so nested builds are always safe. */
-  private def memoized(s: SparkSession, dir: String, what: String)
+  private[queries] def memoized(s: SparkSession, dir: String, what: String)
       (build: => DataFrame): DataFrame = {
     val key = (s, dir, what)
     val hit = stalenessMemo.get(key)
@@ -2186,13 +2186,18 @@ object Similarity {
     * relation — the NamedQuery below returns it, and c13's IVF leg
     * ([[ivfRefreshLeg]]) reads its d_before/d_after sums, so composing
     * the refresh decision costs ~one audit, not two. */
-  private[queries] def s15RefreshReport(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "s15RefreshReport") {
+  /** The REFRESHED IVF index with its stale predecessor alongside —
+    * `(list_id, cent, cc, cent_old, cc_old)`: one integer-mean update
+    * from the memoized stale assignment, empty cells keeping their old
+    * centroid (the s15 empty-cell rule).  Extracted from the report
+    * builder so c16's serving-model export reads the PARAMETERS, not
+    * just the report's priced deltas; ≤ k rows, memoized. */
+  private[queries] def s15RefreshedCentroids(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s15RefreshedCentroids") {
       graft.sentiment.GraftFunctions.register(s)
-      val e = s13Quantized(s, dir)
       val m = s15StaleAssignment(s, dir)
       val upd = integerMeanCentroids(m.select(col("list_id"), col("qv")))
-      val refreshed = s13TrainedCentroids(s, dir)
+      s13TrainedCentroids(s, dir)
         .select(col("list_id"), col("cent").as("cent_old"), col("cc").as("cc_old"))
         .join(broadcast(upd.select(col("list_id"),
           col("cent").as("cent_new"), col("cc").as("cc_new"))),
@@ -2201,6 +2206,14 @@ object Similarity {
           coalesce(col("cent_new"), col("cent_old")).as("cent"),
           coalesce(col("cc_new"), col("cc_old")).as("cc"),
           col("cent_old"), col("cc_old"))
+    }
+
+  private[queries] def s15RefreshReport(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s15RefreshReport") {
+      graft.sentiment.GraftFunctions.register(s)
+      val e = s13Quantized(s, dir)
+      val m = s15StaleAssignment(s, dir)
+      val refreshed = s15RefreshedCentroids(s, dir)
       val m2 = s13Nearest(e, refreshed.select(col("list_id"), col("cent"), col("cc")))
       val before = m.groupBy(col("list_id"))
         .agg(count(lit(1)).as("n_before"), sum(col("dist")).cast("long").as("d_before"))
@@ -2548,10 +2561,14 @@ object Similarity {
     * (memoized — s14's audit shares it), codebooks and the update are
     * PqM·PqK-row broadcasts, three corpus passes total, zero corpus
     * shuffles. */
-  private[queries] def s17PqRefreshReport(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "s17PqRefreshReport") {
+  /** The REFRESHED PQ codebooks with their stale predecessors alongside —
+    * `(m, code, cent, cc, cent_old, cc_old)`: s15's update recipe at the
+    * fine level, empty codes keeping their old centroid.  Extracted from
+    * the report builder so c16's serving-model export reads the
+    * PARAMETERS; PqM·PqK rows, memoized. */
+  private[queries] def s17RefreshedCodebooks(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s17RefreshedCodebooks") {
       graft.sentiment.GraftFunctions.register(s)
-      val sub = s14Subvectors(s, dir)
       val cb = s14TrainedCodebooks(s, dir)
       val a = s17StaleAssignment(s, dir)
       val upd = a
@@ -2563,7 +2580,7 @@ object Similarity {
         .select(col("m"), col("code"),
           transform(col("pc"), x => x.getField("c")).as("cent"))
         .withColumn("cc", dot(col("cent"), col("cent")))
-      val refreshed = cb
+      cb
         .select(col("m"), col("code"),
           col("cent").as("cent_old"), col("cc").as("cc_old"))
         .join(broadcast(upd.select(col("m"), col("code"),
@@ -2573,6 +2590,14 @@ object Similarity {
           coalesce(col("cent_new"), col("cent_old")).as("cent"),
           coalesce(col("cc_new"), col("cc_old")).as("cc"),
           col("cent_old"), col("cc_old"))
+    }
+
+  private[queries] def s17PqRefreshReport(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "s17PqRefreshReport") {
+      graft.sentiment.GraftFunctions.register(s)
+      val sub = s14Subvectors(s, dir)
+      val a = s17StaleAssignment(s, dir)
+      val refreshed = s17RefreshedCodebooks(s, dir)
       val a2 = s14Assign(sub, refreshed.select(col("m"), col("code"),
         col("cent"), col("cc")))
       val before = a.groupBy(col("m"), col("code"))

@@ -94,6 +94,20 @@ object LiveOverlapSketch {
       k: Int = graft.queries.TextOps.OverlapSketchK): DataFrame =
     graft.queries.TextOps.threeWayFromSketches(latestOf(updates), k)
 
+  /** c14's overlap-aware mixing plan over the same live state — the
+    * consumption loop closed in streaming too: effective (deduplicated)
+    * mass per source via the SHARED inclusion–exclusion
+    * ([[graft.queries.TextOps.effectiveSourceMass]]) over the live
+    * synopses, then the SHARED mixing arithmetic
+    * ([[graft.queries.Curation.overlapAwareMixingPlan]]).  No new
+    * stream stage and no new state — a derived report over T19's
+    * per-source KMV sketches, so a fleet re-prices its mixture
+    * continuously at sketch-report cost. */
+  def mixingPlanOf(updates: DataFrame,
+      k: Int = graft.queries.TextOps.OverlapSketchK): DataFrame =
+    graft.queries.Curation.overlapAwareMixingPlan(
+      graft.queries.TextOps.effectiveSourceMass(latestOf(updates), k))
+
   /** Latest sketch per source (`max_by(rev)`). */
   private def latestOf(updates: DataFrame): DataFrame =
     updates

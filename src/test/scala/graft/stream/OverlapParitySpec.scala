@@ -77,6 +77,20 @@ class OverlapParitySpec extends SparkSpec {
         .toSeq
       assert(batch3.nonEmpty && live3 == batch3,
         s"3-way divergence:\n live=${live3.take(3)}\n batch=${batch3.take(3)}")
+      // ...and the SAME live state prices c14's overlap-aware mixing
+      // plan (shared effective-mass + mixing arithmetic): it must equal
+      // the oracle-checked c14 rows exactly — the consumption loop
+      // closed in streaming
+      def mixRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toSeq
+      val liveMix = mixRows(LiveOverlapSketch
+        .mixingPlanOf(spark.table("overlap_parity").toDF()))
+      val batchMix = mixRows(
+        graft.SparkEntry.queries("c14_overlap_aware_mixing")(spark, dir))
+      assert(batchMix.nonEmpty && liveMix == batchMix,
+        s"mixing-plan divergence:\n live=${liveMix.take(3)}\n batch=${batchMix.take(3)}")
     } finally q.stop()
   }
 
