@@ -685,7 +685,60 @@ object PlanAudit {
     Expect("c16_refresh_execution", "hashpartitioning(", maxCount = 30,
       why = "c13's ≤ 25 bounded shuffles plus the parameter-export " +
         "rollups over ≤ PqM·PqK-row relations — a 31st occurrence means " +
-        "a corpus-sized shuffle leaked into the execution step"))
+        "a corpus-sized shuffle leaked into the execution step"),
+    // s18 serving through the executed IVF index (round-14: the
+    // serve-again step — the verdict must pick the index DECLARATIVELY
+    // and the corpus must pay one scan + one broadcast argmin)
+    Expect("s18_refreshed_serving", "SortMergeJoin", present = false,
+      why = "every join side is broadcast (1-row verdict, ≤ k-row " +
+        "serving index, ≤ nprobe·|queries|-row probe set) — an SMJ " +
+        "means the corpus got shuffled on a join key"),
+    Expect("s18_refreshed_serving", "BroadcastHashJoin",
+      "the candidate re-rank joins the probed (q_id, list_id) set as a " +
+        "BROADCAST onto the assignment — the corpus-sized side is " +
+        "scanned, never shuffled, for the join", maxCount = 18),
+    Expect("s18_refreshed_serving", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "embeddings scan budget: s18's own emb-carrying scan plus the " +
+        "ivf verdict's memoized quantized relation — a third means a " +
+        "consumer re-scanned the corpus", maxCount = 2),
+    Expect("s18_refreshed_serving", "hashpartitioning(", maxCount = 20,
+      why = "bounded shuffle budget: the decision chain's ≤ 11 (s13/s15 " +
+        "audit rollups), the serving argmin's map-side combine and the " +
+        "final per-query window — rendered with InMemoryRelation " +
+        "duplication; a 21st occurrence means a corpus-sized shuffle " +
+        "leaked into the serving path"),
+    // s19 ADC under the executed PQ codebooks (round-14: the PQ
+    // serve-again step — distance tables broadcast, ADC sum map-side)
+    Expect("s19_refreshed_adc", "SortMergeJoin", present = false,
+      why = "every join side is broadcast (1-row verdict, PqM·PqK-row " +
+        "serving codebooks, ≤ 640-row distance tables) — an SMJ means " +
+        "the encoded corpus got shuffled on a join key"),
+    Expect("s19_refreshed_adc", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "the embeddings scan must appear ONCE — encoding, the distance " +
+        "tables and the decision chain all ride the memoized subvector " +
+        "relation", maxCount = 1),
+    Expect("s19_refreshed_adc", "hashpartitioning(", maxCount = 20,
+      why = "bounded shuffle budget: the decision chain's s14/s17 " +
+        "rollups, the encoding argmin's map-side combine and the ONE " +
+        "(q_id, vec_id) ADC aggregate — a 21st occurrence means an " +
+        "extra corpus-sized shuffle leaked into the ADC path"),
+    // c17 selection under the executed selector weights (round-14: the
+    // selector serve-again step — next-epoch admission)
+    Expect("c17_refreshed_selection", "SortMergeJoin", present = false,
+      why = "the served weight table joins the incoming token stream as " +
+        "a BROADCAST — an SMJ means the token stream got shuffled for " +
+        "the join"),
+    Expect("c17_refreshed_selection", "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+      "documents scan budget: the memoized drift-counts token pass plus " +
+        "the incoming-slice scoring pass — a third means a consumer " +
+        "re-tokenized the corpus", maxCount = 2),
+    Expect("c17_refreshed_selection", "hashpartitioning(", maxCount = 3,
+      why = "the drift-counts bucket aggregate, and the per-doc score " +
+        "aggregate — a 4th occurrence means a corpus-sized shuffle " +
+        "leaked into the admission pass"),
+    Expect("c17_refreshed_selection", "TakeOrderedAndProject",
+      "the admission cut is a top-k heap, never a global sort",
+      maxCount = 2))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

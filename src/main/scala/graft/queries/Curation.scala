@@ -1281,9 +1281,131 @@ object Curation {
       "dim); rides the same memoized audit relations as c13, so " +
       "executing the decision adds no corpus pass beyond deciding it")
 
+  // ---------------------------------------------------------------- c17
+  /** SELECTION under the EXECUTED selector — the selector family's
+    * serve-again step (s18's discipline applied to c11): c16 ships the
+    * per-bucket weights its verdict selects (the full-pool retrained
+    * `w_new` on "refresh", the stored archive-trained `w_old` on
+    * "keep"); this query SCORES THE INCOMING RAW SLICE with them — the
+    * next-epoch admission pass a pretraining scheduler actually runs
+    * when new data arrives: tokenize, hash into the [[DsirBuckets]]
+    * table, mean served-weight per document, top-[[DsirTopK]] admitted.
+    *
+    * Scale shape: the verdict is c13's 1-row selector leg over the
+    * memoized [[dsirDriftCounts]] relation; the served weight table is
+    * that same ≤ B-row relation with the 1-row broadcast verdict picking
+    * the column DECLARATIVELY (no driver-side collect); the incoming
+    * token stream joins it BROADCAST (the corpus never shuffles for the
+    * join), per-doc scores are one map-side-combined doc_id shuffle, the
+    * cut is a top-k heap.  Exact int64 end to end (c11's integer-ratio
+    * surrogate); FULL value oracle via the shared selector CTE chain +
+    * the c16 verdict CASE. */
+  val c17RefreshedSelection = NamedQuery(
+    "c17_refreshed_selection",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      val (minSt, minBen) = RefreshDecision.thresholds(s)
+      val verdict = RefreshDecision.decide(selectorRefreshLeg(s, dir), minSt, minBen)
+        .select(col("verdict"))
+      val wts = RefreshDecision.selectorWeights(dsirDriftCounts(s, dir), DsirBuckets,
+          RefreshDecision.decimal128(s))
+        .crossJoin(broadcast(verdict))
+        .select(col("b"),
+          when(col("verdict") === "refresh", col("w_new"))
+            .otherwise(col("w_old")).as("w"),
+          col("verdict"))
+      val tok = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "" &&
+          col("doc_id") % 10 === 7 && col("source") =!= DsirTarget)
+        .select(col("doc_id"), col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+        .select(col("doc_id"), col("source"),
+          (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+      tok.join(broadcast(wts), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("source")).as("source"),
+          count(lit(1)).as("n_tok"),
+          sum(col("w")).as("sw"),
+          first(col("verdict")).as("verdict"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          expr("sw div n_tok").as("score_bp"), col("verdict"))
+        .orderBy(col("score_bp").desc, col("doc_id"))
+        .limit(DsirTopK)
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source, lower(trim(text)) AS lt
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      tok AS (
+        SELECT doc_id, source,
+          ${graft.functions.CharFoldKernel.sqlOf("t")} % $DsirBuckets AS b
+        FROM d, unnest(regexp_split_to_array(lt, '\\s+')) u(t)),
+      per AS (
+        SELECT b,
+          sum(CASE WHEN doc_id % 10 <> 7 AND source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct_arch,
+          sum(CASE WHEN doc_id % 10 <> 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS cr_arch,
+          sum(CASE WHEN doc_id % 10 = 7 AND source = '$DsirTarget' THEN 1 ELSE 0 END) AS ct_inc,
+          sum(CASE WHEN doc_id % 10 = 7 AND source <> '$DsirTarget' THEN 1 ELSE 0 END) AS n_inc
+        FROM tok GROUP BY b),
+      tot AS (
+        SELECT CAST(sum(ct_arch) AS BIGINT) AS nt_a,
+               CAST(sum(cr_arch) AS BIGINT) AS nr_a,
+               CAST(sum(ct_inc) AS BIGINT) AS ti_t,
+               CAST(sum(n_inc) AS BIGINT) AS ti_r,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM per),
+      calc AS (
+        SELECT
+          CAST(sum(abs(n_inc * nr_a - cr_arch * ti_r)) AS BIGINT) AS sh,
+          CAST(sum(abs(
+            ((ct_arch + ct_inc + 1) * (nr_a + ti_r + $DsirBuckets) * 10000)
+              // ((cr_arch + n_inc + 1) * (nt_a + ti_t + $DsirBuckets))
+            - ((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000)
+              // ((cr_arch + 1) * (nt_a + $DsirBuckets)))) AS BIGINT) AS dw,
+          max(nr_a) AS nr_a, max(ti_r) AS ti_r, max(nb) AS nb
+        FROM per, tot),
+      vdec AS (
+        SELECT CASE WHEN
+            (10000 * sh) // nullif(2 * nr_a * ti_r, 0)
+              >= ${RefreshDecision.DefaultMinStalenessBp}
+            AND dw // nullif(nb, 0)
+              >= ${RefreshDecision.DefaultMinBenefitBp}
+          THEN 'refresh' ELSE 'keep' END AS verdict
+        FROM calc),
+      w AS (
+        SELECT b,
+          CASE WHEN v.verdict = 'refresh' THEN
+            ((ct_arch + ct_inc + 1) * (nr_a + ti_r + $DsirBuckets) * 10000)
+              // ((cr_arch + n_inc + 1) * (nt_a + ti_t + $DsirBuckets))
+          ELSE
+            ((ct_arch + 1) * (nr_a + $DsirBuckets) * 10000)
+              // ((cr_arch + 1) * (nt_a + $DsirBuckets))
+          END AS w,
+          v.verdict
+        FROM per, tot, vdec v),
+      scored AS (
+        SELECT t.doc_id, min(t.source) AS source,
+          CAST(count(*) AS BIGINT) AS n_tok,
+          CAST(sum(w.w) AS BIGINT) AS sw,
+          min(w.verdict) AS verdict
+        FROM tok t JOIN w USING (b)
+        WHERE t.doc_id % 10 = 7 AND t.source <> '$DsirTarget'
+        GROUP BY t.doc_id)
+      SELECT doc_id, source, n_tok,
+        CAST(sw // n_tok AS BIGINT) AS score_bp, verdict
+      FROM scored
+      ORDER BY score_bp DESC, doc_id
+      LIMIT $DsirTopK"""),
+    doc = "selection under the executed selector: the incoming raw slice " +
+      "scored with the per-bucket weights c16's verdict shipped (full-pool " +
+      "retrained on 'refresh', stored archive-trained on 'keep'), " +
+      "top-k admitted — the selector family's serve-again step (next-epoch " +
+      "admission); exact int64, FULL value oracle via the shared selector " +
+      "CTE chain + the c16 verdict CASE")
+
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
       c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
       c11DsirSelection, c12SelectorStaleness, c13RefreshDecision,
-      c14OverlapAwareMixing, c15CurationPipeline, c16RefreshExecution)
+      c14OverlapAwareMixing, c15CurationPipeline, c16RefreshExecution,
+      c17RefreshedSelection)
 }

@@ -3008,10 +3008,290 @@ object Similarity {
       "provable completeness degenerates to all-pairs — the formal " +
       "close of the tau=0.4 recall frontier); Θ(n·k), FULL value oracle")
 
+  // ---------------------------------------------------------------- s18
+  /** SERVING through the EXECUTED model — the consumption loop c16 left
+    * open: c16 emits the next-epoch IVF parameters its verdict selects
+    * (s15's refreshed centroids on "refresh", s13's stored ones on
+    * "keep"), and this query ANSWERS RETRIEVAL with them — s4's probe
+    * discipline (integer-L2 coarse argmin, nprobe = [[IvfProbe]],
+    * exact-cosine top-5 re-rank) against whichever index the decision
+    * shipped, closing the stored-model lifecycle end to end:
+    * train → serve → audit → price → decide → execute → SERVE AGAIN.
+    *
+    * Scale shape: the verdict is c13's 1-row IVF leg riding the memoized
+    * audit relations (deciding costs ~one audit per session); the
+    * serving index is the memoized ≤ k-row s15 relation with the 1-row
+    * broadcast verdict picking the parameter set DECLARATIVELY (a
+    * `when` over the broadcast — no driver-side collect decides the
+    * plan, and the corpus pays ONE argmin pass regardless of which side
+    * wins).  ONE corpus scan (emb + quantized view, persisted for the
+    * assignment, the query side and the candidate re-rank), one
+    * broadcast argmin collapsing map-side (s4's min_by — no window over
+    * corpus-sized pairs), candidate re-rank confined to the probed
+    * cells via a broadcast hash join.  All index arithmetic is exact
+    * int64 on the [[QuantScale]] grid; only the final cosine touches
+    * floats (s1's oracle-proven round-4 form).  FULL value oracle: the
+    * shared s13/s15 CTE chains re-derive both indexes, c16's verdict
+    * CASE picks the serving one, and the s4 probe chain replays the
+    * search — bit for bit, verdict column included. */
+  val s18RefreshedServing = NamedQuery(
+    "s18_refreshed_serving",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val (minSt, minBen) = RefreshDecision.thresholds(s)
+      val verdict = RefreshDecision.decide(ivfRefreshLeg(s, dir), minSt, minBen)
+        .select(col("verdict"))
+      // c16's IVF hand-off: refreshed vs stored parameters, picked by
+      // the broadcast verdict.  Persisted (≤ IvfLists rows) so the
+      // decision subtree prices once for its two consumers (corpus
+      // assignment + query-side probe).
+      val servingIdx = trackedPersist(s15RefreshedCentroids(s, dir)
+        .crossJoin(broadcast(verdict))
+        .select(col("list_id"),
+          when(col("verdict") === "refresh", col("cent"))
+            .otherwise(col("cent_old")).as("cent"),
+          when(col("verdict") === "refresh", col("cc"))
+            .otherwise(col("cc_old")).as("cc"),
+          col("verdict")))
+      // ONE corpus scan carrying emb for the final cosine (the memoized
+      // s13 quantized relation deliberately drops it)
+      val e = trackedPersist(Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+        .withColumn("qv", transform(col("emb"),
+          x => floor(x * QuantScale)).cast("array<double>"))
+        .withColumn("vv", dot(col("qv"), col("qv"))))
+      val lists = e.crossJoin(broadcast(servingIdx.select("list_id", "cent", "cc")))
+        .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
+        .groupBy(col("vec_id"))
+        .agg(
+          min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
+          first(col("emb")).as("emb"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          norm(col("emb")).as("qn"), col("qv").as("qqv"), col("vv").as("qvv"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("list_id"))
+      val probed = q.crossJoin(broadcast(servingIdx))
+        .withColumn("dist", col("qvv") - lit(2) * dot(col("qqv"), col("cent")) + col("cc"))
+        .withColumn("c_rank", row_number().over(wq))
+        .filter(col("c_rank") <= IvfProbe)
+        .select(col("q_id"), col("qe"), col("qn"), col("list_id"), col("verdict"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      lists
+        .withColumn("nrm", norm(col("emb")))
+        .join(broadcast(probed), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("vec_id").as("nn_id"),
+          col("cosine"), col("verdict"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""WITH $s13OracleCtes,
+      $s15RefreshCtes,
+      tot AS (
+        SELECT
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+        FROM m),
+      aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
+      vdec AS (
+        SELECT CASE WHEN
+            (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+              >= ${RefreshDecision.DefaultMinStalenessBp}
+            AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+              >= ${RefreshDecision.DefaultMinBenefitBp}
+          THEN 'refresh' ELSE 'keep' END AS verdict
+        FROM tot, aft),
+      serv AS (
+        SELECT c.list_id,
+          CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent
+        FROM cent3x c, vdec v),
+      servx AS (
+        SELECT list_id, cent, list_dot_product(cent, cent) AS cc FROM serv),
+      ds AS (
+        SELECT v.vec_id, c.list_id,
+               v.vv - 2 * list_dot_product(v.qv, c.cent) + c.cc AS dist
+        FROM qz2 v, servx c),
+      ms AS (
+        SELECT vec_id, list_id FROM (
+          SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM ds) r WHERE rn = 1),
+      qs AS (
+        SELECT z.vec_id AS q_id, e.emb AS qe, z.qv AS qqv, z.vv AS qvv
+        FROM qz2 z JOIN e ON e.vec_id = z.vec_id WHERE z.vec_id < 5),
+      pd AS (
+        SELECT q_id, c.list_id,
+               qvv - 2 * list_dot_product(qqv, c.cent) + c.cc AS dist
+        FROM qs, servx c),
+      probe AS (
+        SELECT q_id, list_id FROM (
+          SELECT q_id, list_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY dist, list_id) AS rn
+          FROM pd) r WHERE rn <= $IvfProbe),
+      sims AS (
+        SELECT p.q_id, ms.vec_id AS nn_id,
+               round(list_cosine_similarity(q.qe, e2.emb), 4) AS cosine
+        FROM probe p
+        JOIN ms USING (list_id)
+        JOIN qs q ON q.q_id = p.q_id
+        JOIN e e2 ON e2.vec_id = ms.vec_id
+        WHERE ms.vec_id <> p.q_id)
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, cosine,
+        (SELECT verdict FROM vdec) AS verdict
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cosine DESC, nn_id) AS rn
+        FROM sims) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    doc = "serving through the executed model: s4's IVF probe (integer-L2 " +
+      "coarse argmin, nprobe=3, exact-cosine top-5) answered against the " +
+      "index c16's verdict shipped — s15's refreshed centroids on " +
+      "'refresh', s13's stored ones on 'keep' — closing the stored-model " +
+      "lifecycle train/serve/audit/price/decide/execute/serve-again; " +
+      "FULL value oracle via the shared s13/s15 chains + the c16 verdict CASE")
+
+  // ---------------------------------------------------------------- s19
+  /** ADC SEARCH under the EXECUTED codebooks — s18's serve-again step
+    * for the PQ family: c16 ships the per-(m, code) parameters its
+    * verdict selects (s17's refreshed codebooks on "refresh", s14's
+    * stored ones on "keep"); this query answers top-k retrieval with
+    * them by Asymmetric Distance Computation — the corpus encodes to
+    * [[PqM]] codes under the SERVING codebooks, each query builds its
+    * 5·PqM·PqK-entry distance table against the same serving centroids,
+    * and a candidate's approximate distance is the Σ over subspaces of
+    * table lookups (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — the standard serving path for a PQ
+    * index).
+    *
+    * Everything stays on the integer grid — ADC distances are exact
+    * int64 (unlike s18's final float cosine), so the WHOLE query
+    * value-oracles with no float anywhere.  Scale shape: the verdict is
+    * c13's 1-row PQ leg over the memoized audit relations; the serving
+    * codebooks are the memoized PqM·PqK-row s17 relation with the 1-row
+    * broadcast verdict picking the parameter set declaratively; corpus
+    * encoding is ONE broadcast argmin pass over the memoized subvector
+    * relation (map-side min_by — no shuffle of candidate pairs); the
+    * distance table is a ≤ 640-row broadcast; the ADC sum is ONE
+    * map-side-combined (q_id, vec_id) aggregate — shuffle volume
+    * |queries|·|corpus| rows of three longs, the same linear-in-corpus
+    * bound as the s1 baseline, and at a real deployment the IVF coarse
+    * probe (s18) cuts it to the probed cells first (IVF-ADC).  FULL
+    * value oracle via the shared s14/s17 chains + the c16 verdict
+    * CASE. */
+  val s19RefreshedAdc = NamedQuery(
+    "s19_refreshed_adc",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val (minSt, minBen) = RefreshDecision.thresholds(s)
+      val verdict = RefreshDecision.decide(pqRefreshLeg(s, dir), minSt, minBen)
+        .select(col("verdict"))
+      // c16's PQ hand-off: refreshed vs stored codebooks, picked by the
+      // broadcast verdict; persisted (PqM·PqK rows) so the decision
+      // subtree prices once for its two consumers (corpus encoding +
+      // the query-side distance tables)
+      val serving = trackedPersist(s17RefreshedCodebooks(s, dir)
+        .crossJoin(broadcast(verdict))
+        .select(col("m"), col("code"),
+          when(col("verdict") === "refresh", col("cent"))
+            .otherwise(col("cent_old")).as("cent"),
+          when(col("verdict") === "refresh", col("cc"))
+            .otherwise(col("cc_old")).as("cc"),
+          col("verdict")))
+      val sub = s14Subvectors(s, dir)
+      val codes = s14Assign(sub, serving.select("m", "code", "cent", "cc"))
+        .select(col("vec_id"), col("m"), col("code"))
+      val dt = sub.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("m"), col("sv"), col("svv"))
+        .join(broadcast(serving), Seq("m"))
+        .select(col("q_id"), col("m"), col("code"),
+          (col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
+            .as("qdist"),
+          col("verdict"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("nn_id"))
+      codes.join(broadcast(dt), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdist")).cast("long").as("adc"),
+          first(col("verdict")).as("verdict"))
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("adc"), col("verdict"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("nn_id"), col("adc"), col("verdict"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""WITH $s14OracleCtes,
+      $pqRefreshCtes,
+      tot AS (
+        SELECT
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+        FROM best),
+      aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
+      vdec AS (
+        SELECT CASE WHEN
+            (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+              >= ${RefreshDecision.DefaultMinStalenessBp}
+            AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+              >= ${RefreshDecision.DefaultMinBenefitBp}
+          THEN 'refresh' ELSE 'keep' END AS verdict
+        FROM tot, aft),
+      pserv AS (
+        SELECT c.m, c.code,
+          CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
+          v.verdict
+        FROM prefx c, vdec v),
+      pservx AS (
+        SELECT m, code, cent, list_dot_product(cent, cent) AS cc, verdict
+        FROM pserv),
+      sd AS (
+        SELECT v.vec_id, v.m, c.code,
+               v.svv - 2 * list_dot_product(v.sv, c.cent) + c.cc AS dist
+        FROM sub2 v JOIN pservx c ON c.m = v.m),
+      scodes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+          FROM sd) r WHERE rn = 1),
+      qsub AS (SELECT vec_id AS q_id, m, sv, svv FROM sub2 WHERE vec_id < 5),
+      dt AS (
+        SELECT q.q_id, c.m, c.code,
+               q.svv - 2 * list_dot_product(q.sv, c.cent) + c.cc AS qdist,
+               c.verdict
+        FROM qsub q JOIN pservx c ON c.m = q.m),
+      adcs AS (
+        SELECT d.q_id, s.vec_id AS nn_id,
+               CAST(sum(d.qdist) AS BIGINT) AS adc,
+               min(d.verdict) AS verdict
+        FROM scodes s JOIN dt d ON d.m = s.m AND d.code = s.code
+        WHERE s.vec_id <> d.q_id
+        GROUP BY d.q_id, s.vec_id)
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, adc, verdict FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc, nn_id) AS rn
+        FROM adcs) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    doc = "ADC search under the executed codebooks: the corpus encodes to " +
+      "PqM codes under the codebooks c16's verdict shipped (s17's " +
+      "refreshed on 'refresh', s14's stored on 'keep'), each query " +
+      "builds its distance table against the same serving centroids, and " +
+      "candidates rank by the exact-int64 sum of table lookups (Jegou et " +
+      "al. 2011's asymmetric distance) — the PQ family's serve-again " +
+      "step, no float anywhere; FULL value oracle via the shared s14/s17 " +
+      "chains + the c16 verdict CASE")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
       s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall,
-      s14PqStaleness, s15WarmStartRefresh, s16RadiusCert, s17PqRefresh)
+      s14PqStaleness, s15WarmStartRefresh, s16RadiusCert, s17PqRefresh,
+      s18RefreshedServing, s19RefreshedAdc)
 }
