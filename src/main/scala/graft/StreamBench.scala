@@ -143,6 +143,13 @@ object StreamBench {
     val ivfIndex = graft.queries.Similarity.s13IndexArray(spark, sfDir)
     val pqBooks = graft.queries.Similarity.s14CodebookArray(spark, sfDir)
     val (dsirW, dsirNt, dsirNr) = graft.queries.Curation.dsirWeightExport(spark, sfDir)
+    // the serving twin's loading sequence: the verdict-picked index plus
+    // its static posting lists (the stored relation at scale; persisted —
+    // every soak batch probes it)
+    val (_, servIndex) = graft.queries.Similarity.servingIndexExport(spark, sfDir)
+    val servPostings = LiveServing.postingsOf(
+        graft.tables.Tables.embeddings(spark, sfDir), servIndex)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val driftRef: Map[String, Seq[Long]] =
       (0 until 5).map(t => s"t$t" -> Seq.fill(256)(10L)).toMap
 
@@ -217,7 +224,15 @@ object StreamBench {
           LiveOverlapSketch.DocEv(v, textOf(v), "src" + (v % 20)) })),
       "T20_selector_staleness" -> ((src: DataFrame) =>
         LiveSelectorStaleness.monitor(evs(src).map { case (v, _) =>
-          LiveSelectorStaleness.DocEv(v, textOf(v), "src" + (1 + v % 5)) })))
+          LiveSelectorStaleness.DocEv(v, textOf(v), "src" + (1 + v % 5)) })),
+      // T22 serves a stream of retrieval requests against the executed
+      // index's posting lists (s18's twin): per query, a stream-static
+      // join over the probed cells' postings + a top-k fold — per-event
+      // work is ~|corpus|·nprobe/k candidate cosines, so throughput is
+      // queries/s, not rows/s, and paces like T14 (see rowsPerBatchOf)
+      "T22_live_serving" -> ((src: DataFrame) =>
+        LiveServing.serve(evs(src).map { case (v, _) =>
+          LiveServing.QEv(v, embOf(v)) }, servIndex, servPostings)))
 
     // Stages slower than any sensible source rate get PACED batches
     // (rate-micro-batch, fixed rows per trigger — see the soak() source
@@ -228,6 +243,12 @@ object StreamBench {
     def rowsPerBatchOf(stage: String): Option[Int] = stage match {
       case "T14_near_dup_verified" | "T14_scan_only" =>
         Some(sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_T14_BATCH", "10000").toInt)
+      case "T22_live_serving" =>
+        // 8k queries/batch amortizes the per-batch planning of the
+        // stream-static join without starving the completed-batch
+        // accounting (20k-row batches finish only ~4 times in a 60 s
+        // soak and the in-flight tail vanishes from the count)
+        Some(sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_T22_BATCH", "8000").toInt)
       case _ => None
     }
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_STREAM_BENCH_ONLY")

@@ -342,7 +342,7 @@ object Similarity {
     * oracle-proven.  Recall vs the s1 brute-force truth stays asserted in
     * QueryPacksSpec. */
   private val IvfLists = 10
-  private val IvfProbe = 3
+  private[graft] val IvfProbe = 3
   /** Quantization grid: `floor(x · 64)` (floor, never round — round's .5
     * tie rule differs across engines; floor is tie-free). */
   private[graft] val QuantScale = 64
@@ -3154,6 +3154,28 @@ object Similarity {
       "'refresh', s13's stored ones on 'keep' — closing the stored-model " +
       "lifecycle train/serve/audit/price/decide/execute/serve-again; " +
       "FULL value oracle via the shared s13/s15 chains + the c16 verdict CASE")
+
+  /** The SERVING index as a DRIVER-SIDE value — the c16 IVF hand-off as
+    * a deployment loads it (the s13IndexArray pattern): the c13 IVF
+    * verdict under the session thresholds plus the ≤ k-row index that
+    * verdict selects (s15's refreshed centroids on "refresh", the
+    * stored ones on "keep").  Feeds the live serving twin
+    * ([[graft.stream.LiveServing]], T22) — the collect ships a
+    * serving-model-sized value, never the corpus. */
+  def servingIndexExport(s: SparkSession, dir: String)
+      : (String, Array[(Int, Array[Double], Double)]) = {
+    graft.sentiment.GraftFunctions.register(s)
+    val (minSt, minBen) = RefreshDecision.thresholds(s)
+    val v = RefreshDecision.decide(ivfRefreshLeg(s, dir), minSt, minBen)
+      .select(col("verdict")).collect().head.getString(0)
+    val idx = s15RefreshedCentroids(s, dir).collect().map { r =>
+      val (cCol, ccCol) = if (v == "refresh") ("cent", "cc") else ("cent_old", "cc_old")
+      (r.getAs[Number]("list_id").intValue(),
+        r.getAs[scala.collection.Seq[Double]](cCol).toArray,
+        r.getAs[Double](ccCol))
+    }
+    (v, idx)
+  }
 
   // ---------------------------------------------------------------- s19
   /** ADC SEARCH under the EXECUTED codebooks — s18's serve-again step

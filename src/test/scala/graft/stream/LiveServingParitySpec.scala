@@ -1,0 +1,85 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Live/batch parity for serving through the executed index — s18's
+  * streaming twin joins the parity family: streaming the REAL query
+  * vectors (vec_id < 5) through [[LiveServing.serve]] against the
+  * exported serving index and its posting lists must reproduce the
+  * oracle-checked `s18_refreshed_serving` rows EXACTLY — ranks, round-4
+  * cosines and verdict included.  Replay is CHUNKED (queries split
+  * across batches) and one query is RE-SENT after its answer is
+  * complete: the top-k fold must be idempotent under re-delivery
+  * (same answer, later rev). */
+class LiveServingParitySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    graft.queries.Similarity.clearEmbedCache()
+    super.afterAll()
+  }
+
+  private type Row5 = (Long, Int, Long, Double, String)
+
+  private def batchRows(dir: String): Seq[Row5] =
+    graft.SparkEntry.queries("s18_refreshed_serving")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+      .toSeq
+
+  test("streamed queries == batch s18 rows, chunked replay + re-sent query (sf0.001)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val dir = sf()
+    val (verdict, index) = graft.queries.Similarity.servingIndexExport(spark, dir)
+    assert(index.nonEmpty)
+    val postings = LiveServing.postingsOf(
+      graft.tables.Tables.embeddings(spark, dir), index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = graft.tables.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .collect()
+      .map(r => LiveServing.QEv(r.getLong(0), r.getSeq[Double](1).toArray))
+      .toSeq
+    assert(qs.size == 5, s"fixture too small: ${qs.size} query vectors")
+
+    val input = MemoryStream[LiveServing.QEv]
+    val q = LiveServing.serve(input.toDS(), index, postings)
+      .writeStream.format("memory").queryName("live_serving_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // chunked: queries answer in the batch they arrive (static corpus)
+      input.addData(qs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(qs.drop(2): _*)
+      q.processAllAvailable()
+      // idempotence under re-delivery: same answer, later rev
+      input.addData(qs.head)
+      q.processAllAvailable()
+
+      val updates = spark.table("live_serving_parity").toDF()
+      val live = LiveServing.reportOf(updates, verdict)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+          r.getString(4)))
+        .toSeq
+      val batch = batchRows(dir)
+      assert(batch.nonEmpty, "degenerate fixture: batch s18 empty")
+      assert(live == batch,
+        s"serving divergence:\n live=${live.take(6)}\n batch=${batch.take(6)}")
+
+      val revs = updates.filter(col("q_id") === qs.head.q_id)
+        .select("rev").collect().map(_.getLong(0)).toSeq.sorted
+      assert(revs == Seq(1L, 2L),
+        s"re-sent query must bump rev without changing the answer, got revs=$revs")
+    } finally q.stop()
+    postings.unpersist(blocking = false)
+  }
+}
