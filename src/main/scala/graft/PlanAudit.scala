@@ -738,7 +738,24 @@ object PlanAudit {
         "leaked into the admission pass"),
     Expect("c17_refreshed_selection", "TakeOrderedAndProject",
       "the admission cut is a top-k heap, never a global sort",
-      maxCount = 2))
+      maxCount = 2),
+    // s20 composed IVF-ADC under both executed models (round-14): the
+    // posting-list layout must build in one lineage — no corpus-corpus
+    // join anywhere
+    Expect("s20_ivfpq_serving", "SortMergeJoin", present = false,
+      why = "the posting-list layout (cell + codes) builds in ONE " +
+        "lineage and every join side is broadcast (verdicts, serving " +
+        "index/codebooks, probe set, distance tables) — an SMJ means " +
+        "two corpus-sized relations got joined"),
+    Expect("s20_ivfpq_serving", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
+      "embeddings scan budget: the memoized quantized relation and the " +
+        "memoized subvector relation (query-side distance tables) — a " +
+        "third means a consumer re-scanned the corpus", maxCount = 2),
+    Expect("s20_ivfpq_serving", "hashpartitioning(", maxCount = 34,
+      why = "bounded shuffle budget: BOTH families' decision chains " +
+        "(s13/s15 ≤ 11 + s14/s17 ≤ 13 rendered), the cell argmin, the " +
+        "per-(vec, m) code argmin and the ONE scoped ADC aggregate — a " +
+        "35th occurrence means an extra corpus-sized shuffle leaked in"))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

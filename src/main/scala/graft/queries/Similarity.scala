@@ -3309,11 +3309,269 @@ object Similarity {
       "step, no float anywhere; FULL value oracle via the shared s14/s17 " +
       "chains + the c16 verdict CASE")
 
+  // ---------------------------------------------------------------- s20
+  /** IVF-ADC under BOTH executed models — the composed production
+    * serving path (FAISS's IndexIVFPQ search, Jégou et al. 2011 §IV):
+    * the coarse probe restricts candidates to the query's nprobe cells
+    * of the verdict-picked IVF index (s18's step), and ADC under the
+    * verdict-picked PQ codebooks ranks ONLY those candidates (s19's
+    * step scoped to the probed posting lists) — each family serving
+    * through whatever its own c13 verdict shipped.
+    *
+    * The corpus side builds the IVFPQ POSTING-LIST LAYOUT in one
+    * lineage, never joining two corpus relations: the memoized
+    * quantized corpus argmins against the broadcast serving index
+    * (cells), then the SAME relation — still carrying its cell —
+    * explodes into subvectors and argmins against the broadcast serving
+    * codebooks (codes), so `(vec_id, list_id, m, code)` materializes
+    * exactly the way a PQ index stores codes INSIDE posting lists.
+    * Candidates then come from a broadcast join on list_id and the ADC
+    * sum is one map-side-combined aggregate — shuffle volume
+    * |queries|·(|corpus|·nprobe/k) rows, the coarse filter's whole
+    * point (s19 pays |queries|·|corpus|).  Exact int64 throughout (no
+    * float anywhere, like s19).  FULL value oracle: each family's
+    * chain re-derives its index + verdict in its own WITH-scoped
+    * subquery (the c16 discipline), the full-vector coarse argmin
+    * replays exactly (subspace sums decompose the FAISS metric
+    * losslessly on the integer grid), and the ADC chain replays s19's. */
+  val s20IvfPqServing = NamedQuery(
+    "s20_ivfpq_serving",
+    (s, dir) => {
+      graft.sentiment.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val (minSt, minBen) = RefreshDecision.thresholds(s)
+      val iv = RefreshDecision.decide(ivfRefreshLeg(s, dir), minSt, minBen)
+        .select(col("verdict").as("ivf_verdict"))
+      val pv = RefreshDecision.decide(pqRefreshLeg(s, dir), minSt, minBen)
+        .select(col("verdict").as("pq_verdict"))
+      val servIdx = trackedPersist(s15RefreshedCentroids(s, dir)
+        .crossJoin(broadcast(iv))
+        .select(col("list_id"),
+          when(col("ivf_verdict") === "refresh", col("cent"))
+            .otherwise(col("cent_old")).as("cent"),
+          when(col("ivf_verdict") === "refresh", col("cc"))
+            .otherwise(col("cc_old")).as("cc"),
+          col("ivf_verdict")))
+      val servBooks = trackedPersist(s17RefreshedCodebooks(s, dir)
+        .crossJoin(broadcast(pv))
+        .select(col("m"), col("code"),
+          when(col("pq_verdict") === "refresh", col("cent"))
+            .otherwise(col("cent_old")).as("cent"),
+          when(col("pq_verdict") === "refresh", col("cc"))
+            .otherwise(col("cc_old")).as("cc"),
+          col("pq_verdict")))
+      val e = s13Quantized(s, dir)
+      // posting-list layout in ONE lineage: cell argmin, then — still
+      // carrying the cell — subvector explode + code argmin
+      val cells = s13Nearest(e, servIdx.select("list_id", "cent", "cc"))
+      val codes = cells
+        .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
+        .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
+        .withColumn("svv", dot(col("sv"), col("sv")))
+        .join(broadcast(servBooks.select("m", "code", "cent", "cc")), Seq("m"))
+        .withColumn("pd",
+          col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(col("code"), struct(col("pd"), col("code"))).as("code"),
+          first(col("list_id")).as("list_id"))
+      // query side: probe cells off the quantized relation, distance
+      // tables off the memoized subvector relation
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("list_id"))
+      val probe = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"), col("vv").as("qvv"))
+        .crossJoin(broadcast(servIdx))
+        .withColumn("dist", col("qvv") - lit(2) * dot(col("qqv"), col("cent")) + col("cc"))
+        .withColumn("c_rank", row_number().over(wq))
+        .filter(col("c_rank") <= IvfProbe)
+        .select(col("q_id"), col("list_id"), col("ivf_verdict"))
+      val dt = s14Subvectors(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("m"), col("sv"), col("svv"))
+        .join(broadcast(servBooks), Seq("m"))
+        .select(col("q_id"), col("m"), col("code"),
+          (col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
+            .as("qdist"),
+          col("pq_verdict"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("nn_id"))
+      codes.join(broadcast(probe), Seq("list_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(dt), Seq("q_id", "m", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdist")).cast("long").as("adc"),
+          first(col("ivf_verdict")).as("ivf_verdict"),
+          first(col("pq_verdict")).as("pq_verdict"))
+        .select(col("q_id"), col("vec_id").as("nn_id"), col("adc"),
+          col("ivf_verdict"), col("pq_verdict"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("nn_id"), col("adc"),
+          col("ivf_verdict"), col("pq_verdict"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+    Some(s"""WITH ivfm AS (
+        SELECT * FROM (WITH $s13OracleCtes,
+          $s15RefreshCtes,
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+            FROM m),
+          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
+          vdec AS (
+            SELECT CASE WHEN
+                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+                  >= ${RefreshDecision.DefaultMinStalenessBp}
+                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+                  >= ${RefreshDecision.DefaultMinBenefitBp}
+              THEN 'refresh' ELSE 'keep' END AS verdict
+            FROM tot, aft),
+          servx AS (
+            SELECT c.list_id,
+              CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
+              v.verdict
+            FROM cent3x c, vdec v),
+          servy AS (
+            SELECT list_id, cent, list_dot_product(cent, cent) AS cc, verdict
+            FROM servx),
+          ds AS (
+            SELECT v.vec_id, c.list_id, c.verdict,
+                   v.vv - 2 * list_dot_product(v.qv, c.cent) + c.cc AS dist
+            FROM qz2 v, servy c)
+         SELECT vec_id, list_id, dist, verdict FROM (
+           SELECT vec_id, list_id, dist, verdict,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+           FROM ds) r WHERE rn = 1) t),
+      ivfprobe AS (
+        SELECT vec_id AS q_id, list_id, verdict AS ivf_verdict FROM (
+          SELECT vec_id, list_id, verdict,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
+          FROM (SELECT * FROM (WITH $s13OracleCtes,
+              $s15RefreshCtes,
+              tot AS (
+                SELECT
+                  CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+                  CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+                  CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+                FROM m),
+              aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
+              vdec AS (
+                SELECT CASE WHEN
+                    (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+                      >= ${RefreshDecision.DefaultMinStalenessBp}
+                    AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+                      >= ${RefreshDecision.DefaultMinBenefitBp}
+                  THEN 'refresh' ELSE 'keep' END AS verdict
+                FROM tot, aft),
+              servx AS (
+                SELECT c.list_id,
+                  CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
+                  v.verdict
+                FROM cent3x c, vdec v),
+              servy AS (
+                SELECT list_id, cent, list_dot_product(cent, cent) AS cc, verdict
+                FROM servx)
+             SELECT q.vec_id, c.list_id, c.verdict,
+                    q.vv - 2 * list_dot_product(q.qv, c.cent) + c.cc AS dist
+             FROM qz2 q, servy c WHERE q.vec_id < 5) t0) pd0) r
+        WHERE rn <= $IvfProbe),
+      pqcodes AS (
+        SELECT * FROM (WITH $s14OracleCtes,
+          $pqRefreshCtes,
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+            FROM best),
+          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
+          vdec AS (
+            SELECT CASE WHEN
+                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+                  >= ${RefreshDecision.DefaultMinStalenessBp}
+                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+                  >= ${RefreshDecision.DefaultMinBenefitBp}
+              THEN 'refresh' ELSE 'keep' END AS verdict
+            FROM tot, aft),
+          pserv AS (
+            SELECT c.m, c.code,
+              CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
+              v.verdict
+            FROM prefx c, vdec v),
+          pservx AS (
+            SELECT m, code, cent, list_dot_product(cent, cent) AS cc, verdict
+            FROM pserv),
+          sd AS (
+            SELECT v.vec_id, v.m, c.code, c.verdict,
+                   v.svv - 2 * list_dot_product(v.sv, c.cent) + c.cc AS dist
+            FROM sub2 v JOIN pservx c ON c.m = v.m)
+         SELECT vec_id, m, code, verdict FROM (
+           SELECT vec_id, m, code, verdict,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) AS rn
+           FROM sd) r WHERE rn = 1) t),
+      pqdt AS (
+        SELECT * FROM (WITH $s14OracleCtes,
+          $pqRefreshCtes,
+          tot AS (
+            SELECT
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+            FROM best),
+          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
+          vdec AS (
+            SELECT CASE WHEN
+                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+                  >= ${RefreshDecision.DefaultMinStalenessBp}
+                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+                  >= ${RefreshDecision.DefaultMinBenefitBp}
+              THEN 'refresh' ELSE 'keep' END AS verdict
+            FROM tot, aft),
+          pserv AS (
+            SELECT c.m, c.code,
+              CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
+              v.verdict
+            FROM prefx c, vdec v),
+          pservx AS (
+            SELECT m, code, cent, list_dot_product(cent, cent) AS cc, verdict
+            FROM pserv)
+         SELECT q.vec_id AS q_id, c.m, c.code, c.verdict AS pq_verdict,
+                q.svv - 2 * list_dot_product(q.sv, c.cent) + c.cc AS qdist
+         FROM sub2 q JOIN pservx c ON c.m = q.m WHERE q.vec_id < 5) t),
+      adcs AS (
+        SELECT p.q_id, s.vec_id AS nn_id,
+               CAST(sum(d.qdist) AS BIGINT) AS adc,
+               min(p.ivf_verdict) AS ivf_verdict,
+               min(d.pq_verdict) AS pq_verdict
+        FROM ivfm v
+        JOIN ivfprobe p USING (list_id)
+        JOIN pqcodes s ON s.vec_id = v.vec_id
+        JOIN pqdt d ON d.q_id = p.q_id AND d.m = s.m AND d.code = s.code
+        WHERE v.vec_id <> p.q_id
+        GROUP BY p.q_id, s.vec_id)
+      SELECT q_id, CAST(rn AS INTEGER) AS rn, nn_id, adc,
+             ivf_verdict, pq_verdict
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc, nn_id) AS rn
+        FROM adcs) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    doc = "IVF-ADC serving under BOTH executed models (FAISS IndexIVFPQ " +
+      "search): the coarse probe restricts candidates to the query's " +
+      "nprobe cells of the verdict-picked IVF index, ADC under the " +
+      "verdict-picked PQ codebooks ranks only those candidates; the " +
+      "corpus side builds the posting-list layout (cell + codes) in ONE " +
+      "lineage with no corpus-corpus join; exact int64 end to end, FULL " +
+      "value oracle via WITH-scoped per-family chains (the c16 discipline)")
+
   def all: Seq[NamedQuery] =
     Seq(s1AnnBruteForce, s2AnnLsh, s4AnnIvf, s5AnnMultiProbe, s6AnnQuantized,
       s7AnnPq, s8SeriesSimilarity, d5EmbeddingNearDup, d7EmbeddingClusters,
       s3LabelCentroids, d11SemanticDedup, s9AnnRecall, s10IndexRecall,
       s11EmbeddingDrift, s12VarianceDrift, s13IndexStaleness, d15EmbedRecall,
       s14PqStaleness, s15WarmStartRefresh, s16RadiusCert, s17PqRefresh,
-      s18RefreshedServing, s19RefreshedAdc)
+      s18RefreshedServing, s19RefreshedAdc, s20IvfPqServing)
 }
