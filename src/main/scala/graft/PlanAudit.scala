@@ -755,7 +755,19 @@ object PlanAudit {
       why = "bounded shuffle budget: BOTH families' decision chains " +
         "(s13/s15 ≤ 11 + s14/s17 ≤ 13 rendered), the cell argmin, the " +
         "per-(vec, m) code argmin and the ONE scoped ADC aggregate — a " +
-        "35th occurrence means an extra corpus-sized shuffle leaked in"))
+        "35th occurrence means an extra corpus-sized shuffle leaked in"),
+    // c18 packing execution (round-14: c3's plan made physical — one
+    // stream shuffle, nothing else)
+    Expect("c18_packing_execution", "ReadSchema: struct<doc_id:bigint,text:string,source:string>",
+      "ONE pruned documents scan feeds the whole placement", maxCount = 1),
+    Expect("c18_packing_execution", "hashpartitioning(", maxCount = 1,
+      why = "exactly ONE data shuffle — the (split, source) stream " +
+        "partitioning the running window rides; the final ordering is a " +
+        "range exchange, and a 2nd hash shuffle means the placement " +
+        "arithmetic left the window"),
+    Expect("c18_packing_execution", ") Window\n",
+      "the running token count is ONE window over the stream partitioning",
+      maxCount = 2))
 
   private def occurrences(plan: String, marker: String): Int = {
     var i = plan.indexOf(marker)

@@ -1402,10 +1402,76 @@ object Curation {
       "admission); exact int64, FULL value oracle via the shared selector " +
       "CTE chain + the c16 verdict CASE")
 
+  // ---------------------------------------------------------------- c18
+  /** Sequence-packing EXECUTION — c3's plan made physical: c3 prices the
+    * packing (chunk counts + straddler counts per (split, source)); this
+    * relation emits the PLACEMENT a tensor-builder consumes — for every
+    * document, WHICH packed sequence its tokens start in, at WHAT
+    * offset, and where they end (GPT-style concat-then-chunk: documents
+    * concatenate in doc_id order within their (split, source) stream
+    * and the token stream chunks at [[SeqBudget]]):
+    *
+    *   seq_first = (cum − n) div B     offset = (cum − n) mod B
+    *   seq_last  = (cum − 1) div B     (straddler ⟺ seq_last > seq_first)
+    *
+    * all from the same running window c3 prices with, so the two
+    * relations agree by construction (the spec ALSO recounts the
+    * consistency: Σ straddlers, max seq ids and per-group sequence
+    * counts reconcile against the oracled c3 aggregates).
+    *
+    * Scale shape: ONE shuffle+sort per (split, source) stream (the
+    * window); the prefix sum is the classic two-pass per-partition-
+    * offset computation Spark's range-partitioned window already
+    * implements, so the stream never funnels through one task — the
+    * skew knob is the (split, source) granularity itself (a deployment
+    * packing one giant source sub-shards the stream key and stitches
+    * offsets, the same hierarchy c6's chunker documents).  Exact int64
+    * arithmetic; FULL value oracle. */
+  val c18PackingExecution = NamedQuery(
+    "c18_packing_execution",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && col("text") =!= "")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("split", TextOps.splitCol)
+      val w = Window.partitionBy(col("split"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("split"), col("source"), col("doc_id"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $SeqBudget").as("seq_first"),
+          expr(s"(cum - n_tokens) % $SeqBudget").as("offset"),
+          expr(s"(cum - 1) div $SeqBudget").as("seq_last"))
+        .orderBy(col("split"), col("source"), col("doc_id"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+          ${TextOps.splitCaseSql} AS split
+        FROM documents WHERE text IS NOT NULL AND text <> ''),
+      c AS (
+        SELECT split, source, doc_id, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY split, source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d)
+      SELECT split, source, doc_id, n_tokens,
+        CAST((cum - n_tokens) // $SeqBudget AS BIGINT) AS seq_first,
+        CAST((cum - n_tokens) % $SeqBudget AS BIGINT) AS offset,
+        CAST((cum - 1) // $SeqBudget AS BIGINT) AS seq_last
+      FROM c ORDER BY split, source, doc_id"""),
+    doc = "sequence-packing execution: c3's plan made physical — per " +
+      "document the packed sequence its tokens start in, the offset, " +
+      "and the last sequence it spans (GPT-style concat-then-chunk at " +
+      "the 2048-token budget, doc_id order within each (split, source) " +
+      "stream) — the placement relation a tensor-builder consumes; " +
+      "exact int64, FULL value oracle")
+
   def all: Seq[NamedQuery] =
     Seq(c3SequencePacking, c4SourceMixing, c5StratifiedSample, c6ChunkOverlap,
       c8CurriculumTiers, c9TemperatureMixing, c10BloomDecontamination,
       c11DsirSelection, c12SelectorStaleness, c13RefreshDecision,
       c14OverlapAwareMixing, c15CurationPipeline, c16RefreshExecution,
-      c17RefreshedSelection)
+      c17RefreshedSelection, c18PackingExecution)
 }
