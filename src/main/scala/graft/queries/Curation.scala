@@ -1173,22 +1173,8 @@ object Curation {
     Some(s"""SELECT family, comp_a, comp_b, dim, value, verdict FROM (
         (WITH ${Similarity.s13OracleCtes},
           ${Similarity.s15RefreshCtes},
-          tot AS (
-            SELECT
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-            FROM m),
-          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
-          vdec AS (
-            SELECT CASE WHEN
-                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-                  >= ${RefreshDecision.DefaultMinStalenessBp}
-                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-                  >= ${RefreshDecision.DefaultMinBenefitBp}
-              THEN 'refresh' ELSE 'keep' END AS verdict
-            FROM tot, aft)
+          ${RefreshDecision.totAftCtes("m", "m2")},
+          ${RefreshDecision.vdecCte}
          SELECT 'ivf' AS family, CAST(c.list_id AS BIGINT) AS comp_a,
            CAST(0 AS BIGINT) AS comp_b, CAST(i - 1 AS BIGINT) AS dim,
            CAST(CASE WHEN v.verdict = 'refresh' THEN c.cent[i]
@@ -1198,22 +1184,8 @@ object Curation {
         UNION ALL
         (WITH ${Similarity.s14OracleCtes},
           ${Similarity.pqRefreshCtes},
-          tot AS (
-            SELECT
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-            FROM best),
-          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
-          vdec AS (
-            SELECT CASE WHEN
-                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-                  >= ${RefreshDecision.DefaultMinStalenessBp}
-                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-                  >= ${RefreshDecision.DefaultMinBenefitBp}
-              THEN 'refresh' ELSE 'keep' END AS verdict
-            FROM tot, aft)
+          ${RefreshDecision.totAftCtes("best", "pbest")},
+          ${RefreshDecision.vdecCte}
          SELECT 'pq' AS family, CAST(c.m AS BIGINT) AS comp_a,
            CAST(c.code AS BIGINT) AS comp_b, CAST(i - 1 AS BIGINT) AS dim,
            CAST(CASE WHEN v.verdict = 'refresh' THEN c.cent[i]

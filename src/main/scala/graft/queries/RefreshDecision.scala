@@ -152,6 +152,33 @@ object RefreshDecision {
         // benefit mean needs no promotion
         expr("sum(abs(w_new - w_old)) div nullif(count(*), 0)").as("benefit_bp"))
 
+  /** The DuckDB totals CTEs of an ivf/pq decision leg — archive/incoming
+    * counts and masses from the stale full-corpus assignment `massRel`
+    * plus the refreshed mass from `afterRel` — stated ONCE for every
+    * oracle that derives a verdict (c16's execution, the s18/s19/s20
+    * serving paths) instead of restating the split per site. */
+  def totAftCtes(massRel: String, afterRel: String): String = s"""tot AS (
+        SELECT
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
+          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
+        FROM $massRel),
+      aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM $afterRel)"""
+
+  /** The DuckDB verdict CASE over [[totAftCtes]]'s `tot`/`aft` — the
+    * ivf/pq decision rule at the DEFAULT thresholds (the oracle
+    * convention: conf-overridden thresholds diverge from the static
+    * oracle by design), stated ONCE. */
+  def vdecCte: String = s"""vdec AS (
+        SELECT CASE WHEN
+            (10000 * mi * na) // nullif(ma * ni, 0) - 10000
+              >= $DefaultMinStalenessBp
+            AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
+              >= $DefaultMinBenefitBp
+          THEN 'refresh' ELSE 'keep' END AS verdict
+        FROM tot, aft)"""
+
   /** THE decision rule over a `(family, staleness_bp, benefit_bp)`
     * legs relation: refresh iff the model is stale enough AND the
     * retrain buys enough — a stale model a refresh can't improve

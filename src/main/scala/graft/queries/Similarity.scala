@@ -3090,22 +3090,8 @@ object Similarity {
     },
     Some(s"""WITH $s13OracleCtes,
       $s15RefreshCtes,
-      tot AS (
-        SELECT
-          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-        FROM m),
-      aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
-      vdec AS (
-        SELECT CASE WHEN
-            (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-              >= ${RefreshDecision.DefaultMinStalenessBp}
-            AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-              >= ${RefreshDecision.DefaultMinBenefitBp}
-          THEN 'refresh' ELSE 'keep' END AS verdict
-        FROM tot, aft),
+      ${RefreshDecision.totAftCtes("m", "m2")},
+      ${RefreshDecision.vdecCte},
       serv AS (
         SELECT c.list_id,
           CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent
@@ -3249,22 +3235,8 @@ object Similarity {
     },
     Some(s"""WITH $s14OracleCtes,
       $pqRefreshCtes,
-      tot AS (
-        SELECT
-          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-          CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-          CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-        FROM best),
-      aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
-      vdec AS (
-        SELECT CASE WHEN
-            (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-              >= ${RefreshDecision.DefaultMinStalenessBp}
-            AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-              >= ${RefreshDecision.DefaultMinBenefitBp}
-          THEN 'refresh' ELSE 'keep' END AS verdict
-        FROM tot, aft),
+      ${RefreshDecision.totAftCtes("best", "pbest")},
+      ${RefreshDecision.vdecCte},
       pserv AS (
         SELECT c.m, c.code,
           CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
@@ -3410,22 +3382,8 @@ object Similarity {
     Some(s"""WITH ivfm AS (
         SELECT * FROM (WITH $s13OracleCtes,
           $s15RefreshCtes,
-          tot AS (
-            SELECT
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-            FROM m),
-          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
-          vdec AS (
-            SELECT CASE WHEN
-                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-                  >= ${RefreshDecision.DefaultMinStalenessBp}
-                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-                  >= ${RefreshDecision.DefaultMinBenefitBp}
-              THEN 'refresh' ELSE 'keep' END AS verdict
-            FROM tot, aft),
+          ${RefreshDecision.totAftCtes("m", "m2")},
+      ${RefreshDecision.vdecCte},
           servx AS (
             SELECT c.list_id,
               CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
@@ -3448,22 +3406,8 @@ object Similarity {
                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, list_id) AS rn
           FROM (SELECT * FROM (WITH $s13OracleCtes,
               $s15RefreshCtes,
-              tot AS (
-                SELECT
-                  CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-                  CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-                  CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-                  CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-                FROM m),
-              aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM m2),
-              vdec AS (
-                SELECT CASE WHEN
-                    (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-                      >= ${RefreshDecision.DefaultMinStalenessBp}
-                    AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-                      >= ${RefreshDecision.DefaultMinBenefitBp}
-                  THEN 'refresh' ELSE 'keep' END AS verdict
-                FROM tot, aft),
+              ${RefreshDecision.totAftCtes("m", "m2")},
+      ${RefreshDecision.vdecCte},
               servx AS (
                 SELECT c.list_id,
                   CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
@@ -3479,22 +3423,8 @@ object Similarity {
       pqcodes AS (
         SELECT * FROM (WITH $s14OracleCtes,
           $pqRefreshCtes,
-          tot AS (
-            SELECT
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-            FROM best),
-          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
-          vdec AS (
-            SELECT CASE WHEN
-                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-                  >= ${RefreshDecision.DefaultMinStalenessBp}
-                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-                  >= ${RefreshDecision.DefaultMinBenefitBp}
-              THEN 'refresh' ELSE 'keep' END AS verdict
-            FROM tot, aft),
+          ${RefreshDecision.totAftCtes("best", "pbest")},
+      ${RefreshDecision.vdecCte},
           pserv AS (
             SELECT c.m, c.code,
               CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
@@ -3514,22 +3444,8 @@ object Similarity {
       pqdt AS (
         SELECT * FROM (WITH $s14OracleCtes,
           $pqRefreshCtes,
-          tot AS (
-            SELECT
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS ni,
-              CAST(sum(CASE WHEN vec_id % 10 <> 7 THEN dist ELSE 0 END) AS BIGINT) AS ma,
-              CAST(sum(CASE WHEN vec_id % 10 = 7 THEN dist ELSE 0 END) AS BIGINT) AS mi
-            FROM best),
-          aft AS (SELECT CAST(sum(dist) AS BIGINT) AS ea FROM pbest),
-          vdec AS (
-            SELECT CASE WHEN
-                (10000 * mi * na) // nullif(ma * ni, 0) - 10000
-                  >= ${RefreshDecision.DefaultMinStalenessBp}
-                AND (10000 * (ma + mi - ea)) // nullif(ma + mi, 0)
-                  >= ${RefreshDecision.DefaultMinBenefitBp}
-              THEN 'refresh' ELSE 'keep' END AS verdict
-            FROM tot, aft),
+          ${RefreshDecision.totAftCtes("best", "pbest")},
+      ${RefreshDecision.vdecCte},
           pserv AS (
             SELECT c.m, c.code,
               CASE WHEN v.verdict = 'refresh' THEN c.cent ELSE c.cent_old END AS cent,
