@@ -23,7 +23,7 @@ class StreamBenchTableSpec extends AnyFunSuite {
   }
 
   private val stages = Seq("T10", "T10b", "T12", "T13", "T15", "T6",
-    "T16", "T17", "T18", "T11", "T19", "T20", "T14")
+    "T16", "T17", "T18", "T11", "T19", "T20", "T14", "T22")
 
   private val Row = raw"\|\s*(T\S+)[^|]*\|\s*([\d,]+)[^|]*\|.*".r
 
