@@ -145,9 +145,11 @@ object StreamBench {
     val (dsirW, dsirNt, dsirNr) = graft.queries.Curation.dsirWeightExport(spark, sfDir)
     // the serving twin's loading sequence: the verdict-picked index plus
     // its static posting lists (the stored relation at scale; persisted —
-    // every soak batch probes it)
-    val (_, servIndex) = graft.queries.Similarity.servingIndexExport(spark, sfDir)
-    val servPostings = LiveServing.postingsOf(
+    // every soak batch probes it).  LAZY: deriving the export runs the
+    // full decision chain (several corpus passes), which a soak that
+    // filters T22 out must not pay at startup (review r14)
+    lazy val servIndex = graft.queries.Similarity.servingIndexExport(spark, sfDir)._2
+    lazy val servPostings = LiveServing.postingsOf(
         graft.tables.Tables.embeddings(spark, sfDir), servIndex)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val driftRef: Map[String, Seq[Long]] =

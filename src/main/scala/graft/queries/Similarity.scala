@@ -3043,30 +3043,13 @@ object Similarity {
       val verdict = RefreshDecision.decide(ivfRefreshLeg(s, dir), minSt, minBen)
         .select(col("verdict"))
       // c16's IVF hand-off: refreshed vs stored parameters, picked by
-      // the broadcast verdict.  Persisted (≤ IvfLists rows) so the
-      // decision subtree prices once for its two consumers (corpus
-      // assignment + query-side probe).
-      val servingIdx = trackedPersist(s15RefreshedCentroids(s, dir)
-        .crossJoin(broadcast(verdict))
-        .select(col("list_id"),
-          when(col("verdict") === "refresh", col("cent"))
-            .otherwise(col("cent_old")).as("cent"),
-          when(col("verdict") === "refresh", col("cc"))
-            .otherwise(col("cc_old")).as("cc"),
-          col("verdict")))
-      // ONE corpus scan carrying emb for the final cosine (the memoized
-      // s13 quantized relation deliberately drops it)
-      val e = trackedPersist(Tables.embeddings(s, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .withColumn("qv", transform(col("emb"),
-          x => floor(x * QuantScale)).cast("array<double>"))
-        .withColumn("vv", dot(col("qv"), col("qv"))))
-      val lists = e.crossJoin(broadcast(servingIdx.select("list_id", "cent", "cc")))
-        .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-        .groupBy(col("vec_id"))
-        .agg(
-          min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
-          first(col("emb")).as("emb"))
+      // the broadcast verdict ([[pickByVerdict]]).  Persisted
+      // (≤ IvfLists rows) so the decision subtree prices once for its
+      // two consumers (corpus assignment + query-side probe).
+      val servingIdx = trackedPersist(pickByVerdict(
+        s15RefreshedCentroids(s, dir), verdict, "verdict", Seq("list_id")))
+      val e = servingEmbGrid(s, dir)
+      val lists = postingListsOf(e, servingIdx.select("list_id", "cent", "cc"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("emb").as("qe"),
           norm(col("emb")).as("qn"), col("qv").as("qqv"), col("vv").as("qvv"))
@@ -3141,26 +3124,74 @@ object Similarity {
       "lifecycle train/serve/audit/price/decide/execute/serve-again; " +
       "FULL value oracle via the shared s13/s15 chains + the c16 verdict CASE")
 
+  /** The c16 hand-off rule stated ONCE (review r14 — it was restated at
+    * five sites): broadcast a 1-row verdict relation onto a parameter
+    * relation carrying `(cent, cc)` next to their stale predecessors
+    * `(cent_old, cc_old)` and pick per row — refreshed parameters on
+    * "refresh", stored ones on "keep".  Shared by the s18/s19/s20
+    * serving relations and the driver-side export. */
+  private[graft] def pickByVerdict(params: DataFrame, verdict: DataFrame,
+      vCol: String, keys: Seq[String]): DataFrame =
+    params.crossJoin(broadcast(verdict))
+      .select(keys.map(col) ++ Seq(
+        when(col(vCol) === "refresh", col("cent"))
+          .otherwise(col("cent_old")).as("cent"),
+        when(col(vCol) === "refresh", col("cc"))
+          .otherwise(col("cc_old")).as("cc"),
+        col(vCol)): _*)
+
+  /** Emb-carrying quantized view of an embeddings-shaped relation —
+    * `(vec_id, emb, qv, vv)` on the s4 grid.  The quantization stated
+    * once for the batch serving query and the live twin's postings. */
+  private[graft] def embGridOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("qv", transform(col("emb"),
+        x => floor(x * QuantScale)).cast("array<double>"))
+      .withColumn("vv", dot(col("qv"), col("qv")))
+
+  /** The serving queries' ONE corpus scan, memoized + persisted (the
+    * memoized s13 relation deliberately drops emb, and the final cosine
+    * needs it; the relation is threshold-independent, so repeated s18
+    * invocations in one session share it — review r14). */
+  private[graft] def servingEmbGrid(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "servingEmbGrid") {
+      graft.sentiment.GraftFunctions.register(s)
+      trackedPersist(embGridOf(Tables.embeddings(s, dir)))
+    }
+
+  /** Broadcast-argmin posting assignment of an emb+grid relation against
+    * a `(list_id, cent, cc)` index — THE serving assignment, shared by
+    * s18's batch lists and the live twin's static postings
+    * ([[graft.stream.LiveServing.postingsOf]]), so live ≡ batch holds by
+    * construction, not by copy (review r14). */
+  private[graft] def postingListsOf(e: DataFrame, idx: DataFrame): DataFrame =
+    e.crossJoin(broadcast(idx))
+      .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
+        first(col("emb")).as("emb"))
+
   /** The SERVING index as a DRIVER-SIDE value — the c16 IVF hand-off as
     * a deployment loads it (the s13IndexArray pattern): the c13 IVF
     * verdict under the session thresholds plus the ≤ k-row index that
-    * verdict selects (s15's refreshed centroids on "refresh", the
-    * stored ones on "keep").  Feeds the live serving twin
+    * verdict selects, via the same [[pickByVerdict]] rule the batch
+    * queries serve through.  Feeds the live serving twin
     * ([[graft.stream.LiveServing]], T22) — the collect ships a
     * serving-model-sized value, never the corpus. */
   def servingIndexExport(s: SparkSession, dir: String)
       : (String, Array[(Int, Array[Double], Double)]) = {
     graft.sentiment.GraftFunctions.register(s)
     val (minSt, minBen) = RefreshDecision.thresholds(s)
-    val v = RefreshDecision.decide(ivfRefreshLeg(s, dir), minSt, minBen)
-      .select(col("verdict")).collect().head.getString(0)
-    val idx = s15RefreshedCentroids(s, dir).collect().map { r =>
-      val (cCol, ccCol) = if (v == "refresh") ("cent", "cc") else ("cent_old", "cc_old")
-      (r.getAs[Number]("list_id").intValue(),
-        r.getAs[scala.collection.Seq[Double]](cCol).toArray,
-        r.getAs[Double](ccCol))
-    }
-    (v, idx)
+    val verdict = RefreshDecision.decide(ivfRefreshLeg(s, dir), minSt, minBen)
+      .select(col("verdict"))
+    val rows = pickByVerdict(s15RefreshedCentroids(s, dir), verdict,
+      "verdict", Seq("list_id")).collect()
+    require(rows.nonEmpty, "graft: serving-index export found no stored index")
+    (rows.head.getAs[String]("verdict"),
+      rows.map(r => (r.getAs[Number]("list_id").intValue(),
+        r.getAs[scala.collection.Seq[Double]]("cent").toArray,
+        r.getAs[Double]("cc"))))
   }
 
   // ---------------------------------------------------------------- s19
@@ -3200,17 +3231,11 @@ object Similarity {
       val verdict = RefreshDecision.decide(pqRefreshLeg(s, dir), minSt, minBen)
         .select(col("verdict"))
       // c16's PQ hand-off: refreshed vs stored codebooks, picked by the
-      // broadcast verdict; persisted (PqM·PqK rows) so the decision
-      // subtree prices once for its two consumers (corpus encoding +
-      // the query-side distance tables)
-      val serving = trackedPersist(s17RefreshedCodebooks(s, dir)
-        .crossJoin(broadcast(verdict))
-        .select(col("m"), col("code"),
-          when(col("verdict") === "refresh", col("cent"))
-            .otherwise(col("cent_old")).as("cent"),
-          when(col("verdict") === "refresh", col("cc"))
-            .otherwise(col("cc_old")).as("cc"),
-          col("verdict")))
+      // broadcast verdict ([[pickByVerdict]]); persisted (PqM·PqK rows)
+      // so the decision subtree prices once for its two consumers
+      // (corpus encoding + the query-side distance tables)
+      val serving = trackedPersist(pickByVerdict(
+        s17RefreshedCodebooks(s, dir), verdict, "verdict", Seq("m", "code")))
       val sub = s14Subvectors(s, dir)
       val codes = s14Assign(sub, serving.select("m", "code", "cent", "cc"))
         .select(col("vec_id"), col("m"), col("code"))
@@ -3316,22 +3341,10 @@ object Similarity {
         .select(col("verdict").as("ivf_verdict"))
       val pv = RefreshDecision.decide(pqRefreshLeg(s, dir), minSt, minBen)
         .select(col("verdict").as("pq_verdict"))
-      val servIdx = trackedPersist(s15RefreshedCentroids(s, dir)
-        .crossJoin(broadcast(iv))
-        .select(col("list_id"),
-          when(col("ivf_verdict") === "refresh", col("cent"))
-            .otherwise(col("cent_old")).as("cent"),
-          when(col("ivf_verdict") === "refresh", col("cc"))
-            .otherwise(col("cc_old")).as("cc"),
-          col("ivf_verdict")))
-      val servBooks = trackedPersist(s17RefreshedCodebooks(s, dir)
-        .crossJoin(broadcast(pv))
-        .select(col("m"), col("code"),
-          when(col("pq_verdict") === "refresh", col("cent"))
-            .otherwise(col("cent_old")).as("cent"),
-          when(col("pq_verdict") === "refresh", col("cc"))
-            .otherwise(col("cc_old")).as("cc"),
-          col("pq_verdict")))
+      val servIdx = trackedPersist(pickByVerdict(
+        s15RefreshedCentroids(s, dir), iv, "ivf_verdict", Seq("list_id")))
+      val servBooks = trackedPersist(pickByVerdict(
+        s17RefreshedCodebooks(s, dir), pv, "pq_verdict", Seq("m", "code")))
       val e = s13Quantized(s, dir)
       // posting-list layout in ONE lineage: cell argmin, then — still
       // carrying the cell — subvector explode + code argmin

@@ -17,10 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream-static equi-join on list_id (at 100 TB the stored posting
   * lists ARE this relation, partitioned by list_id — the join touches
   * only the probed cells' partitions), the exact round-4 cosine
-  * re-ranks (the batch expressions verbatim — [[postingsOf]] and
-  * [[serve]] build the SAME Columns s18 builds, so live ≡ batch holds
-  * by construction), and a per-QUERY `flatMapGroupsWithState` folds
-  * the running top-[[TopK]].
+  * re-ranks (the batch expressions verbatim — [[postingsOf]] rides
+  * `Similarity.embGridOf`/`postingListsOf`, the SAME builders s18's
+  * lists ride, so live ≡ batch holds by construction), and a per-QUERY
+  * `flatMapGroupsWithState` folds the running top-[[TopK]].
   *
   * The fold is a bounded ORDER STATISTIC (keep the 5 best by
   * (cosine desc, nn_id)): commutative-idempotent over candidate sets,
@@ -28,20 +28,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * query or a candidate arriving in a later batch (a posting-list
   * partition backfill) merges into the same top-k, and exactly-once
   * across restarts is the checkpointed state store's job.  State is
-  * ≤ TopK (cosine, id) pairs per LIVE query — serving-window-sized,
-  * never corpus-sized.
+  * ≤ TopK (cosine, id) pairs per LIVE query, and — unlike the monitor
+  * twins, whose key spaces are bounded by the model — retrieval
+  * request ids are one-shot, so a long-running node enables the
+  * answered-state TTL (`stateTtlMs` with a paced trigger — see
+  * [[serve]]) to evict them (review r14); a request re-sent after
+  * eviction recomputes the same answer from the static postings
+  * (fresh rev chain).
+  *
+  * Self-exclusion is EXPLICIT (review r14): the batch s18 drops
+  * `vec_id == q_id` because its queries ARE corpus vectors; a live
+  * request id is arbitrary, so [[QEv.exclude_id]] (default −1 = none)
+  * says which corpus vector, if any, is the query itself — the parity
+  * spec passes the corpus vec_id, a deployment with synthetic request
+  * ids leaves the default and can legitimately receive ANY vector.
   *
   * Emission contract (Append mode): one [[ServeUpdate]] per query per
   * batch in which the query gained candidates, `rev`-chained;
   * consumers take the latest per query (`max_by(…, rev)` — the
   * LiveFunnel convention), which [[reportOf]] flattens to the batch
   * s18 row shape `(q_id, rn, nn_id, cosine, verdict)`.
-  * LiveServingParitySpec pins live ≡ batch on the real corpus,
-  * chunked replay and re-sent queries included. */
+  * LiveServingParitySpec pins live ≡ batch on the real corpus, chunked
+  * replay, re-sent queries and TTL eviction included. */
 object LiveServing {
 
-  /** A retrieval request: query id + embedding. */
-  final case class QEv(q_id: Long, emb: Array[Double])
+  /** A retrieval request: query id + embedding, plus the corpus vector
+    * this query IS, if any (−1 = none; see the self-exclusion note). */
+  final case class QEv(q_id: Long, emb: Array[Double], exclude_id: Long = -1L)
 
   /** Running per-query top-k: rev-chained, ordered by
     * (cosine desc, nn_id). */
@@ -80,7 +93,8 @@ object LiveServing {
   /** The static posting-list relation under an exported serving index —
     * `(list_id, vec_id, emb, nrm)`.  At scale this is the STORED
     * relation maintained with the index (d14's stored-index story); the
-    * twin derives it with the batch argmin expressions so parity holds
+    * twin derives it through the SAME `Similarity.embGridOf` +
+    * `postingListsOf` builders s18's batch lists ride, so parity holds
     * by construction.  One corpus scan, one broadcast argmin — no
     * corpus shuffle. */
   def postingsOf(corpus: DataFrame,
@@ -88,31 +102,35 @@ object LiveServing {
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     graft.sentiment.GraftFunctions.register(spark)
-    val dot = graft.queries.Similarity.dot _
     val idxDf = index.toSeq.map { case (l, c, cc) => (l, c.toSeq, cc) }
       .toDF("list_id", "cent", "cc")
-    val scale = graft.queries.Similarity.QuantScale
-    corpus
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .withColumn("qv", transform(col("emb"),
-        x => floor(x * scale)).cast("array<double>"))
-      .withColumn("vv", dot(col("qv"), col("qv")))
-      .crossJoin(broadcast(idxDf))
-      .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
-        first(col("emb")).as("emb"))
+    graft.queries.Similarity.postingListsOf(
+        graft.queries.Similarity.embGridOf(corpus), idxDf)
       .withColumn("nrm", graft.queries.Similarity.norm(col("emb")))
       .select(col("list_id"), col("vec_id"), col("emb"), col("nrm"))
   }
 
   /** The live serving pipeline: probe scan-side, candidates from the
     * static postings (stream-static equi-join on list_id), batch-exact
-    * round-4 cosine, per-query top-k fold. */
+    * round-4 cosine, per-query top-k fold.
+    *
+    * `stateTtlMs > 0` enables answered-state EVICTION on a
+    * processing-time timeout (the review-r14 state-growth fix — one-shot
+    * request keys never revisit, so without a TTL a long-running node
+    * accumulates one TopState per request forever).  A TTL'd query MUST
+    * run with a paced processing-time trigger: registered timeouts make
+    * a zero-interval trigger run continuous no-data micro-batches (each
+    * committing every state partition), which is a checkpoint-churn
+    * storm, not eviction.  Harness note: a ProcessingTimeTimeout stream
+    * always constructs another batch, so `processAllAvailable` never
+    * returns on it — poll the sink instead (the TTL parity test shows
+    * the shape).  The default 0 keeps NoTimeout — right for parity
+    * replays and bounded soaks. */
   def serve(queries: Dataset[QEv],
       index: Array[(Int, Array[Double], Double)],
       postings: DataFrame,
-      nprobe: Int = graft.queries.Similarity.IvfProbe)(
+      nprobe: Int = graft.queries.Similarity.IvfProbe,
+      stateTtlMs: Long = 0L)(
       implicit spark: SparkSession): Dataset[ServeUpdate] = {
     import spark.implicits._
     graft.sentiment.GraftFunctions.register(spark)
@@ -122,33 +140,45 @@ object LiveServing {
       // a null/empty embedding probes nothing (validate upstream — an
       // invented assignment would serve wrong neighbors silently)
       .filter((q: QEv) => q.emb != null && q.emb.nonEmpty)
-      .flatMap(q => probeCells(q.emb, index, nprobe).map(l => (q.q_id, l, q.emb)))
-      .toDF("q_id", "list_id", "qe")
+      .flatMap(q => probeCells(q.emb, index, nprobe)
+        .map(l => (q.q_id, l, q.emb, q.exclude_id)))
+      .toDF("q_id", "list_id", "qe", "exclude_id")
       .withColumn("qn", graft.queries.Similarity.norm(col("qe")))
     val cands = probed.join(postings, Seq("list_id"))
-      .filter(col("vec_id") =!= col("q_id"))
+      .filter(col("vec_id") =!= col("exclude_id"))
       .withColumn("cosine",
         round(dot(col("qe"), col("emb")) / (col("qn") * col("nrm")), 4))
       .select(col("q_id"), col("vec_id"), col("cosine"))
       .as[(Long, Long, Double)]
+    val timeoutConf =
+      if (stateTtlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     cands.groupByKey(_._1)
       .flatMapGroupsWithState[TopState, ServeUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (qid: Long, batch: Iterator[(Long, Long, Double)], state: GroupState[TopState]) =>
-          val prev = state.getOption
-          val merged = (prev.fold(Seq.empty[(Double, Long)])(s =>
-              s.cosines.zip(s.nnIds)) ++
-              batch.map { case (_, nn, cos) => (cos, nn) })
-            // idempotent under re-delivery: the static corpus gives a
-            // re-sent query the same (cosine, id) pairs — dedupe, then
-            // keep the k best by (cosine desc, nn_id)
-            .distinct
-            .sortBy { case (cos, nn) => (-cos, nn) }
-            .take(TopK)
-          val next = TopState(prev.fold(1L)(_.rev + 1L),
-            merged.map(_._1), merged.map(_._2))
-          state.update(next)
-          Iterator(ServeUpdate(qid, next.rev, next.nnIds, next.cosines))
+          if (stateTtlMs > 0L && state.hasTimedOut) {
+            // one-shot request answered and idle past the TTL: evict —
+            // this is what keeps state serving-window-sized
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val merged = (prev.fold(Seq.empty[(Double, Long)])(s =>
+                s.cosines.zip(s.nnIds)) ++
+                batch.map { case (_, nn, cos) => (cos, nn) })
+              // idempotent under re-delivery: the static corpus gives a
+              // re-sent query the same (cosine, id) pairs — dedupe, then
+              // keep the k best by (cosine desc, nn_id)
+              .distinct
+              .sortBy { case (cos, nn) => (-cos, nn) }
+              .take(TopK)
+            val next = TopState(prev.fold(1L)(_.rev + 1L),
+              merged.map(_._1), merged.map(_._2))
+            state.update(next)
+            if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs)
+            Iterator(ServeUpdate(qid, next.rev, next.nnIds, next.cosines))
+          }
       }
   }
 

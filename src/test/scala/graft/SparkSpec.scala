@@ -31,4 +31,17 @@ trait SparkSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(s"$prefix-in").toString,
     java.nio.file.Files.createTempDirectory(s"$prefix-out").toString,
     java.nio.file.Files.createTempDirectory(s"$prefix-cp").toString)
+
+  /** Run `body` under overridden refresh-decision thresholds, restoring
+    * the session confs after — the forced-verdict scaffold every
+    * serve-again spec shares (c16/s18/s19/s20/c17). */
+  def withRefreshThresholds[A](st: Long, ben: Long)(body: => A): A = {
+    spark.conf.set("spark.graft.refresh.minStalenessBp", st.toString)
+    spark.conf.set("spark.graft.refresh.minBenefitBp", ben.toString)
+    try body
+    finally {
+      spark.conf.unset("spark.graft.refresh.minStalenessBp")
+      spark.conf.unset("spark.graft.refresh.minBenefitBp")
+    }
+  }
 }

@@ -64,15 +64,8 @@ class RefreshExecutionSpec extends SparkSpec {
 
   test("threshold overrides ship refreshed vs stored parameters exactly where they differ") {
     val dir = sf()
-    def runWith(st: Long, ben: Long): Seq[Row6] = {
-      spark.conf.set("spark.graft.refresh.minStalenessBp", st.toString)
-      spark.conf.set("spark.graft.refresh.minBenefitBp", ben.toString)
-      try rows(dir)
-      finally {
-        spark.conf.unset("spark.graft.refresh.minStalenessBp")
-        spark.conf.unset("spark.graft.refresh.minBenefitBp")
-      }
-    }
+    def runWith(st: Long, ben: Long) =
+      withRefreshThresholds(st, ben)(rows(dir))
     // every staleness/benefit clears a deeply-negative floor → all refresh;
     // nothing clears a huge one → all keep
     val allRefresh = runWith(-1000000L, -1000000L)

@@ -87,15 +87,8 @@ class RefreshServingSpec extends SparkSpec {
 
   test("threshold overrides flip WHICH index answers, recount matching both regimes") {
     val dir = sf()
-    def runWith(st: Long, ben: Long): Seq[Served] = {
-      spark.conf.set("spark.graft.refresh.minStalenessBp", st.toString)
-      spark.conf.set("spark.graft.refresh.minBenefitBp", ben.toString)
-      try served(dir)
-      finally {
-        spark.conf.unset("spark.graft.refresh.minStalenessBp")
-        spark.conf.unset("spark.graft.refresh.minBenefitBp")
-      }
-    }
+    def runWith(st: Long, ben: Long) =
+      withRefreshThresholds(st, ben)(served(dir))
     val refreshed = runWith(-1000000L, -1000000L)
     val kept = runWith(1000000L, 1000000L)
     assert(refreshed.nonEmpty && refreshed.forall(_._5 == "refresh"))

@@ -46,7 +46,11 @@ class LiveServingParitySpec extends SparkSpec
       .filter(col("vec_id") < 5)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .collect()
-      .map(r => LiveServing.QEv(r.getLong(0), r.getSeq[Double](1).toArray))
+      // these queries ARE corpus vectors, so each excludes itself —
+      // the batch s18 convention (a synthetic request id would leave
+      // the default -1 and legitimately receive any vector)
+      .map(r => LiveServing.QEv(r.getLong(0), r.getSeq[Double](1).toArray,
+        exclude_id = r.getLong(0)))
       .toSeq
     assert(qs.size == 5, s"fixture too small: ${qs.size} query vectors")
 
@@ -80,6 +84,44 @@ class LiveServingParitySpec extends SparkSpec
       assert(revs == Seq(1L, 2L),
         s"re-sent query must bump rev without changing the answer, got revs=$revs")
     } finally q.stop()
+
+    // TTL eviction: with an immediately-eligible TTL, an answered
+    // query's state is REMOVED once a later (paced, data-less) batch
+    // fires the timeout — re-sending it then recomputes the same answer
+    // on a FRESH rev chain (rev 1 again, not a continuation), proving
+    // one-shot requests don't accumulate state forever.  The trigger is
+    // PACED, and the test POLLS the sink instead of processAllAvailable:
+    // a ProcessingTimeTimeout stream always constructs another batch
+    // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so noNewData
+    // never latches and processAllAvailable never returns on it.
+    def await(what: String)(pred: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!pred && System.currentTimeMillis - t0 < 90000L) Thread.sleep(100)
+      assert(pred, s"timed out waiting for $what")
+    }
+    val input2 = MemoryStream[LiveServing.QEv]
+    val q2 = LiveServing.serve(input2.toDS(), index, postings, stateTtlMs = 1L)
+      .writeStream.format("memory").queryName("live_serving_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode(OutputMode.Append).start()
+    try {
+      input2.addData(qs.head)
+      await("the first answer")(
+        spark.table("live_serving_ttl").count() >= 1)
+      await("the TTL eviction")(
+        q2.recentProgress.exists(_.stateOperators.exists(_.numRowsRemoved > 0)))
+      input2.addData(qs.head) // fresh state: rev restarts at 1
+      await("the recomputed answer")(
+        spark.table("live_serving_ttl").count() >= 2)
+      val ttlRows = spark.table("live_serving_ttl")
+        .filter(col("q_id") === qs.head.q_id)
+        .select("rev", "nn_ids", "cosines").collect()
+      val ttlRevs = ttlRows.map(_.getLong(0)).toSeq
+      assert(ttlRevs == Seq(1L, 1L),
+        s"evicted query must restart its rev chain, got $ttlRevs")
+      assert(ttlRows.map(r => (r.getSeq[Long](1), r.getSeq[Double](2))).distinct.size == 1,
+        "the recomputed answer must equal the evicted one (static postings)")
+    } finally q2.stop()
     postings.unpersist(blocking = false)
   }
 }
