@@ -1272,38 +1272,81 @@ object Curation {
     * cut is a top-k heap.  Exact int64 end to end (c11's integer-ratio
     * surrogate); FULL value oracle via the shared selector CTE chain +
     * the c16 verdict CASE. */
+  /** c17's per-doc scored INCOMING RAW SLICE under the served weights —
+    * (doc_id, source, n_tok, score_bp, verdict), before the top-k cut.
+    * Factored out so the live twin's parity spec (T23 —
+    * [[graft.stream.LiveDsirScorer]] fed the [[servingWeightExport]])
+    * can compare per-source totals against the batch relation. */
+  private[graft] def c17ScoredDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    graft.sentiment.GraftFunctions.register(s)
+    val (minSt, minBen) = RefreshDecision.thresholds(s)
+    val verdict = RefreshDecision.decide(selectorRefreshLeg(s, dir), minSt, minBen)
+      .select(col("verdict"))
+    val wts = RefreshDecision.selectorWeights(dsirDriftCounts(s, dir), DsirBuckets,
+        RefreshDecision.decimal128(s))
+      .crossJoin(broadcast(verdict))
+      .select(col("b"),
+        when(col("verdict") === "refresh", col("w_new"))
+          .otherwise(col("w_old")).as("w"),
+        col("verdict"))
+    val tok = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && col("text") =!= "" &&
+        col("doc_id") % 10 === 7 && col("source") =!= DsirTarget)
+      .select(col("doc_id"), col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .select(col("doc_id"), col("source"),
+        (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
+    tok.join(broadcast(wts), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("source")).as("source"),
+        count(lit(1)).as("n_tok"),
+        sum(col("w")).as("sw"),
+        first(col("verdict")).as("verdict"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("sw div n_tok").as("score_bp"), col("verdict"))
+  }
+
+  /** The SERVED selector as a DRIVER-SIDE value — the c16 selector
+    * hand-off as a deployment loads it (the servingIndexExport pattern):
+    * the c13 selector verdict, the per-bucket weight map it selects
+    * (full-pool retrained `w_new` on "refresh", stored archive-trained
+    * `w_old` on "keep"), and the MATCHING totals — archive (N_t, N_r)
+    * for the stored weights, full-pool totals for the retrained ones —
+    * so the live scorer's unseen-bucket Laplace formula stays the served
+    * model's own smoothing.  [[graft.stream.LiveDsirScorer.monitor]]
+    * fed this export IS the c17 serve-again step live (T23): the scorer
+    * machinery, throughput and state shape are T18's verbatim — only
+    * the loaded model differs, which is exactly the deployment story. */
+  def servingWeightExport(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, Map[Long, Long], Long, Long) = {
+    graft.sentiment.GraftFunctions.register(s)
+    val (minSt, minBen) = RefreshDecision.thresholds(s)
+    val v = RefreshDecision.decide(selectorRefreshLeg(s, dir), minSt, minBen)
+      .select(col("verdict")).collect().head.getString(0)
+    val rows = RefreshDecision.selectorWeights(dsirDriftCounts(s, dir), DsirBuckets,
+        RefreshDecision.decimal128(s))
+      .select(col("b"),
+        (if (v == "refresh") col("w_new") else col("w_old")).as("w"),
+        col("nt_a"), col("nr_a"), col("ti_t"), col("ti_r"))
+      .collect()
+    require(rows.nonEmpty, "graft: serving-weight export found no trained selector")
+    val wm = rows.map(r => r.getAs[Number]("b").longValue ->
+      r.getAs[Number]("w").longValue).toMap
+    val h = rows.head
+    val (nt, nr) =
+      if (v == "refresh")
+        (h.getAs[Long]("nt_a") + h.getAs[Long]("ti_t"),
+          h.getAs[Long]("nr_a") + h.getAs[Long]("ti_r"))
+      else (h.getAs[Long]("nt_a"), h.getAs[Long]("nr_a"))
+    (v, wm, nt, nr)
+  }
+
   val c17RefreshedSelection = NamedQuery(
     "c17_refreshed_selection",
-    (s, dir) => {
-      graft.sentiment.GraftFunctions.register(s)
-      val (minSt, minBen) = RefreshDecision.thresholds(s)
-      val verdict = RefreshDecision.decide(selectorRefreshLeg(s, dir), minSt, minBen)
-        .select(col("verdict"))
-      val wts = RefreshDecision.selectorWeights(dsirDriftCounts(s, dir), DsirBuckets,
-          RefreshDecision.decimal128(s))
-        .crossJoin(broadcast(verdict))
-        .select(col("b"),
-          when(col("verdict") === "refresh", col("w_new"))
-            .otherwise(col("w_old")).as("w"),
-          col("verdict"))
-      val tok = Tables.documents(s, dir)
-        .filter(col("text").isNotNull && col("text") =!= "" &&
-          col("doc_id") % 10 === 7 && col("source") =!= DsirTarget)
-        .select(col("doc_id"), col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
-        .select(col("doc_id"), col("source"),
-          (call_function("graft_charfold", col("t")) % DsirBuckets).as("b"))
-      tok.join(broadcast(wts), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("source")).as("source"),
-          count(lit(1)).as("n_tok"),
-          sum(col("w")).as("sw"),
-          first(col("verdict")).as("verdict"))
-        .select(col("doc_id"), col("source"), col("n_tok"),
-          expr("sw div n_tok").as("score_bp"), col("verdict"))
-        .orderBy(col("score_bp").desc, col("doc_id"))
-        .limit(DsirTopK)
-    },
+    (s, dir) => c17ScoredDocs(s, dir)
+      .orderBy(col("score_bp").desc, col("doc_id"))
+      .limit(DsirTopK),
     Some(s"""WITH d AS (
         SELECT doc_id, source, lower(trim(text)) AS lt
         FROM documents WHERE text IS NOT NULL AND text <> ''),
