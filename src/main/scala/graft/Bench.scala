@@ -59,7 +59,8 @@ object Bench {
       cache: Option[Seq[(String, Double)]],
       banded: Option[Seq[(String, Double)]],
       bpe: Option[(Double, Double)],
-      d7Bucketed: Option[Double])
+      d7Bucketed: Option[Double],
+      serveWarm: Option[Seq[(String, Double)]])
 
   private final case class SuiteResult(
       cpus: String,
@@ -82,6 +83,19 @@ object Bench {
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The r14 local[32] scaling pathology, root-caused (r15): shuffle
+      // map tasks under the bypass-merge writer concatenate their
+      // per-partition files via FileChannel.transferTo, whose trusted-
+      // channel path mmaps the source — 32 executor THREADS in one JVM
+      // doing concurrent mmap/munmap serialize on the process-wide mm
+      // lock and storm TLB-shootdown IPIs (thread dump: 32/33 workers
+      // RUNNABLE in FileChannelImpl.map0/unmap0; c1 120 s at local[32]
+      // vs 3.5 s at local[4], 11 % CPU busy).  Stream-copy instead: the
+      // kernel page cache still short-circuits the I/O, no mm churn.
+      // A real cluster runs executors as separate PROCESSES (each its
+      // own mm), so this is a wide-single-JVM deployment note, not a
+      // plan property — SCALING.md "local[32] pathology".
+      .config("spark.file.transferTo", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -117,13 +131,34 @@ object Bench {
       graft.queries.Dedup.clearDupGraphCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // Live per-run progress on stderr (the r14 scaling-pathology probe:
+    // an external watchdog can thread-dump the JVM the moment a query
+    // overruns, instead of diagnosing from the artifact after the fact).
+    // SPARK_GRAFT_BENCH_TRACE=1 additionally logs each stage's scheduling
+    // shape, separating executor-side time from driver-side gaps.
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    if (trace) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = for {s <- i.submissionTime; c <- i.completionTime} yield c - s
+          System.err.println(s"[trace] stage ${i.stageId} '${i.name.takeWhile(_ != '\n').take(60)}' " +
+            s"tasks=${i.numTasks} wall=${wall.getOrElse(-1L)}ms " +
+            s"taskTime=${i.taskMetrics.executorRunTime}ms " +
+            s"gc=${i.taskMetrics.jvmGCTime}ms " +
+            s"cpuMs=${i.taskMetrics.executorCpuTime / 1000000}")
+        }
+      })
     val runs = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+      val times = (1 to repeat).map { rep =>
+        System.err.println(s"[bench] local[$cpus] START $name rep$rep")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(): Unit }
         catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}" }
         val t = (System.nanoTime() - t0) / 1e9
         clearCaches()
+        System.err.println(f"[bench] local[$cpus] DONE  $name rep$rep $t%.2f s")
         t
       }
       name -> times
@@ -233,6 +268,39 @@ object Bench {
         clearCaches()
         Some(t)
       }
+    // Warm serve-again tier (round-14 verdict #3): the headline rows for
+    // the serve-again queries price the COLD worst case — per-query
+    // isolation clears session memos, so each re-derives its family's
+    // full audit chain (s18/s19/s20 + c16/c17 ≈ 31 s of the canonical
+    // total).  A deployment derives each family's audit ONCE per epoch
+    // and serves through the memoized relations; this tier makes that
+    // deployment-shaped marginal machine-readable: one UNTIMED priming
+    // run populates the memos (its cost is the headline cold rows'
+    // story), then each query re-runs timed WITHOUT clearing — warm =
+    // probe + re-rank over already-persisted family relations.  Single
+    // pass, not min-of-N (the runTier rationale: repeats would report a
+    // doubly-warm number).
+    val serveAgainNames = Seq("s18_refreshed_serving", "s19_refreshed_adc",
+      "s20_ivfpq_serving", "c16_refresh_execution", "c17_refreshed_selection")
+    val serveWarmTier: Option[Seq[(String, Double)]] =
+      if (tiersOff) None
+      else {
+        clearCaches()
+        serveAgainNames.foreach { name =>
+          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+          catch { case e: Throwable =>
+            errors += s"serveprime:$name: ${e.getClass.getSimpleName}" }
+        }
+        val ts = serveAgainNames.map { name =>
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+          catch { case e: Throwable =>
+            errors += s"servewarm:$name: ${e.getClass.getSimpleName}" }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        clearCaches()
+        Some(ts)
+      }
     val loadAfter = loadAvg()
     val cpuBusyPct: Option[Double] = for {
       (b0, t0) <- cpuBefore; (b1, t1) <- cpuJiffies() if t1 > t0
@@ -241,7 +309,7 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     SuiteResult(cpus, runs, errors.toSeq, loadBefore, loadAfter, cpuBusyPct,
-      if (tiersOff) None else Some(TierResults(cacheTier, bandedTier, bpeTier, embedTier)))
+      if (tiersOff) None else Some(TierResults(cacheTier, bandedTier, bpeTier, embedTier, serveWarmTier)))
   }
 
   // ---------------------------------------------------------------- JSON
@@ -276,7 +344,9 @@ object Bench {
       s""""dupgraph_banded_prod_c1d6d9_s":${prodSubtotal(tr.banded)},""" +
       s""""bpe_train_plus_apply_s":${jNumOpt(tr.bpe.map(_._1))},""" +
       s""""bpe_apply_only_s":${jNumOpt(tr.bpe.map(_._2))},""" +
-      s""""d7_bucketed_s":${jNumOpt(tr.d7Bucketed)}}"""
+      s""""d7_bucketed_s":${jNumOpt(tr.d7Bucketed)},""" +
+      s""""serve_again_warm_tier":${tierJsonOf(tr.serveWarm)},""" +
+      s""""serve_again_warm_s":${tr.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")}}"""
   }.getOrElse("null")
 
   private def suiteJson(r: SuiteResult, repeat: Int): String = {
@@ -306,7 +376,7 @@ object Bench {
     val slowest = r.mins.sortBy(-_._2).take(10)
       .map { case (k, v) => jStr(k) + ":" + fmt2(v) }.mkString("{", ",", "}")
     val t = r.tiers
-    s"""{"summary":"$tag","total_s":${fmt2(r.total)},"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"contended":${contended(r)},"load_before":${fmt2(r.loadBefore)},"load_after":${fmt2(r.loadAfter)},"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"n_errors":${r.errors.size},"slowest":$slowest}"""
+    s"""{"summary":"$tag","total_s":${fmt2(r.total)},"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"contended":${contended(r)},"load_before":${fmt2(r.loadBefore)},"load_after":${fmt2(r.loadAfter)},"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"serve_again_warm_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"n_errors":${r.errors.size},"slowest":$slowest}"""
   }
   private def tierTotal(t: Option[Seq[(String, Double)]]): String =
     t.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")

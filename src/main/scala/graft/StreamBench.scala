@@ -123,6 +123,10 @@ object StreamBench {
       .withExtensions(new graft.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // spark.file.transferTo=false: the mmap-based transferTo path
+      // serializes wide single-JVM shuffles (SCALING.md "local[32]
+      // pathology"; full rationale at Bench.runSuite)
+      .config("spark.file.transferTo", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // accounting reads q.recentProgress, whose DEFAULT retention is
@@ -151,6 +155,14 @@ object StreamBench {
     lazy val servIndex = graft.queries.Similarity.servingIndexExport(spark, sfDir)._2
     lazy val servPostings = LiveServing.postingsOf(
         graft.tables.Tables.embeddings(spark, sfDir), servIndex)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the archive-backed near-dup tier's stored band-bucket relation
+    // (r15 — the T14 state-bound story): the sf corpus IS the archive,
+    // the soak streams synthetic arrivals probing it one-sided.  LAZY
+    // for the same filtered-soak reason as the serving exports.
+    lazy val nearDupArchive = LiveNearDup.archiveRelationOf(
+        graft.tables.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")))(spark)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val driftRef: Map[String, Seq[Long]] =
       (0 until 5).map(t => s"t$t" -> Seq.fill(256)(10L)).toMap
@@ -182,6 +194,17 @@ object StreamBench {
       "T14_near_dup_verified" -> ((src: DataFrame) =>
         LiveNearDup.verifiedPairsHashed(evs(src).map { case (v, _) =>
           LiveNearDup.DocEvent(v, textOf(v)) })),
+      // T14's ARCHIVE-BACKED tier (r15 — the bounded-state deployment
+      // shape): arrivals probe the STORED corpus band-bucket relation
+      // stream-static (stateless), window state holds only the last
+      // windowTtlMs of arrivals for new-new pairing — state is
+      // window-sized, never corpus-sized (the claim this row measures).
+      // Synthetic ids offset past the corpus so probe self-pairs can't
+      // alias.
+      "T14_archive_near_dup" -> ((src: DataFrame) =>
+        LiveNearDup.verifiedPairsArchivedHashed(evs(src).map { case (v, _) =>
+          LiveNearDup.DocEvent(1000000000L + v, textOf(v)) },
+          nearDupArchive, windowTtlMs = 10000L)),
       // isolation probe: T14's scan side alone (no state, no shuffle) —
       // prices the per-doc banding+hashing chain the stateful stage
       // rides; not part of the committed table's stage set
@@ -243,7 +266,7 @@ object StreamBench {
     // not throughput (round-14 finding; the scan-only probe "measured"
     // the same 833 docs/s as the full stateful stage).
     def rowsPerBatchOf(stage: String): Option[Int] = stage match {
-      case "T14_near_dup_verified" | "T14_scan_only" =>
+      case "T14_near_dup_verified" | "T14_scan_only" | "T14_archive_near_dup" =>
         Some(sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_T14_BATCH", "10000").toInt)
       case "T22_live_serving" =>
         // 8k queries/batch amortizes the per-batch planning of the

@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Registry manifest (round-14 verdict #2: s20 shipped with no oracle
+    * row because the dump predated the commit — a stale artifact was
+    * silently SHORTER instead of loudly wrong).  The dump now carries the
+    * full `SparkEntry.queries` key set, so any checker can prove the
+    * artifact covers the registry it claims to: a missing per-query dir
+    * becomes a FAIL, not an absent row.  `filtered` marks local
+    * SPARK_GRAFT_VERIFY_ONLY runs, where incompleteness is intentional. */
+  def manifestJson(filtered: Boolean): String = {
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    names.map(n => "\"" + n + "\"")
+      .mkString(s"""{"count":${names.size},"filtered":$filtered,"names":[""", ",", "]}")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +24,10 @@ object Verify {
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // spark.file.transferTo=false: the mmap-based transferTo path
+      // serializes wide single-JVM shuffles (SCALING.md "local[32]
+      // pathology"; full rationale at Bench.runSuite)
+      .config("spark.file.transferTo", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -61,6 +78,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifestJson(only.isDefined))
     spark.stop()
   }
 }

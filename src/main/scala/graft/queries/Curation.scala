@@ -20,7 +20,7 @@ object Curation {
 
   /** Tokens per packed training sequence (c3) — 2^11, a common LLM
     * context-length budget. */
-  private val SeqBudget = 2048L
+  private[graft] val SeqBudget = 2048L
 
   // ---------------------------------------------------------------- c3
   /** Sequence packing — concatenate-and-chunk: documents are concatenated
@@ -536,7 +536,7 @@ object Curation {
   /** The target-domain slice: `src0` stands in for the curated
     * high-quality domain (Wikipedia/books in the published setups). */
   private[graft] val DsirTarget = "src0"
-  private val DsirTopK = 100
+  private[graft] val DsirTopK = 100
 
   /** DSIR-style importance SELECTION — "which raw-pool documents look
     * most like the target domain?", the data-selection step a pretraining
@@ -995,7 +995,7 @@ object Curation {
   private[queries] def selectorRefreshLeg(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     RefreshDecision.selectorLegOf(dsirDriftCounts(s, dir), DsirBuckets,
-        decimal = RefreshDecision.decimal128(s))
+        decimal = RefreshDecision.decimalOn(s))
       .select(lit("selector").as("family"), col("staleness_bp"), col("benefit_bp"))
 
   /** REFRESH DECISION — the operator a 100 TB pipeline actually
@@ -1159,8 +1159,8 @@ object Curation {
         .select(col("family"), col("comp_a"), col("comp_b"),
           col("dim").cast("long").as("dim"), col("v").cast("long").as("value"),
           col("verdict"))
-      val sel = RefreshDecision.selectorWeights(
-          dsirDriftCounts(s, dir), DsirBuckets, RefreshDecision.decimal128(s))
+      val sel = RefreshDecision.selectorWeights(dsirDriftCounts(s, dir), DsirBuckets,
+          RefreshDecision.decimalOn(s))
         .select(lit("selector").as("family"), col("b").cast("long").as("comp_a"),
           lit(0L).as("comp_b"), col("w_old"), col("w_new"))
         .join(broadcast(dec), Seq("family"))
@@ -1284,7 +1284,7 @@ object Curation {
     val verdict = RefreshDecision.decide(selectorRefreshLeg(s, dir), minSt, minBen)
       .select(col("verdict"))
     val wts = RefreshDecision.selectorWeights(dsirDriftCounts(s, dir), DsirBuckets,
-        RefreshDecision.decimal128(s))
+        RefreshDecision.decimalOn(s))
       .crossJoin(broadcast(verdict))
       .select(col("b"),
         when(col("verdict") === "refresh", col("w_new"))
@@ -1325,7 +1325,7 @@ object Curation {
     val v = RefreshDecision.decide(selectorRefreshLeg(s, dir), minSt, minBen)
       .select(col("verdict")).collect().head.getString(0)
     val rows = RefreshDecision.selectorWeights(dsirDriftCounts(s, dir), DsirBuckets,
-        RefreshDecision.decimal128(s))
+        RefreshDecision.decimalOn(s))
       .select(col("b"),
         (if (v == "refresh") col("w_new") else col("w_old")).as("w"),
         col("nt_a"), col("nr_a"), col("ti_t"), col("ti_r"))

@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   * 7·10¹⁸ at sf0.1 — inside int64 with ~25% headroom — and the selector
   * leg's w_old/w_new products grow as per-bucket-count × total-count ×
   * 10⁴, which overflows EARLIER (roughly beyond ~10⁹ total tokens with a
-  * hot bucket).  Under ANSI both fail correct-by-crash.  Setting
-  * `spark.graft.decimal128=true` promotes every overflow-capable product
+  * hot bucket).  Under ANSI both fail correct-by-crash.  Since round 15
+  * the DEFAULT regime is PROMOTED ([[decimalOn]] — a 100× corpus needs
+  * no conf flip; the promotion is free because every promoted expression
+  * lives on a bounded audit relation, and the int64-vs-CASE alternatives
+  * are ruled out at decimalOn's doc).  Setting
+  * `spark.graft.decimal128=false` pins the int64 micro-path (preflight
+  * with the Needs checkers first); `true` pins the promotion of every
+  * overflow-capable product
   * (staleness cross-products, the selector shift mass and weight
   * numerators/denominators, the benefit numerators) to decimal(38,0) —
   * the integral `div` still returns bigint, so OUTPUT schemas and values
@@ -35,11 +41,97 @@ import org.apache.spark.sql.functions._
   * deployment flips the conf. */
 object RefreshDecision {
 
-  /** The decimal(38,0) promotion flag — see the magnitude-regime note
-    * above.  Default off: int64 is the codegen-friendly fast path and
-    * ANSI makes overflow loud, never wrong. */
-  def decimal128(s: SparkSession): Boolean =
-    s.conf.getOption("spark.graft.decimal128").exists(_.toBoolean)
+  /** The decimal(38,0) promotion conf — see the magnitude-regime note
+    * above.  Three states (r14 verdict #5 — the flip used to be manual,
+    * so a 100× corpus under default conf got correct-by-crash):
+    * `"true"`/`"false"` PIN the regime; unset or `"auto"` (the default)
+    * resolves to PROMOTED via [[decimalOn]] — the rationale there. */
+  def decimal128Conf(s: SparkSession): Option[Boolean] =
+    s.conf.getOption("spark.graft.decimal128").flatMap {
+      case "auto" => None
+      case v => Some(v.toBoolean)
+    }
+
+  /** The AUTO regime is PROMOTED.  Why not "peek at the counts and pick
+    * int64 when safe" (the literal r14 ask): (a) a plan-time peek
+    * executes an aggregate during query CONSTRUCTION, which violates the
+    * construction-purity gate (QueryPacksSpec: building a DataFrame
+    * launches zero action jobs) and made every later plan's evidence
+    * order-dependent; (b) a runtime CASE over both arithmetics cannot
+    * preserve the int64 path either — Spark's common-type coercion types
+    * the CASE result decimal(38,0) regardless of which branch runs.  So
+    * the only way to KEEP int64 is a conf pin, and auto must choose one
+    * type: decimal(38,0) is exact at any corpus scale and costs nothing
+    * here, because every promoted expression lives on a bounded audit
+    * relation (≤ B buckets / ≤ k cells / ≤ PqM·PqK codes / 1-row totals)
+    * — the corpus-sized arithmetic upstream (token bucketing, distance
+    * masses) is int64 in BOTH regimes.  Values are bit-identical where
+    * int64 doesn't overflow (Decimal128ParitySpec), so the oracle is
+    * unaffected; a deployment pinning `false` for the int64 micro-win
+    * should preflight [[selectorNeedsDecimal128]]/[[crossNeedsDecimal128]]. */
+  def decimalOn(s: SparkSession): Boolean =
+    decimal128Conf(s).getOrElse(true)
+
+  /** Pinned-int64 preflight headroom: the regime is safe only while
+    * every product BOUND stays under half of int64 — the bound is exact
+    * worst-case per the relation's own maxima/totals, the 2× margin
+    * absorbs the one growth step between this audit and the next
+    * (counts are epoch-monotone, they can't double silently inside a
+    * decision). */
+  private val Int64Headroom: BigInt = BigInt(Long.MaxValue) / 2
+
+  /** Pinned-int64 PREFLIGHT for the SELECTOR leg (run it before setting
+    * `spark.graft.decimal128=false` — it executes one tiny aggregate, so
+    * it must never be called during query construction): does any
+    * product in [[selectorWeights]]/[[selectorLegOf]]'s int64 path risk
+    * overflow at this relation's magnitudes?  One aggregate over the
+    * ≤ B-row drift counts (maxima + totals), then exact BigInt bounds on
+    * each product: shift terms n_inc·NRₐ and cr_arch·TIᵣ, their 10⁴·Σ
+    * numerator, the w_old/w_new numerators and denominators, and the
+    * 2·NRₐ·TIᵣ normalizer. */
+  def selectorNeedsDecimal128(per: DataFrame, buckets: Long): Boolean = {
+    val r = per.agg(
+      count(lit(1)).as("n"),
+      coalesce(max(col("ct_arch")), lit(0L)).as("xct"),
+      coalesce(max(col("cr_arch")), lit(0L)).as("xcr"),
+      coalesce(max(col("ct_inc")), lit(0L)).as("xci"),
+      coalesce(max(col("n_inc")), lit(0L)).as("xni"),
+      coalesce(sum(col("ct_arch")), lit(0L)).as("nta"),
+      coalesce(sum(col("cr_arch")), lit(0L)).as("nra"),
+      coalesce(sum(col("ct_inc")), lit(0L)).as("tit"),
+      coalesce(sum(col("n_inc")), lit(0L)).as("tir")).collect().head
+    val Seq(n, xct, xcr, xci, xni, nta, nra, tit, tir) =
+      (0 to 8).map(i => BigInt(r.getLong(i)))
+    val b = BigInt(buckets)
+    val shTerm = (xni * nra).max(xcr * tir)
+    val bounds = Seq(
+      shTerm,                                     // per-bucket shift products
+      BigInt(10000) * n * shTerm,                 // 10⁴·Σsh numerator
+      BigInt(2) * nra * tir,                      // staleness normalizer
+      (xct + 1) * (nra + b) * 10000,              // w_old numerator
+      (xcr + 1) * (nta + b),                      // w_old denominator
+      (xct + xci + 1) * (nra + tir + b) * 10000,  // w_new numerator
+      (xcr + xni + 1) * (nta + tit + b))          // w_new denominator
+    bounds.exists(_ > Int64Headroom)
+  }
+
+  /** Pinned-int64 PREFLIGHT for a CROSS-STALENESS leg (+ its
+    * priced-benefit sibling, whose 10⁴·Σd_before numerator is bounded by
+    * 10⁴·(ma+mi) — d_before is the same stale-model mass split this
+    * relation totals).  Executes one tiny aggregate — never call during
+    * query construction. */
+  def crossNeedsDecimal128(per: DataFrame,
+      nA: String, nI: String, mA: String, mI: String): Boolean = {
+    val r = per.agg(
+      coalesce(sum(col(nA)), lit(0L)).as("na"),
+      coalesce(sum(col(nI)), lit(0L)).as("ni"),
+      coalesce(sum(col(mA)), lit(0L)).as("ma"),
+      coalesce(sum(col(mI)), lit(0L)).as("mi")).collect().head
+    val Seq(na, ni, ma, mi) = (0 to 3).map(i => BigInt(r.getLong(i)))
+    Seq(BigInt(10000) * mi * na, ma * ni, BigInt(10000) * (ma + mi))
+      .exists(_ > Int64Headroom)
+  }
+
 
   /** Wrap a SQL term in the decimal(38,0) promotion when `dec` — ONE
     * promoted factor per product is enough: decimal is sticky through

@@ -2531,7 +2531,7 @@ object Similarity {
           .cast("long").as("d_arch"),
         sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
           .cast("long").as("d_inc"))
-    val dec = RefreshDecision.decimal128(s)
+    val dec = RefreshDecision.decimalOn(s)
     val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc", "d_arch", "d_inc",
       decimal = dec)
     val ben = s15RefreshReport(s, dir)
@@ -2636,7 +2636,7 @@ object Similarity {
           .cast("long").as("err_arch"),
         sum(when(isNew(col("vec_id")), col("dist")).otherwise(0.0))
           .cast("long").as("err_inc"))
-    val dec = RefreshDecision.decimal128(s)
+    val dec = RefreshDecision.decimalOn(s)
     val st = RefreshDecision.crossStalenessBp(per, "n_arch", "n_inc",
       "err_arch", "err_inc", decimal = dec)
     val ben = s17PqRefreshReport(s, dir)

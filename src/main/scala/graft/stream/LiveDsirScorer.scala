@@ -45,7 +45,16 @@ object LiveDsirScorer {
       weights: Map[Long, Long], nt: Long, nr: Long): (Long, Long) = {
     val b = graft.queries.Curation.DsirBuckets
     val unseen = Math.floorDiv((nr + b) * 10000L, nt + b)
-    val toks = text.trim.toLowerCase.split("\\s+")
+    // Spark semantics exactly (ADVICE r14 — this loop is parity-pinned
+    // against the batch pipeline): Spark's `trim` drops only ' ' at the
+    // ends (Java String.trim drops all chars <= U+0020) and `lower` is
+    // locale-independent (default-locale toLowerCase breaks on e.g. tr_TR
+    // dotted-I) — match RefreshedSelectionSpec.tokensOf.
+    // limit -1: Spark's split keeps trailing empty tokens (Java's
+    // zero-limit split drops them) — a doc ending in non-space whitespace
+    // must bucket the same "" token the batch explode sees.
+    val trimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val toks = trimmed.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     var sw = 0L
     var i = 0
     while (i < toks.length) {

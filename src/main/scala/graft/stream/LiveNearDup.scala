@@ -226,6 +226,161 @@ object LiveNearDup {
       }
   }
 
+  /** A verified pair labeled with its provenance (d14's convention):
+    * `new-old` = the arriving doc hit the stored archive, `new-new` =
+    * two docs inside the live window. */
+  final case class ArchivedPair(doc_a: Long, doc_b: Long, jaccard: Double,
+      band: Int, bv: Long, pair_type: String)
+
+  /** The STORED band-bucket relation an archive-backed deployment
+    * probes — `(band, bv, doc_id, hashes)` over a static document
+    * relation, derived through the SAME one-pass kernel projection the
+    * live tier bands with ([[graft.queries.Dedup.bandHashesFor]]), so
+    * live ≡ batch holds by construction (the LiveServing.postingsOf
+    * pattern).  At 100 TB this is d14's maintained index, partitioned
+    * by (band, bv) — the stream-static probe touches only the arriving
+    * docs' buckets. */
+  def archiveRelationOf(docs: org.apache.spark.sql.DataFrame)(
+      implicit spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.sentiment.GraftFunctions.register(spark)
+    docs
+      .select(col("doc_id"), graft.queries.Dedup.bandHashesFor(col("text")).as("bh"))
+      .select(col("doc_id"),
+        posexplode(col("bh.bands")).as(Seq("band", "bv")),
+        col("bh.hashes").as("hashes"))
+      .select(col("band"), col("bv"), col("doc_id"), col("hashes"))
+  }
+
+  /** ARCHIVE-BACKED live verified near-dup — the r14 verdict's "bound
+    * T14's live state at corpus scale": [[verifiedPairsHashed]] holds
+    * EVERY member's hash set in bucket state forever, which extrapolates
+    * to ~2 TB/node at 10⁹ docs (SCALING.md).  d14 already defines the
+    * posture — archive membership belongs in a STORED band-bucket
+    * relation probed ONE-SIDED — so this tier splits the work exactly
+    * as d14's batch query does:
+    *
+    *   new-old   stateless stream-static equi-join on (band, bv): each
+    *             arriving doc's band keys probe [[archiveRelationOf]]'s
+    *             stored relation (T22's posting-probe pattern), the
+    *             exact hashed-Jaccard verify runs per candidate — NO
+    *             state at all for the archive side.
+    *   new-new   the SAME keyed bucket state as the hashed tier, but
+    *             holding ONLY the live window's members — state is
+    *             |window|·Bands hash sets, independent of corpus size.
+    *
+    * Union of the branches = d14's relation restricted to pairs
+    * touching the stream (LiveNearDupArchiveSpec pins replay ≡ d14 on
+    * the real corpus).  The hot-bucket story splits the same way: the
+    * stored side is built by the batch tier under d3's loud hot-bucket
+    * guard; the window side keeps this tier's own `maxBucket` require.
+    *
+    * `windowTtlMs > 0` evicts idle window buckets (ProcessingTime
+    * timeout — the LiveServing TTL semantics and trigger-pacing
+    * caveats apply verbatim).  Sizing contract: a window member
+    * evicted before the archive relation is refreshed to include it is
+    * invisible to later arrivals — the TTL must exceed the
+    * archive-refresh lag, because membership must live EITHER in the
+    * window state OR in the stored relation at every instant. */
+  def verifiedPairsArchivedHashed(
+      docs: Dataset[DocEvent],
+      archive: org.apache.spark.sql.DataFrame,
+      maxBucket: Int = 100000,
+      windowTtlMs: Long = 0L)(
+      implicit spark: SparkSession): Dataset[ArchivedPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.sentiment.GraftFunctions.register(spark)
+    val banded: Dataset[DocHashes] = docs
+      .select(col("doc_id"), graft.queries.Dedup.bandHashesFor(col("text")).as("bh"))
+      .select(col("doc_id"),
+        posexplode(col("bh.bands")).as(Seq("band", "bv")),
+        col("bh.hashes").as("hashes"))
+      .select(col("doc_id"), col("band"), col("bv"), col("hashes"))
+      .as[DocHashes]
+    // new-old: one-sided probe of the stored relation, stateless
+    val newOld: Dataset[ArchivedPair] = banded.toDF()
+      .join(archive
+          .select(col("band"), col("bv"), col("doc_id").as("doc_o"),
+            col("hashes").as("hashes_o")),
+        Seq("band", "bv"))
+      .filter(col("doc_id") =!= col("doc_o"))
+      .select(col("doc_id"), col("hashes"), col("doc_o"), col("hashes_o"),
+        col("band"), col("bv"))
+      .as[(Long, Array[Long], Long, Array[Long], Int, Long)]
+      .flatMap { case (di, hi, dj, ho, band, bv) =>
+        val inter = sortedIntersectCount(hi, ho)
+        val union = hi.length + ho.length - inter
+        if (union > 0) {
+          val j = BigDecimal.decimal(inter.toDouble / union)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (j >= 0.5)
+            Some(ArchivedPair(math.min(di, dj), math.max(di, dj), j,
+              band, bv, "new-old"))
+          else None
+        } else None
+      }
+    // new-new: the hashed tier's keyed bucket state over the window only
+    val newNew: Dataset[ArchivedPair] =
+      hashedBucketFold(banded, maxBucket, windowTtlMs)
+        .map(p => ArchivedPair(p.doc_a, p.doc_b, p.jaccard, p.band, p.bv, "new-new"))
+    newOld.union(newNew)
+  }
+
+  /** The hashed tier's keyed-state fold, factored so the standalone
+    * tier ([[verifiedPairsHashed]], NoTimeout) and the archive-backed
+    * window branch (optional TTL) share one implementation. */
+  private def hashedBucketFold(banded: Dataset[DocHashes], maxBucket: Int,
+      stateTtlMs: Long)(implicit spark: SparkSession): Dataset[VerifiedPair] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey(r => (r.band, r.bv))
+      .flatMapGroupsWithState[HashBucket, VerifiedPair](
+        OutputMode.Append, timeoutConf) {
+        case ((band, bv), rows: Iterator[DocHashes], state: GroupState[HashBucket]) =>
+          if (stateTtlMs > 0L && state.hasTimedOut) {
+            // idle window bucket past the TTL: evict — membership now
+            // lives only in the stored archive relation (sizing
+            // contract in the verifiedPairsArchivedHashed doc)
+            state.remove()
+            Iterator.empty
+          } else {
+            val existing = state.getOption.map(_.members).getOrElse(Seq.empty)
+            val byId = scala.collection.mutable.LinkedHashMap(
+              existing.map(m => m.doc_id -> m).toSeq: _*)
+            val out = Seq.newBuilder[VerifiedPair]
+            rows.toSeq.groupBy(_.doc_id).toSeq.sortBy(_._1).foreach { case (id, rs) =>
+              if (!byId.contains(id)) {
+                val hNew = rs.head.hashes
+                byId.valuesIterator.foreach { m =>
+                  val inter = LiveNearDup.sortedIntersectCount(m.hashes, hNew)
+                  val union = m.hashes.length + hNew.length - inter
+                  if (union > 0) {
+                    val j = BigDecimal.decimal(inter.toDouble / union)
+                      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                    if (j >= 0.5)
+                      out += VerifiedPair(math.min(m.doc_id, id), math.max(m.doc_id, id),
+                        j, band, bv)
+                  }
+                }
+                byId(id) = HashMember(id, hNew)
+              }
+            }
+            require(byId.size <= maxBucket,
+              s"band bucket ($band, $bv) exceeded $maxBucket members — " +
+                "boilerplate-grade duplication; raise maxBucket or dedup upstream")
+            if (byId.size != existing.size)
+              state.update(HashBucket(byId.values.toVector))
+            if (stateTtlMs > 0L && state.exists)
+              state.setTimeoutDuration(stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Intersection size of two SORTED long arrays — one merge walk. */
   private[stream] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var n = 0

@@ -44,7 +44,7 @@ object LiveRefreshDecision {
       benefits: StoredBenefits,
       minStalenessBp: Long = RefreshDecision.DefaultMinStalenessBp,
       minBenefitBp: Long = RefreshDecision.DefaultMinBenefitBp,
-      decimal: Boolean = false): DataFrame = {
+      decimal: Boolean = true): DataFrame = {
     val ivf = RefreshDecision
       .crossStalenessBp(ivfPer, "n_arch", "n_inc", "d_arch", "d_inc",
         decimal = decimal)

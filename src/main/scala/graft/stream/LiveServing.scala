@@ -27,7 +27,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * so like the funnel's min-fold it needs no watermark — a re-sent
   * query or a candidate arriving in a later batch (a posting-list
   * partition backfill) merges into the same top-k, and exactly-once
-  * across restarts is the checkpointed state store's job.  State is
+  * across restarts is the checkpointed state store's job.  That
+  * later-batch merge holds only while the query's state LIVES:
+  * with `stateTtlMs > 0`, a candidate batch arriving more than the
+  * TTL after the previous one finds the state evicted and starts a
+  * fresh rev chain whose top-k silently misses the earlier
+  * candidates — so the TTL MUST exceed the maximum candidate-delivery
+  * spread (any posting-backfill window included); size it as an
+  * answered-and-idle horizon, not a batch interval (ADVICE r14).
+  * State is
   * ≤ TopK (cosine, id) pairs per LIVE query, and — unlike the monitor
   * twins, whose key spaces are bounded by the model — retrieval
   * request ids are one-shot, so a long-running node enables the
@@ -82,10 +90,14 @@ object LiveServing {
       i += 1
     }
     index.map { case (id, cent, cc) =>
+      // dimension mismatch = malformed query embedding; a truncated dot
+      // product would serve wrong probe cells silently (index dims are
+      // uniform by construction, so this can only be the query's fault)
+      require(cent.length == qv.length,
+        s"graft: query embedding dim ${qv.length} != index dim ${cent.length}")
       var dp = 0.0
       var j = 0
-      val n = math.min(qv.length, cent.length)
-      while (j < n) { dp += qv(j) * cent(j); j += 1 }
+      while (j < qv.length) { dp += qv(j) * cent(j); j += 1 }
       (vv - 2.0 * dp + cc, id)
     }.sortBy(identity).take(nprobe).map(_._2).toSeq
   }
@@ -125,7 +137,11 @@ object LiveServing {
     * always constructs another batch, so `processAllAvailable` never
     * returns on it — poll the sink instead (the TTL parity test shows
     * the shape).  The default 0 keeps NoTimeout — right for parity
-    * replays and bounded soaks. */
+    * replays and bounded soaks.  TTL sizing contract (class doc): the
+    * TTL bounds how LATE a candidate batch may arrive and still merge
+    * into the query's existing top-k — past it, eviction makes the next
+    * batch a fresh, PARTIAL rev chain.  Pick
+    * stateTtlMs > max candidate-delivery spread (backfills included). */
   def serve(queries: Dataset[QEv],
       index: Array[(Int, Array[Double], Double)],
       postings: DataFrame,

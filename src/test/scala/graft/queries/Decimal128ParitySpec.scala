@@ -148,4 +148,70 @@ class Decimal128ParitySpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b, s"live decimal path diverged:\n  $a\n  $b")
   }
+
+  // ------------------------------------------------- auto regime (r15)
+  // The conf default is now PROMOTED (decimalOn — a 100× corpus needs no
+  // conf flip); the Needs checkers are the pinned-int64 preflight.
+
+  test("default regime survives the planted overflow scale (no conf set)") {
+    assert(spark.conf.getOption("spark.graft.decimal128").isEmpty)
+    assert(RefreshDecision.decimalOn(spark), "unset conf must promote")
+    val per = hugeSelectorPer
+    val got = RefreshDecision.selectorLegOf(per, B,
+      RefreshDecision.decimalOn(spark)).collect().head
+    val (wantSt, wantBen) = bigSelectorExpected
+    assert(got.getLong(0) == wantSt && got.getLong(1) == wantBen,
+      s"default path: got (${got.getLong(0)}, ${got.getLong(1)}) " +
+        s"want ($wantSt, $wantBen)")
+  }
+
+  test("preflight checkers pin the int64 boundary on both sides") {
+    val s = spark
+    import s.implicits._
+    assert(RefreshDecision.selectorNeedsDecimal128(hugeSelectorPer, B),
+      "planted overflow fixture must trip the selector bound")
+    val small = Seq(
+      (0L, 40L, 30L, 10L, 20L), (1L, 10L, 20L, 20L, 30L))
+      .toDF("b", "ct_arch", "cr_arch", "ct_inc", "n_inc")
+    assert(!RefreshDecision.selectorNeedsDecimal128(small, B))
+    val hugeCross = Seq((1000000000L, 500000000L, 7000000000L, 10000000000L))
+      .toDF("n_arch", "n_inc", "m_arch", "m_inc")
+    assert(RefreshDecision.crossNeedsDecimal128(
+      hugeCross, "n_arch", "n_inc", "m_arch", "m_inc"))
+    val smallCross = Seq((1000L, 500L, 7000L, 9000L))
+      .toDF("n_arch", "n_inc", "m_arch", "m_inc")
+    assert(!RefreshDecision.crossNeedsDecimal128(
+      smallCross, "n_arch", "n_inc", "m_arch", "m_inc"))
+  }
+
+  test("a manual conf pin overrides the promoted default") {
+    val per = hugeSelectorPer
+    spark.conf.set("spark.graft.decimal128", "false")
+    try {
+      assert(!RefreshDecision.decimalOn(spark),
+        "conf false must pin int64 even at overflow scale")
+      val e = intercept[Throwable] {
+        RefreshDecision.selectorLegOf(per, B,
+          RefreshDecision.decimalOn(spark)).collect()
+      }
+      assert(chainHasOverflow(e), s"pinned int64 failed without 'overflow': $e")
+    } finally spark.conf.unset("spark.graft.decimal128")
+    spark.conf.set("spark.graft.decimal128", "auto")
+    try assert(RefreshDecision.decimalOn(spark),
+      "explicit auto must behave like unset")
+    finally spark.conf.unset("spark.graft.decimal128")
+  }
+
+  test("c13 under the promoted default == the pinned-int64 rows (sf0.001)") {
+    val dir = sf()
+    val def_ = graft.SparkEntry.queries("c13_refresh_decision")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.decimal128", "false")
+    try {
+      val int64 = graft.SparkEntry.queries("c13_refresh_decision")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(def_ == int64,
+        s"promoted default diverged from int64:\n  dec $def_\n  i64 $int64")
+    } finally spark.conf.unset("spark.graft.decimal128")
+  }
 }

@@ -21,7 +21,7 @@ class PackingExecutionSpec extends SparkSpec {
         r.getLong(4), r.getLong(5), r.getLong(6)))
       .toSeq
 
-  private val B = 2048L
+  private val B = Curation.SeqBudget
 
   /** The concat-then-chunk walk — the third implementation of the
     * placement arithmetic, applied per (split, source) stream. */

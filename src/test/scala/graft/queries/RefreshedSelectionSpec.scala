@@ -67,7 +67,7 @@ class RefreshedSelectionSpec extends SparkSpec {
         (id, src, bs.size.toLong, Math.floorDiv(sw, bs.size.toLong), verdict)
       }
       .sortBy(t => (-t._4, t._1))
-      .take(100)
+      .take(Curation.DsirTopK)
   }
 
   test("c17 admits under the weights c13's verdict picked (sf0.001)") {

@@ -1,0 +1,66 @@
+package graft.stream
+
+import graft.SparkSpec
+import graft.queries.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Parity gate for the ARCHIVE-BACKED live near-dup tier (r14 verdict
+  * #4 — bound T14's live state at corpus scale): streaming ONLY the
+  * incoming slice against the STORED band-bucket relation must emit
+  * exactly d14's batch relation (pairs touching the slice), with the
+  * new-old pairs coming from the stateless stream-static probe and the
+  * new-new pairs from the window-only keyed state.  The bounded-state
+  * claim itself is measured by StreamBench's T14_archive soak row; this
+  * spec pins the answers. */
+class LiveNearDupArchiveSpec extends SparkSpec {
+
+  test("archive-backed replay of the incoming slice == d14, correctly labeled (sf0.01)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sf("sf0.01")
+    val docsDf = graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    // the stored relation: archive docs only, built through the shared
+    // kernel projection — persisted, as a deployment's stored index is
+    val archiveRel = LiveNearDup.archiveRelationOf(
+        docsDf.filter(col("doc_id") % 10 =!= 7))
+      .persist()
+    val incoming = docsDf.filter(col("doc_id") % 10 === 7).collect()
+      .map(r => LiveNearDup.DocEvent(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.verifiedPairsArchivedHashed(input.toDS(), archiveRel)
+      .writeStream.format("memory").queryName("t14_archive")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two chunks so cross-batch new-new pairing rides the window state
+      val (c1, c2) = incoming.splitAt(incoming.length / 2)
+      input.addData(c1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(c2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val live = spark.table("t14_archive").as[LiveNearDup.ArchivedPair].collect()
+        .map(p => (p.doc_a, p.doc_b, p.jaccard, p.pair_type)).toSet
+      val d14 = Dedup.d14IncrementalDedup.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      assert(live == d14,
+        s"archive-backed live diverges from d14: " +
+          s"only-live=${live.diff(d14).take(5)} only-batch=${d14.diff(live).take(5)} " +
+          s"(live=${live.size}, d14=${d14.size})")
+      assert(live.exists(_._4 == "new-old") && live.exists(_._4 == "new-new"),
+        s"fixture no longer exercises both branches: ${live.map(_._4)}")
+      // re-delivery idempotence: replaying a chunk adds nothing new-new
+      // (window membership) and re-emits new-old probe hits only for
+      // docs NOT already in the window state — chunk 2 is in state, so
+      // nothing new may appear beyond what the sink already holds
+      input.addData(c2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val after = spark.table("t14_archive").as[LiveNearDup.ArchivedPair].collect()
+        .map(p => (p.doc_a, p.doc_b, p.jaccard, p.pair_type)).toSet
+      assert(after.diff(live).forall(_._4 == "new-old"),
+        "a replayed doc re-entered the window state")
+    } finally q.stop()
+  }
+}

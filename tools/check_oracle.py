@@ -54,6 +54,38 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skew = 0
+    # Registry-manifest completeness gate (round-14: s20 had no oracle row
+    # because the dump predated the commit — the artifact was silently
+    # SHORTER than the registry).  queries.json carries the full
+    # SparkEntry.queries key set; every name must have a result dir and
+    # every result dir must be a registered name, or the round FAILS loud.
+    manifest_path = f"{out_dir}/queries.json"
+    if os.path.exists(manifest_path):
+        man = json.load(open(manifest_path))
+        names = set(man["names"])
+        dumped = {os.path.basename(d.rstrip("/"))
+                  for d in glob.glob(f"{out_dir}/*/")}
+        if man.get("filtered"):
+            print(f"NOTE manifest: filtered run ({len(dumped)}/{man['count']} "
+                  "dumped) — completeness check skipped (local iteration only)")
+        else:
+            if len(names) != man["count"]:
+                print(f"FAIL manifest: count={man['count']} but {len(names)} names")
+                n_fail += 1
+            for m in sorted(names - dumped):
+                print(f"FAIL manifest: {m} registered but not dumped "
+                      "(query failed or stale artifact)")
+                n_fail += 1
+            for m in sorted(dumped - names):
+                print(f"FAIL manifest: {m} dumped but not in the registry "
+                      "(stale out dir?)")
+                n_fail += 1
+            for m in sorted(set(oracle) - names):
+                print(f"FAIL manifest: oracle SQL for unregistered query {m}")
+                n_fail += 1
+    else:
+        print("FAIL manifest: queries.json missing (pre-round-15 Verify dump?)")
+        n_fail += 1
     for name in sorted(oracle):
         sql = oracle[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
