@@ -63,4 +63,56 @@ class LiveNearDupArchiveSpec extends SparkSpec {
         "a replayed doc re-entered the window state")
     } finally q.stop()
   }
+
+  test("window TTL evicts idle buckets; new-old probing is unaffected") {
+    // The bounded-state contract: with windowTtlMs > 0, an idle window
+    // bucket is REMOVED once a later (paced, data-less) batch fires the
+    // timeout — a subsequent same-bucket arrival no longer pairs with
+    // the evicted member (the documented loss; membership must live in
+    // the stored relation by then), while the stateless archive probe
+    // keeps answering identically.  Paced trigger + sink polling, not
+    // processAllAvailable: a ProcessingTimeTimeout stream always
+    // constructs another batch, so noNewData never latches.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def await(what: String)(pred: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!pred && System.currentTimeMillis - t0 < 90000L) Thread.sleep(100)
+      assert(pred, s"timed out waiting for $what")
+    }
+    // tiny planted corpus: archive doc 1 and window docs 100/101 share
+    // the same text (identical shingle sets → same buckets, jaccard 1.0)
+    val text = "alpha beta gamma delta epsilon zeta"
+    val archiveRel = LiveNearDup.archiveRelationOf(
+      Seq((1L, text)).toDF("doc_id", "text")).persist()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.verifiedPairsArchivedHashed(
+        input.toDS(), archiveRel, windowTtlMs = 1L)
+      .writeStream.format("memory").queryName("t14_archive_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(LiveNearDup.DocEvent(100L, text))
+      await("doc 100's archive hit")(
+        spark.table("t14_archive_ttl").as[LiveNearDup.ArchivedPair]
+          .collect().exists(p => p.doc_a == 1L && p.doc_b == 100L))
+      await("the window TTL eviction")(
+        q.recentProgress.exists(_.stateOperators.exists(_.numRowsRemoved > 0)))
+      input.addData(LiveNearDup.DocEvent(101L, text))
+      await("doc 101's archive hit")(
+        spark.table("t14_archive_ttl").as[LiveNearDup.ArchivedPair]
+          .collect().exists(p => p.doc_a == 1L && p.doc_b == 101L))
+      val pairs = spark.table("t14_archive_ttl").as[LiveNearDup.ArchivedPair]
+        .collect().map(p => (p.doc_a, p.doc_b, p.pair_type)).distinct.toSet
+      // both arrivals hit the archive (stateless probe unaffected by
+      // eviction) but doc 100's evicted window state means NO (100, 101)
+      // new-new pair — the documented TTL-loss contract
+      assert(pairs.contains((1L, 100L, "new-old")) &&
+        pairs.contains((1L, 101L, "new-old")), s"archive hits missing: $pairs")
+      assert(!pairs.exists(p => p._1 == 100L && p._2 == 101L),
+        s"evicted window member still paired: $pairs")
+    } finally { q.stop(); archiveRel.unpersist(blocking = false): Unit }
+  }
 }
