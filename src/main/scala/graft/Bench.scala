@@ -60,7 +60,25 @@ object Bench {
       banded: Option[Seq[(String, Double)]],
       bpe: Option[(Double, Double)],
       d7Bucketed: Option[Double],
-      serveWarm: Option[Seq[(String, Double)]])
+      // (name, warm1, warm2): two timed warm reps per serve-again query
+      serveWarm: Option[Seq[(String, Double, Double)]],
+      // (name, decimal-on, int64-pinned): the refresh-decision family
+      // A/B — prices the decimal(38,0) default against the pinned
+      // int64 micro-path in the same session
+      decimalAB: Option[Seq[(String, Double, Double)]])
+
+  /** One watchdog firing: the query overran its deadline and the JVM
+    * thread-dumped itself mid-run (r15 verdict #2 — the one committed
+    * artifact must self-diagnose; an external jstack needs a human
+    * watching the box at the right moment). */
+  private final case class WatchdogHit(query: String, rep: Int,
+      deadlineS: Double, topFrames: String)
+
+  /** A spike retry: rep disagreement beyond SpikeRatio re-ran the query
+    * once, so one scheduler hiccup on a shared box can't masquerade as
+    * a plan regression (min-of-reps picks the retry up automatically). */
+  private final case class SpikeRetry(query: String, reps: Seq[Double],
+      retryS: Double)
 
   private final case class SuiteResult(
       cpus: String,
@@ -69,16 +87,95 @@ object Bench {
       loadBefore: Double,
       loadAfter: Double,
       cpuBusyPct: Option[Double],
-      tiers: Option[TierResults]) {
+      tiers: Option[TierResults],
+      spikeRetries: Seq[SpikeRetry],
+      watchdog: Seq[WatchdogHit]) {
     def mins: Seq[(String, Double)] = runs.map { case (n, ts) => n -> ts.min }
     def total: Double = mins.map(_._2).sum
   }
 
+  // ------------------------------------------------------------ watchdog
+  // A rep that exceeds its sibling by more than this re-runs once …
+  private val SpikeRatio = 4.0
+  // … but only when the spike is big enough to matter (sub-second
+  // queries wobble 4× on JIT alone and their min is already clean).
+  private val SpikeFloorS = 2.0
+  // Canonical-pass watchdog deadline: no clean canonical query has ever
+  // exceeded ~10 s at min-of-reps (committed artifacts r12–r15), so 90 s
+  // is pathology — dump and keep going.  The scaling pass gets a
+  // per-query deadline of 10× the query's same-run canonical min
+  // instead (the r15 spikes were 25–50× their canonical siblings).
+  private val WatchdogFloorS = 90.0
+  private val WatchdogMaxDumps = 6
+
+  /** jstack-equivalent from inside the JVM: every thread, full frames
+    * (ThreadInfo.toString truncates at 8).  Returns (full dump, compact
+    * top-frame histogram of RUNNABLE threads — the one-line signature
+    * that named the r15 transferTo pathology). */
+  private def threadDump(): (String, String) = {
+    val infos = java.lang.management.ManagementFactory.getThreadMXBean
+      .dumpAllThreads(false, false)
+    val sb = new StringBuilder(1 << 16)
+    infos.foreach { ti =>
+      sb.append('"').append(ti.getThreadName).append("\" ")
+        .append(ti.getThreadState).append('\n')
+      ti.getStackTrace.foreach(f => sb.append("    at ").append(f).append('\n'))
+      sb.append('\n')
+    }
+    val top = infos.toSeq
+      .filter(_.getThreadState == Thread.State.RUNNABLE)
+      .flatMap(ti => ti.getStackTrace.headOption)
+      .map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy(-_._2).take(5)
+      .map { case (f, n) => s"$f x$n" }.mkString("; ")
+    (sb.toString, top)
+  }
+
+  private val watchdogExec = {
+    val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-bench-watchdog"); t.setDaemon(true); t
+    })
+    e.setRemoveOnCancelPolicy(true)
+    e
+  }
+  private val WatchdogFile = "BENCH_watchdog.txt"
+
+  /** Run `body` with a watchdog armed at `deadlineS`: if still running
+    * at the deadline, the JVM dumps its own threads ONCE (full dump
+    * appended to BENCH_watchdog.txt, compact signature into the
+    * artifact via the returned hit) and the query keeps running. */
+  private def withWatchdog[A](query: String, rep: Int, cpus: String,
+      deadlineS: Double, hits: scala.collection.mutable.Buffer[WatchdogHit])(
+      body: => A): A = {
+    val task: Runnable = () =>
+      if (hits.size < WatchdogMaxDumps) {
+        val (full, top) = threadDump()
+        hits += WatchdogHit(query, rep, deadlineS, top)
+        System.err.println(f"[bench] WATCHDOG local[$cpus] $query rep$rep " +
+          f"overran $deadlineS%.0f s — top RUNNABLE frames: $top")
+        try {
+          val hdr = f"==== local[$cpus] $query rep$rep overran $deadlineS%.0f s " +
+            f"at ${java.time.Instant.now()} ====%n"
+          java.nio.file.Files.write(java.nio.file.Paths.get(WatchdogFile),
+            (hdr + full).getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND): Unit
+        } catch { case _: Throwable => () }
+      }
+    val fut = watchdogExec.schedule(task,
+      (deadlineS * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body finally { fut.cancel(false): Unit }
+  }
+
   /** One full measured pass at a given local[N] width.  Builds its own
     * session (shuffle partitions = N, the per-width right-sizing) and
-    * stops it, so the two passes cannot share cached state. */
+    * stops it, so the two passes cannot share cached state.
+    * `canonicalMins` (scaling pass only) supplies the per-query
+    * watchdog deadlines — 10× the same run's canonical min. */
   private def runSuite(cpus: String, sfDir: String, repeat: Int,
-      withTiers: Boolean): SuiteResult = {
+      withTiers: Boolean,
+      canonicalMins: Option[Map[String, Double]] = None): SuiteResult = {
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
@@ -150,18 +247,41 @@ object Bench {
             s"cpuMs=${i.taskMetrics.executorCpuTime / 1000000}")
         }
       })
+    val spikeRetries = scala.collection.mutable.ArrayBuffer.empty[SpikeRetry]
+    val watchdogHits = scala.collection.mutable.ArrayBuffer.empty[WatchdogHit]
     val runs = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to repeat).map { rep =>
+      // scaling-pass deadline: 10× the query's same-run canonical min
+      // (the r15 spikes sat at 25–50×); canonical pass: the fixed floor
+      val deadline = canonicalMins.flatMap(_.get(name))
+        .map(m => math.max(WatchdogFloorS, m * 10.0))
+        .getOrElse(WatchdogFloorS)
+      val errsBefore = errors.size
+      def timeOne(rep: Int): Double = {
         System.err.println(s"[bench] local[$cpus] START $name rep$rep")
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(): Unit }
-        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}" }
+        withWatchdog(name, rep, cpus, deadline, watchdogHits) {
+          try { fn(spark, sfDir).count(): Unit }
+          catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}" }
+        }
         val t = (System.nanoTime() - t0) / 1e9
         clearCaches()
         System.err.println(f"[bench] local[$cpus] DONE  $name rep$rep $t%.2f s")
         t
       }
-      name -> times
+      val times = (1 to repeat).map(timeOne)
+      // spike retry (r15 verdict #2): rep disagreement beyond SpikeRatio
+      // on a non-trivial query is a contention signature, not a plan
+      // property — re-run once, record the retry, and let min-of-reps
+      // keep the clean number.  An errored query never retries (a fast
+      // failure must not replace a slow truth).
+      val retried =
+        if (errors.size == errsBefore && times.size >= 2 &&
+            times.max > SpikeRatio * times.min && times.max > SpikeFloorS) {
+          val t = timeOne(times.size + 1)
+          spikeRetries += SpikeRetry(name, times, t)
+          times :+ t
+        } else times
+      name -> retried
     }.toSeq
     // Cache-on curation tier (opt-out: SPARK_GRAFT_BENCH_DUPGRAPH_TIER=0):
     // c1/d6/d9/d13 — the slowest clean queries — each rebuild the same
@@ -280,9 +400,18 @@ object Bench {
     // probe + re-rank over already-persisted family relations.  Single
     // pass, not min-of-N (the runTier rationale: repeats would report a
     // doubly-warm number).
+    // Two timed warm reps per query (r15 verdict #5): warm2 ≈ warm1
+    // proves the warm residual is the true serving marginal (probe +
+    // re-rank, steady state); warm2 ≪ warm1 would reveal leftover
+    // derivation the memo design should catch.  ORDER-DEPENDENCE note
+    // (ADVICE r15): the five queries run sequentially with NO
+    // clearCaches between them, so later rows are additionally warmed
+    // by relations the earlier timed runs persisted — per-query rows
+    // are deployment-shaped (a serving session holds all its family
+    // memos), and only the tier TOTALS are individually quotable.
     val serveAgainNames = Seq("s18_refreshed_serving", "s19_refreshed_adc",
       "s20_ivfpq_serving", "c16_refresh_execution", "c17_refreshed_selection")
-    val serveWarmTier: Option[Seq[(String, Double)]] =
+    val serveWarmTier: Option[Seq[(String, Double, Double)]] =
       if (tiersOff) None
       else {
         clearCaches()
@@ -291,16 +420,49 @@ object Bench {
           catch { case e: Throwable =>
             errors += s"serveprime:$name: ${e.getClass.getSimpleName}" }
         }
-        val ts = serveAgainNames.map { name =>
+        def warmOne(name: String): Double = {
           val t0 = System.nanoTime()
           try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
           catch { case e: Throwable =>
             errors += s"servewarm:$name: ${e.getClass.getSimpleName}" }
-          name -> (System.nanoTime() - t0) / 1e9
+          (System.nanoTime() - t0) / 1e9
         }
+        val ts = serveAgainNames.map(name => (name, warmOne(name), warmOne(name)))
         clearCaches()
         Some(ts)
       }
+    // Decimal(38,0) A/B tier (r15 verdict #4): the refresh-decision
+    // family — every query whose arithmetic consults
+    // RefreshDecision.decimalOn — timed under the promoted DEFAULT
+    // (`spark.graft.decimal128=true`) and the pinned int64 micro-path
+    // in the same session, alternating per query so box drift hits both
+    // regimes equally.  a12/a13 are NOT here: their decimal(38) cross
+    // products are unconditional (no int64 variant exists to A/B).
+    // int64 is pin-safe at sf0.1 (it WAS the default through r14; the
+    // Needs preflights bound it), so no preflight call is needed here.
+    val decimalNames = Seq("c13_refresh_decision", "s15_warmstart_refresh",
+      "s17_pq_refresh", "s18_refreshed_serving", "s19_refreshed_adc",
+      "s20_ivfpq_serving", "c16_refresh_execution", "c17_refreshed_selection")
+    val decimalABTier: Option[Seq[(String, Double, Double)]] =
+      if (tiersOff) None
+      else Some(decimalNames.zipWithIndex.map { case (name, i) =>
+        def timed(regime: String): Double = {
+          spark.conf.set("spark.graft.decimal128", regime)
+          val t0 = System.nanoTime()
+          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+          catch { case e: Throwable =>
+            errors += s"decimal_$regime:$name: ${e.getClass.getSimpleName}" }
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.conf.unset("spark.graft.decimal128")
+          clearCaches()
+          t
+        }
+        // which regime runs FIRST alternates by index: whatever
+        // first-run advantage remains after clearCaches (JIT, OS page
+        // cache) hits both regimes equally in the tier TOTALS
+        if (i % 2 == 0) { val d = timed("true"); (name, d, timed("false")) }
+        else { val n = timed("false"); val d = timed("true"); (name, d, n) }
+      })
     val loadAfter = loadAvg()
     val cpuBusyPct: Option[Double] = for {
       (b0, t0) <- cpuBefore; (b1, t1) <- cpuJiffies() if t1 > t0
@@ -309,7 +471,10 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     SuiteResult(cpus, runs, errors.toSeq, loadBefore, loadAfter, cpuBusyPct,
-      if (tiersOff) None else Some(TierResults(cacheTier, bandedTier, bpeTier, embedTier, serveWarmTier)))
+      if (tiersOff) None
+      else Some(TierResults(cacheTier, bandedTier, bpeTier, embedTier,
+        serveWarmTier, decimalABTier)),
+      spikeRetries.toSeq, watchdogHits.toSeq)
   }
 
   // ---------------------------------------------------------------- JSON
@@ -337,6 +502,15 @@ object Bench {
   private def prodSubtotal(t: Option[Seq[(String, Double)]]): String = t.map(ts =>
     fmt2(ts.filterNot(_._1 == "d13_banding_recall").map(_._2).sum)).getOrElse("null")
 
+  /** A two-measurement tier: per-query labeled pairs + both totals. */
+  private def pairTierJson(t: Option[Seq[(String, Double, Double)]],
+      l1: String, l2: String): String = t.map { ts =>
+    (ts.map { case (k, a, b) => jStr(k) + s""":{"$l1":$a,"$l2":$b}""" } ++
+      Seq(s""""${l1}_total":${fmt2(ts.map(_._2).sum)}""",
+        s""""${l2}_total":${fmt2(ts.map(_._3).sum)}"""))
+      .mkString("{", ",", "}")
+  }.getOrElse("null")
+
   private def tiersJson(t: Option[TierResults]): String = t.map { tr =>
     s"""{"dupgraph_exact_tier":${tierJsonOf(tr.cache)},""" +
       s""""dupgraph_banded_tier":${tierJsonOf(tr.banded)},""" +
@@ -345,9 +519,23 @@ object Bench {
       s""""bpe_train_plus_apply_s":${jNumOpt(tr.bpe.map(_._1))},""" +
       s""""bpe_apply_only_s":${jNumOpt(tr.bpe.map(_._2))},""" +
       s""""d7_bucketed_s":${jNumOpt(tr.d7Bucketed)},""" +
-      s""""serve_again_warm_tier":${tierJsonOf(tr.serveWarm)},""" +
-      s""""serve_again_warm_s":${tr.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")}}"""
+      // per-query warm rows are order-dependent (see the tier comment in
+      // runSuite); the totals are the deployment-shaped quotables
+      s""""serve_again_warm_tier":${pairTierJson(tr.serveWarm, "warm1", "warm2")},""" +
+      s""""serve_again_warm_s":${tr.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")},""" +
+      s""""serve_again_warm2_s":${tr.serveWarm.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")},""" +
+      s""""decimal_ab_tier":${pairTierJson(tr.decimalAB, "dec", "int64")}}"""
   }.getOrElse("null")
+
+  private def spikeRetriesJson(rs: Seq[SpikeRetry]): String =
+    rs.map(r => jStr(r.query) +
+        s""":{"reps":${r.reps.mkString("[", ",", "]")},"retry":${r.retryS}}""")
+      .mkString("{", ",", "}")
+
+  private def watchdogJson(hs: Seq[WatchdogHit]): String =
+    hs.map(h => s"""{"query":${jStr(h.query)},"rep":${h.rep},""" +
+        s""""deadline_s":${fmt2(h.deadlineS)},"top_frames":${jStr(h.topFrames)}}""")
+      .mkString("[", ",", "]")
 
   private def suiteJson(r: SuiteResult, repeat: Int): String = {
     val qs = r.mins.map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
@@ -358,6 +546,8 @@ object Bench {
     s"""{"cpus":"${r.cpus}","total_s":${r.total},"n_queries":${r.mins.size},""" +
       s""""repeat":$repeat,"contended":${contended(r)},""" +
       s""""queries":$qs,"queries_runs":$qruns,""" +
+      s""""spike_retries":${spikeRetriesJson(r.spikeRetries)},""" +
+      s""""watchdog_dumps":${watchdogJson(r.watchdog)},""" +
       s""""tiers":${tiersJson(r.tiers)},"errors":$errs,""" +
       s""""load_before":${r.loadBefore},"load_after":${r.loadAfter},""" +
       s""""cpu_busy_pct":${jNumOpt(r.cpuBusyPct)}}"""
@@ -376,7 +566,7 @@ object Bench {
     val slowest = r.mins.sortBy(-_._2).take(10)
       .map { case (k, v) => jStr(k) + ":" + fmt2(v) }.mkString("{", ",", "}")
     val t = r.tiers
-    s"""{"summary":"$tag","total_s":${fmt2(r.total)},"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"contended":${contended(r)},"load_before":${fmt2(r.loadBefore)},"load_after":${fmt2(r.loadAfter)},"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"serve_again_warm_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"n_errors":${r.errors.size},"slowest":$slowest}"""
+    s"""{"summary":"$tag","total_s":${fmt2(r.total)},"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"contended":${contended(r)},"load_before":${fmt2(r.loadBefore)},"load_after":${fmt2(r.loadAfter)},"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"serve_again_warm_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"serve_again_warm2_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")).getOrElse("null")},"decimal_dec_s":${t.map(x => x.decimalAB.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"decimal_int64_s":${t.map(x => x.decimalAB.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")).getOrElse("null")},"spike_retries":${r.spikeRetries.size},"watchdog_hits":${r.watchdog.size},"n_errors":${r.errors.size},"slowest":$slowest}"""
   }
   private def tierTotal(t: Option[Seq[(String, Double)]]): String =
     t.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")
@@ -394,17 +584,24 @@ object Bench {
         sys.error(s"--repeat/SPARK_GRAFT_BENCH_REPEAT must be an integer, got '$v'")))
         .getOrElse(2).max(1)
     }
+    // each run starts a fresh watchdog dump file (the JSON artifact
+    // carries the compact signatures; this file holds the full dumps)
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(WatchdogFile)): Unit
+    catch { case _: Throwable => () }
     // Canonical pass: local[4], tiers on (the header comment's rationale).
     val canonical = runSuite("4", sfDir, repeat, withTiers = true)
     // Scaling pass: the env-requested width, queries only — prices the
     // local[N] scheduling tax next to the canonical numbers.  Opt-out:
     // SPARK_GRAFT_BENCH_SCALING=0 (local iteration, where one pass is
     // plenty).  JVM/JIT are warm from the canonical pass, which only
-    // UNDERSTATES the tax — a conservative pricing.
+    // UNDERSTATES the tax — a conservative pricing.  The canonical mins
+    // feed the scaling pass's per-query watchdog deadlines.
     val scalingOff = sys.env.get("SPARK_GRAFT_BENCH_SCALING").contains("0")
     val scaling: Option[SuiteResult] =
       if (envCpus == "4" || scalingOff) None
-      else Some(runSuite(envCpus, sfDir, repeat, withTiers = false))
+      else Some(runSuite(envCpus, sfDir, repeat, withTiers = false,
+        canonicalMins = Some(canonical.mins.toMap)))
 
     val allErrors = canonical.errors ++
       scaling.toSeq.flatMap(_.errors.map(e => s"scaling:$e"))
@@ -415,7 +612,7 @@ object Bench {
     // stdout and used to decide which per-query pairs survived a round.
     val fullJson =
       s"""{"sf":"$sfDir","repeat":$repeat,""" +
-        s""""note":"canonical = local[4], the judge methodology (32-way task scheduling dominates sf0.1 partitions — see Bench.scala header); scaling = the env-requested width, queries only; prod_c1d6d9 tier subtotals exclude d13, whose ground truth is pinned to the exact pair source; per-query ISOLATION clears the session memos, so composition queries (c13 refresh decision, c15 pipeline) re-price every upstream audit/stage each run — in a real session those legs ride memoized relations and the marginal cost is ~one audit, so their bench numbers OVERSTATE the operators","""  +
+        s""""note":"canonical = local[4], the judge methodology (32-way task scheduling dominates sf0.1 partitions — see Bench.scala header); scaling = the env-requested width, queries only; prod_c1d6d9 tier subtotals exclude d13, whose ground truth is pinned to the exact pair source; per-query ISOLATION clears the session memos, so composition queries (c13 refresh decision, c15 pipeline) re-price every upstream audit/stage each run — in a real session those legs ride memoized relations and the marginal cost is ~one audit, so their bench numbers OVERSTATE the operators; spike_retries = reps disagreeing >4x re-ran once (min-of-reps picks the retry up); watchdog_dumps = in-process thread dumps of overrunning queries (full dumps in BENCH_watchdog.txt); serve_again_warm_tier per-query rows are order-dependent (no cache clear inside the tier) — quote the totals; decimal_ab_tier prices the decimal(38,0) default vs pinned int64 on the refresh-decision family","""  +
         s""""canonical":${suiteJson(canonical, repeat)},""" +
         s""""scaling":${scaling.map(suiteJson(_, repeat)).getOrElse("null")}}"""
     // Written TWICE: the stable name (driver/judge contract) AND a

@@ -25,6 +25,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
   */
 object JobRunner {
 
+  /** Which verify implementation the T14 near-dup query deploys (the
+    * r15 verdict's wiring bug: the runner used to start the pre-r14
+    * string tier while the measured fast/bounded tiers sat unreachable).
+    * Defaults follow SCALING.md's measured policy. */
+  sealed trait NearDupTier
+  object NearDupTier {
+    /** DEFAULT: sorted shingle-hash arrays in bucket state, linear
+      * merge-intersection verify — 17× the string tier's throughput at
+      * ~6× leaner state (SCALING.md T14 rows); emitted relation ≡ d3
+      * (LiveNearDupParitySpec).  State grows with the corpus, so the
+      * runner pairs it with the RocksDB state store (SCALING.md
+      * policy: −26 % throughput buys 40× lower memory). */
+    case object Hashed extends NearDupTier
+    /** The byte-exact shingle-STRING tier — for deployments that want
+      * the literal d3 byte-exactness contract with no h0-collision
+      * caveat; ~12× heavier state + per-pair work.  Corpus-growing
+      * state like Hashed, so it also defaults to RocksDB. */
+    case object ByteExact extends NearDupTier
+    /** ARCHIVE-BACKED (the r15 state bound): arrivals probe the STORED
+      * band-bucket relation ([[LiveNearDup.archiveRelationOf]])
+      * stream-static, keyed state holds only the `windowTtlMs` window —
+      * state is window-sized at any corpus size, so the in-memory
+      * HDFSBacked default store stays (SCALING.md: RocksDB halves its
+      * throughput for memory it doesn't need).  `monitor` makes the
+      * TTL-vs-archive-refresh-lag sizing contract alarmable. */
+    final case class ArchiveBacked(
+        archive: org.apache.spark.sql.DataFrame,
+        windowTtlMs: Long = 0L,
+        monitor: Option[LiveNearDup.ArchiveLagMonitor] = None) extends NearDupTier
+  }
+
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** SCALING.md's measured per-stage state-store policy, as code: the
+    * standalone verified tiers hold corpus-growing state → RocksDB;
+    * candidates-only and the window-bounded archive tier keep the
+    * session default (in-memory HDFSBacked).  None = don't touch the
+    * session conf. */
+  def stateStoreProviderFor(verified: Boolean, tier: NearDupTier): Option[String] =
+    (verified, tier) match {
+      case (true, NearDupTier.Hashed | NearDupTier.ByteExact) => Some(RocksDbProvider)
+      case _ => None
+    }
+
   final case class Config(
       outputPath: String,
       checkpointPath: String,
@@ -77,19 +122,25 @@ object JobRunner {
       // trailing-k-window ring LiveDrift's docs recommend for a
       // long-lived deployment (late shifts show at full strength)
       driftRecentWindows: Int = 0,
-      // T14: live near-dup candidate detection (stream/LiveNearDup, the
-      // streaming form of d3's banding stage) as a seventh query off
-      // the same lineage — reposts/copypasta surface as candidate pairs
+      // T14: live near-dup detection (stream/LiveNearDup, the streaming
+      // form of d3's banding+verify pipeline) as a seventh query off
+      // the same lineage — reposts/copypasta surface as VERIFIED pairs
       // the moment the duplicate arrives.  Posts carry no id, so the
       // detector keys on a deterministic content hash
       // (xxhash64(user, text, timestamp) — stable across restarts, so
       // checkpoint replays stay idempotent by set membership).
       withNearDups: Boolean = false,
       nearDupMaxBucket: Int = 100000,
-      // true = the composed verify stage (shingle sets in bucket state,
-      // emits d3's VERIFIED relation live — LiveNearDup.verifiedPairs);
+      // true (DEFAULT since round 16 — deployment truth: the runner
+      // starts the tier SCALING.md measured): the composed verify stage
+      // emits d3's VERIFIED relation live through `nearDupTier`;
       // false = candidates only (leaner state; verify runs downstream)
-      nearDupVerified: Boolean = false)
+      nearDupVerified: Boolean = true,
+      // which verify implementation deploys (NearDupTier doc): Hashed
+      // (default; RocksDB store per the SCALING.md policy), ByteExact,
+      // or ArchiveBacked(archive, ttl, monitor) for the window-bounded
+      // deployment shape when a stored relation exists
+      nearDupTier: NearDupTier = NearDupTier.Hashed)
 
   final case class Running(queries: Seq[StreamingQuery]) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
@@ -188,17 +239,47 @@ object JobRunner {
         .select(xxhash64(col("user"), col("cleaned_text"), col("timestamp")).as("doc_id"),
           col("cleaned_text").as("text"))
         .as[LiveNearDup.DocEvent]
-      val pairs =
-        if (cfg.nearDupVerified)
-          LiveNearDup.verifiedPairs(docEvents, maxBucket = cfg.nearDupMaxBucket)(spark).toDF()
-        else LiveNearDup.candidates(docEvents, maxBucket = cfg.nearDupMaxBucket)(spark).toDF()
-      Some(Sinks.jsonFiles(pairs, cfg.outputPath + "_neardups",
-        cfg.checkpointPath + "_neardups", cfg.fileTrigger,
-        queryName = "neardup_output").start())
+      val pairs = nearDupStream(cfg, docEvents)(spark)
+      // the state-store policy is a per-QUERY choice here: the conf is
+      // snapshot into the query's cloned session at start(), so setting
+      // it around this one start leaves the other six queries (and
+      // anything the caller starts later) on the session default —
+      // restored in the finally.  This query starts LAST by
+      // construction; keep it so if queries are reordered.
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(providerKey)
+      val want = stateStoreProviderFor(cfg.nearDupVerified, cfg.nearDupTier)
+      want.foreach(spark.conf.set(providerKey, _))
+      try
+        Some(Sinks.jsonFiles(pairs, cfg.outputPath + "_neardups",
+          cfg.checkpointPath + "_neardups", cfg.fileTrigger,
+          queryName = "neardup_output").start())
+      finally if (want.isDefined) prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
     } else None
 
     Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies ++ drift ++ nearDups)
   }
+
+  /** The T14 stream a given config deploys — factored out of [[run]]
+    * so the tier selection is unit-testable against the PLAN (the r15
+    * wiring bug was invisible to output-schema tests: the string and
+    * hashed tiers emit identical relations). */
+  def nearDupStream(cfg: Config, docEvents: org.apache.spark.sql.Dataset[LiveNearDup.DocEvent])(
+      implicit spark: SparkSession): org.apache.spark.sql.DataFrame =
+    if (!cfg.nearDupVerified)
+      LiveNearDup.candidates(docEvents, maxBucket = cfg.nearDupMaxBucket).toDF()
+    else cfg.nearDupTier match {
+      case NearDupTier.Hashed =>
+        LiveNearDup.verifiedPairsHashed(docEvents, maxBucket = cfg.nearDupMaxBucket).toDF()
+      case NearDupTier.ByteExact =>
+        LiveNearDup.verifiedPairs(docEvents, maxBucket = cfg.nearDupMaxBucket).toDF()
+      case NearDupTier.ArchiveBacked(archive, ttl, monitor) =>
+        LiveNearDup.verifiedPairsArchivedHashed(docEvents, archive,
+          maxBucket = cfg.nearDupMaxBucket, windowTtlMs = ttl, monitor = monitor).toDF()
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

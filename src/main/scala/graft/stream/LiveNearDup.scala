@@ -191,39 +191,10 @@ object LiveNearDup {
         col("bh.hashes").as("hashes"))
       .select(col("doc_id"), col("band"), col("bv"), col("hashes"))
       .as[DocHashes]
-    banded
-      .groupByKey(r => (r.band, r.bv))
-      .flatMapGroupsWithState[HashBucket, VerifiedPair](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case ((band, bv), rows: Iterator[DocHashes], state: GroupState[HashBucket]) =>
-          val existing = state.getOption.map(_.members).getOrElse(Seq.empty)
-          val byId = scala.collection.mutable.LinkedHashMap(
-            existing.map(m => m.doc_id -> m).toSeq: _*)
-          val out = Seq.newBuilder[VerifiedPair]
-          rows.toSeq.groupBy(_.doc_id).toSeq.sortBy(_._1).foreach { case (id, rs) =>
-            if (!byId.contains(id)) {
-              val hNew = rs.head.hashes
-              byId.valuesIterator.foreach { m =>
-                val inter = LiveNearDup.sortedIntersectCount(m.hashes, hNew)
-                val union = m.hashes.length + hNew.length - inter
-                if (union > 0) {
-                  val j = BigDecimal.decimal(inter.toDouble / union)
-                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-                  if (j >= 0.5)
-                    out += VerifiedPair(math.min(m.doc_id, id), math.max(m.doc_id, id),
-                      j, band, bv)
-                }
-              }
-              byId(id) = HashMember(id, hNew)
-            }
-          }
-          require(byId.size <= maxBucket,
-            s"band bucket ($band, $bv) exceeded $maxBucket members — " +
-              "boilerplate-grade duplication; raise maxBucket or dedup upstream")
-          if (byId.size != existing.size)
-            state.update(HashBucket(byId.values.toVector))
-          out.result().iterator
-      }
+    // ONE fold implementation for this tier and the archive-backed
+    // window branch: stateTtlMs = 0 resolves to NoTimeout, which IS
+    // this tier's contract (ADVICE r15 — the two copies could drift)
+    hashedBucketFold(banded, maxBucket, 0L, None)
   }
 
   /** A verified pair labeled with its provenance (d14's convention):
@@ -231,6 +202,43 @@ object LiveNearDup {
     * two docs inside the live window. */
   final case class ArchivedPair(doc_a: Long, doc_b: Long, jaccard: Double,
       band: Int, bv: Long, pair_type: String)
+
+  /** OPERATIONAL monitor for the archive-backed tier's sizing contract
+    * (r15 verdict #6): the invariant is that every document's bucket
+    * membership lives in the window state OR the stored archive
+    * relation at every instant — i.e. `windowTtlMs` must exceed the
+    * archive-refresh lag.  Nothing in the tier can PREVENT a violation
+    * (the archive build runs elsewhere); what a deployment needs is an
+    * alarm, so the fold counts its evictions into two accumulators
+    * (readable from any driver-side dashboard, summed across executors
+    * and micro-batches):
+    *
+    *   - [[windowEvictions]]: member rows dropped by the TTL timeout —
+    *     the raw churn number to trend against archive-refresh cadence;
+    *   - [[lagViolations]]: member rows whose eviction happened while
+    *     the loaded archive version was older than `windowTtlMs` — a
+    *     CONSERVATIVE possible-loss count (such a member MAY have
+    *     arrived after [[archiveVersionMs]] was built, in which case
+    *     its membership now lives nowhere and later near-dups of it are
+    *     silently missed).  Alarm on `lagViolations > 0`; a zero value
+    *     PROVES the contract held for every eviction so far.
+    *
+    * The check is wall-clock on the executor (eviction fires on a
+    * processing-time timeout, so processing time is the right clock);
+    * [[archiveVersionMs]] is the build timestamp of the archive
+    * relation the deployment loaded — refreshing the archive means
+    * restarting the query with a new relation AND a new monitor. */
+  final case class ArchiveLagMonitor(
+      archiveVersionMs: Long,
+      windowEvictions: org.apache.spark.util.LongAccumulator,
+      lagViolations: org.apache.spark.util.LongAccumulator) extends Serializable
+
+  object ArchiveLagMonitor {
+    def apply(spark: SparkSession, archiveVersionMs: Long): ArchiveLagMonitor =
+      ArchiveLagMonitor(archiveVersionMs,
+        spark.sparkContext.longAccumulator("graft.t14.window_evictions"),
+        spark.sparkContext.longAccumulator("graft.t14.lag_violations"))
+  }
 
   /** The STORED band-bucket relation an archive-backed deployment
     * probes — `(band, bv, doc_id, hashes)` over a static document
@@ -281,12 +289,17 @@ object LiveNearDup {
     * evicted before the archive relation is refreshed to include it is
     * invisible to later arrivals — the TTL must exceed the
     * archive-refresh lag, because membership must live EITHER in the
-    * window state OR in the stored relation at every instant. */
+    * window state OR in the stored relation at every instant.  Pass a
+    * [[ArchiveLagMonitor]] to make that contract ALARMABLE: the fold
+    * counts evictions, and evictions that happen while the loaded
+    * archive version is older than the TTL count as (conservative)
+    * possible-loss violations — `lagViolations > 0` is the page. */
   def verifiedPairsArchivedHashed(
       docs: Dataset[DocEvent],
       archive: org.apache.spark.sql.DataFrame,
       maxBucket: Int = 100000,
-      windowTtlMs: Long = 0L)(
+      windowTtlMs: Long = 0L,
+      monitor: Option[ArchiveLagMonitor] = None)(
       implicit spark: SparkSession): Dataset[ArchivedPair] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -322,16 +335,18 @@ object LiveNearDup {
       }
     // new-new: the hashed tier's keyed bucket state over the window only
     val newNew: Dataset[ArchivedPair] =
-      hashedBucketFold(banded, maxBucket, windowTtlMs)
+      hashedBucketFold(banded, maxBucket, windowTtlMs, monitor)
         .map(p => ArchivedPair(p.doc_a, p.doc_b, p.jaccard, p.band, p.bv, "new-new"))
     newOld.union(newNew)
   }
 
   /** The hashed tier's keyed-state fold, factored so the standalone
     * tier ([[verifiedPairsHashed]], NoTimeout) and the archive-backed
-    * window branch (optional TTL) share one implementation. */
+    * window branch (optional TTL + lag monitor) share one
+    * implementation. */
   private def hashedBucketFold(banded: Dataset[DocHashes], maxBucket: Int,
-      stateTtlMs: Long)(implicit spark: SparkSession): Dataset[VerifiedPair] = {
+      stateTtlMs: Long, monitor: Option[ArchiveLagMonitor])(
+      implicit spark: SparkSession): Dataset[VerifiedPair] = {
     import spark.implicits._
     val timeoutConf =
       if (stateTtlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
@@ -344,7 +359,16 @@ object LiveNearDup {
           if (stateTtlMs > 0L && state.hasTimedOut) {
             // idle window bucket past the TTL: evict — membership now
             // lives only in the stored archive relation (sizing
-            // contract in the verifiedPairsArchivedHashed doc)
+            // contract in the verifiedPairsArchivedHashed doc).  The
+            // monitor counts the drop, and counts it as a possible-loss
+            // violation when the loaded archive is older than the TTL
+            // (a member may have arrived after that version was built)
+            monitor.foreach { m =>
+              val evicted = state.getOption.map(_.members.size.toLong).getOrElse(0L)
+              m.windowEvictions.add(evicted)
+              if (System.currentTimeMillis() - m.archiveVersionMs > stateTtlMs)
+                m.lagViolations.add(evicted)
+            }
             state.remove()
             Iterator.empty
           } else {

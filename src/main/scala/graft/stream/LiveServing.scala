@@ -152,10 +152,18 @@ object LiveServing {
     graft.sentiment.GraftFunctions.register(spark)
     require(index.nonEmpty, "graft: live serving needs a serving index")
     val dot = graft.queries.Similarity.dot _
+    val dim = index.head._2.length
     val probed = queries
-      // a null/empty embedding probes nothing (validate upstream — an
-      // invented assignment would serve wrong neighbors silently)
-      .filter((q: QEv) => q.emb != null && q.emb.nonEmpty)
+      // a MALFORMED query (null/empty/wrong-dimension embedding) is
+      // DROPPED at ingest, not crashed on: probeCells' dimension
+      // `require` would fail the task, kill the stream, and — because
+      // the checkpointed source replays the same event on restart —
+      // crash-loop the serving node on one poison-pill request forever
+      // (ADVICE r15).  Dropping is safe (an invented/truncated
+      // assignment would serve WRONG neighbors silently; absence is the
+      // honest answer), and a deployment wanting dead-letters routes
+      // `!wellFormed(q)` to a side sink with this same predicate.
+      .filter((q: QEv) => q.emb != null && q.emb.length == dim)
       .flatMap(q => probeCells(q.emb, index, nprobe)
         .map(l => (q.q_id, l, q.emb, q.exclude_id)))
       .toDF("q_id", "list_id", "qe", "exclude_id")

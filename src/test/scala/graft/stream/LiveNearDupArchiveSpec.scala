@@ -86,10 +86,16 @@ class LiveNearDupArchiveSpec extends SparkSpec {
     val text = "alpha beta gamma delta epsilon zeta"
     val archiveRel = LiveNearDup.archiveRelationOf(
       Seq((1L, text)).toDF("doc_id", "text")).persist()
+    // the lag-violation ALARM (r15 verdict #6): the loaded archive is a
+    // minute old — far past the 1 ms TTL — so every eviction is a
+    // possible silent loss, and the missed (100, 101) pair below is
+    // exactly the loss the counter pages on
+    val monitor = LiveNearDup.ArchiveLagMonitor(spark,
+      archiveVersionMs = System.currentTimeMillis() - 60000L)
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[LiveNearDup.DocEvent]
     val q = LiveNearDup.verifiedPairsArchivedHashed(
-        input.toDS(), archiveRel, windowTtlMs = 1L)
+        input.toDS(), archiveRel, windowTtlMs = 1L, monitor = Some(monitor))
       .writeStream.format("memory").queryName("t14_archive_ttl")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
       .outputMode(OutputMode.Append).start()
@@ -113,6 +119,54 @@ class LiveNearDupArchiveSpec extends SparkSpec {
         pairs.contains((1L, 101L, "new-old")), s"archive hits missing: $pairs")
       assert(!pairs.exists(p => p._1 == 100L && p._2 == 101L),
         s"evicted window member still paired: $pairs")
+      // the operational alarm fired: doc 100's bucket memberships were
+      // evicted while the archive was older than the TTL — the exact
+      // scenario in which the missed pair above became possible
+      assert(monitor.windowEvictions.value > 0L,
+        "TTL eviction did not count into windowEvictions")
+      assert(monitor.lagViolations.value == monitor.windowEvictions.value,
+        s"stale-archive evictions must ALL count as possible losses: " +
+          s"${monitor.lagViolations.value} of ${monitor.windowEvictions.value}")
+    } finally { q.stop(); archiveRel.unpersist(blocking = false): Unit }
+  }
+
+  test("a fresh-enough archive keeps lagViolations at zero through evictions") {
+    // the counter is CONDITIONAL, not a rename of windowEvictions: when
+    // the loaded archive version is newer than (eviction − TTL) — here
+    // simulated with a version stamped ahead of the soak, i.e. an
+    // archive refresh pipeline that always beats the TTL — evictions
+    // still count but page nothing, because every evicted member's
+    // membership provably lives in the stored relation by eviction time
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def await(what: String)(pred: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!pred && System.currentTimeMillis - t0 < 90000L) Thread.sleep(100)
+      assert(pred, s"timed out waiting for $what")
+    }
+    val text = "alpha beta gamma delta epsilon zeta"
+    val archiveRel = LiveNearDup.archiveRelationOf(
+      Seq((1L, text)).toDF("doc_id", "text")).persist()
+    val monitor = LiveNearDup.ArchiveLagMonitor(spark,
+      archiveVersionMs = System.currentTimeMillis() + 600000L)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[LiveNearDup.DocEvent]
+    val q = LiveNearDup.verifiedPairsArchivedHashed(
+        input.toDS(), archiveRel, windowTtlMs = 1L, monitor = Some(monitor))
+      .writeStream.format("memory").queryName("t14_archive_fresh")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(LiveNearDup.DocEvent(100L, text))
+      await("doc 100's archive hit")(
+        spark.table("t14_archive_fresh").as[LiveNearDup.ArchivedPair]
+          .collect().exists(p => p.doc_a == 1L && p.doc_b == 100L))
+      await("the window TTL eviction")(
+        q.recentProgress.exists(_.stateOperators.exists(_.numRowsRemoved > 0)))
+      await("the eviction counter")(monitor.windowEvictions.value > 0L)
+      assert(monitor.lagViolations.value == 0L,
+        s"fresh archive must not page: ${monitor.lagViolations.value} violations")
     } finally { q.stop(); archiveRel.unpersist(blocking = false): Unit }
   }
 }

@@ -124,4 +124,50 @@ class LiveServingParitySpec extends SparkSpec
     } finally q2.stop()
     postings.unpersist(blocking = false)
   }
+
+  test("a malformed query embedding is dropped at ingest, never crash-looped (ADVICE r15)") {
+    // a wrong-dimension embedding used to fire probeCells' `require`,
+    // failing the task and killing the stream — and because the
+    // checkpointed source replays the same event on restart, one poison
+    // pill wedged the serving node permanently.  The ingest filter
+    // drops null/empty/wrong-dim queries (absence is the honest answer;
+    // an invented or truncated assignment would serve WRONG neighbors
+    // silently) while every well-formed query keeps being answered.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = sf()
+    val (_, index) = graft.queries.Similarity.servingIndexExport(spark, dir)
+    val postings = LiveServing.postingsOf(
+      graft.tables.Tables.embeddings(spark, dir), index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = graft.tables.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .collect()
+      .map(r => LiveServing.QEv(r.getLong(0), r.getSeq[Double](1).toArray,
+        exclude_id = r.getLong(0)))
+      .head
+    val input = MemoryStream[LiveServing.QEv]
+    val q = LiveServing.serve(input.toDS(), index, postings)
+      .writeStream.format("memory").queryName("live_serving_poison")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        LiveServing.QEv(997L, Array(1.0, 2.0)), // wrong dimension
+        LiveServing.QEv(998L, null),            // null embedding
+        LiveServing.QEv(999L, Array.empty),     // empty embedding
+        good)
+      q.processAllAvailable()
+      assert(q.isActive && q.exception.isEmpty,
+        s"poison pill killed the stream: ${q.exception}")
+      val answered = spark.table("live_serving_poison")
+        .select("q_id").collect().map(_.getLong(0)).toSet
+      assert(answered == Set(good.q_id),
+        s"expected only the well-formed query answered, got $answered")
+    } finally {
+      q.stop()
+      postings.unpersist(blocking = false): Unit
+    }
+  }
 }

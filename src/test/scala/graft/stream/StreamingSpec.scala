@@ -178,7 +178,7 @@ class StreamingSpec extends SparkSpec {
       s"""{"text": "$dupB", "user": "n2", "platform": "x", "timestamp": "2024-01-01 12:00:20"}""",
       """{"text": "completely different words about completely other topics entirely", "user": "n3", "platform": "x", "timestamp": "2024-01-01 12:00:30"}"""))
     val r = JobRunner.run(spark, FileJsonSource(in),
-      fastCfg(out, cp).copy(withNearDups = true))
+      fastCfg(out, cp).copy(withNearDups = true, nearDupVerified = false))
     r.processAllAvailable(); r.stopAll()
     assert(r.queries.size == 2, "file sink + near-dup query expected (console/windowed off)")
     // expected ids: the runner's own hash over the enriched output rows
@@ -195,16 +195,28 @@ class StreamingSpec extends SparkSpec {
       s"expected exactly the planted copypasta pair ${(ids(0), ids(1))}, got ${pairs.toSeq}")
   }
 
-  test("JobRunner's near-dup query runs the composed verify stage under nearDupVerified") {
+  test("JobRunner's DEFAULT near-dup query runs the hashed verify tier on the RocksDB store") {
+    // the r15 verdict's one real wiring bug: the runner deployed the
+    // pre-r14 string tier while the measured hashed kernel + the
+    // SCALING.md RocksDB policy sat unreachable.  This gate pins the
+    // deployment path end-to-end: default config → verified relation
+    // out (hashed ≡ string jaccard, LiveNearDupParitySpec), RocksDB
+    // providerClass snapshot into the near-dup query's OWN checkpoint
+    // (offsets metadata), the session default untouched for the other
+    // queries, and the session conf restored after run().
     val in = tmp("graft-vin"); val out = tmp("graft-vout"); val cp = tmp("graft-vcp")
     val dupA = "the quick brown fox jumps over the lazy dog tonight"
     val dupB = "the quick brown fox jumps over the lazy dog today"
     writePosts(in, "b1.json", Seq(
       s"""{"text": "$dupA", "user": "v1", "platform": "x", "timestamp": "2024-01-01 12:00:10"}""",
       s"""{"text": "$dupB", "user": "v2", "platform": "x", "timestamp": "2024-01-01 12:00:20"}"""))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
     val r = JobRunner.run(spark, FileJsonSource(in),
-      fastCfg(out, cp).copy(withNearDups = true, nearDupVerified = true))
+      fastCfg(out, cp).copy(withNearDups = true))
     r.processAllAvailable(); r.stopAll()
+    assert(spark.conf.getOption(providerKey) == before,
+      "run() leaked the per-query provider conf into the session")
     val ids = readOut(out)
       .select(xxhash64(col("user"), col("cleaned_text"), col("timestamp")).as("id"))
       .collect().map(_.getLong(0)).sorted
@@ -215,6 +227,58 @@ class StreamingSpec extends SparkSpec {
     // the fixture pair shares 7 of 9 distinct trigram shingles → 0.7778
     assert(pairs.toSeq == Seq((ids(0), ids(1), 0.7778)),
       s"expected the planted pair verified at 0.7778, got ${pairs.toSeq}")
+    // the state-store policy landed where it counts: the query's own
+    // checkpoint snapshots its conf into the offsets metadata
+    def offsets0(dir: String): String = {
+      // skip the HDFS-client .N.crc siblings — only batch files are logs
+      val f = new java.io.File(dir, "offsets").listFiles()
+        .filter(_.getName.forall(_.isDigit)).minBy(_.getName.toLong)
+      new String(Files.readAllBytes(f.toPath))
+    }
+    assert(offsets0(cp + "_neardups").contains("RocksDBStateStoreProvider"),
+      "near-dup checkpoint does not record the RocksDB provider")
+    assert(!offsets0(cp).contains("RocksDBStateStoreProvider"),
+      "the file-sink query was started on the near-dup tier's provider")
+  }
+
+  test("nearDupStream tier selection deploys the measured implementations (plan-level)") {
+    // the wiring bug was invisible to output checks (string ≡ hashed
+    // relations), so the tier gate reads the PLAN: the hashed tiers ride
+    // the one-pass graft_band_hashes kernel, the string tier rides the
+    // graft_band_values + shingle-set pair, the archive tier carries the
+    // pair_type provenance column
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Seq(LiveNearDup.DocEvent(1L, "alpha beta gamma delta"))
+      .toDS()
+    val base = JobRunner.Config(outputPath = "/tmp/x", checkpointPath = "/tmp/y")
+    def planOf(cfg: JobRunner.Config): String =
+      JobRunner.nearDupStream(cfg, docs).queryExecution.analyzed.toString
+    val hashed = planOf(base)
+    assert(hashed.contains("graft_band_hashes"),
+      "default tier is not the hashed kernel")
+    val stringTier = planOf(base.copy(nearDupTier = JobRunner.NearDupTier.ByteExact))
+    assert(!stringTier.contains("graft_band_hashes") &&
+      stringTier.contains("graft_band_values"),
+      "ByteExact did not select the string tier")
+    val archived = JobRunner.nearDupStream(
+      base.copy(nearDupTier = JobRunner.NearDupTier.ArchiveBacked(
+        LiveNearDup.archiveRelationOf(Seq((9L, "alpha beta gamma delta"))
+          .toDF("doc_id", "text")), windowTtlMs = 1000L)), docs)
+    assert(archived.columns.contains("pair_type"),
+      "ArchiveBacked did not select the archive tier")
+    val cands = planOf(base.copy(nearDupVerified = false))
+    assert(!JobRunner.nearDupStream(base.copy(nearDupVerified = false), docs)
+        .columns.contains("jaccard") && cands.contains("graft_band_values"),
+      "candidates-only did not select the banding-only stage")
+    // the provider policy follows SCALING.md's measured table
+    assert(JobRunner.stateStoreProviderFor(true, JobRunner.NearDupTier.Hashed)
+      .exists(_.contains("RocksDB")))
+    assert(JobRunner.stateStoreProviderFor(true, JobRunner.NearDupTier.ByteExact)
+      .exists(_.contains("RocksDB")))
+    assert(JobRunner.stateStoreProviderFor(false, JobRunner.NearDupTier.Hashed).isEmpty)
+    assert(JobRunner.stateStoreProviderFor(true, JobRunner.NearDupTier.ArchiveBacked(
+      docs.toDF(), 0L)).isEmpty)
   }
 
   test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
