@@ -281,6 +281,44 @@ class StreamingSpec extends SparkSpec {
       docs.toDF(), 0L)).isEmpty)
   }
 
+  test("JobRunner deploys the archive-backed near-dup tier end-to-end (stored-relation probe)") {
+    // the window-bounded deployment shape, reachable from the runner: a
+    // stored band-bucket relation built from an ARCHIVED copy of the
+    // planted post (same user/text/timestamp → same content hash the
+    // runner keys on), an arriving near-identical post, and the emitted
+    // pair labeled new-old — the stateless stream-static probe working
+    // through the production entry point, session store untouched
+    // (HDFSBacked per the SCALING.md policy: window state is bounded)
+    import spark.implicits._
+    val in = tmp("graft-arin"); val out = tmp("graft-arout"); val cp = tmp("graft-arcp")
+    val dupA = "the quick brown fox jumps over the lazy dog tonight"
+    val dupB = "the quick brown fox jumps over the lazy dog today"
+    // the archive holds what an earlier epoch ingested: dupA under its
+    // own content hash (id chosen disjoint from any xxhash64 output by
+    // construction below — we just need a stable distinct id)
+    val archive = LiveNearDup.archiveRelationOf(
+      Seq((42L, dupA.toLowerCase)).toDF("doc_id", "text"))(spark).persist()
+    writePosts(in, "b1.json", Seq(
+      s"""{"text": "$dupB", "user": "ar1", "platform": "x", "timestamp": "2024-01-01 12:00:10"}"""))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    val r = JobRunner.run(spark, FileJsonSource(in),
+      fastCfg(out, cp).copy(withNearDups = true,
+        nearDupTier = JobRunner.NearDupTier.ArchiveBacked(archive)))
+    r.processAllAvailable(); r.stopAll()
+    assert(spark.conf.getOption(providerKey) == before)
+    val pairs = spark.read
+      .schema("doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, band INT, bv BIGINT, pair_type STRING")
+      .json(out + "_neardups").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2), row.getString(5)))
+      .distinct
+    // the fixture pair shares 7 of 9 distinct trigram shingles → 0.7778
+    assert(pairs.length == 1 && pairs.head._3 == 0.7778 &&
+      pairs.head._4 == "new-old" && (pairs.head._1 == 42L || pairs.head._2 == 42L),
+      s"expected the archived copy probed at 0.7778/new-old, got ${pairs.toSeq}")
+    archive.unpersist(blocking = false): Unit
+  }
+
   test("freshStart wipes the checkpoint and reprocesses (reference parity, CSJ:42–55)") {
     val in = tmp("graft-in2"); val out = tmp("graft-out2"); val cp = tmp("graft-cp2")
     writePosts(in, "b1.json", batch1)
