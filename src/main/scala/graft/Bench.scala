@@ -103,9 +103,14 @@ object Bench {
   // Canonical-pass watchdog deadline: no clean canonical query has ever
   // exceeded ~10 s at min-of-reps (committed artifacts r12–r15), so 90 s
   // is pathology — dump and keep going.  The scaling pass gets a
-  // per-query deadline of 10× the query's same-run canonical min
-  // instead (the r15 spikes were 25–50× their canonical siblings).
+  // per-query deadline of 10× the query's same-run canonical min,
+  // CLAMPED to [15 s, 90 s]: the floor keeps sub-second queries from
+  // dumping on the legitimate wide-scheduling tax (historically up to
+  // ~7×), the ceiling keeps slow queries' deadlines below the r15
+  // spike magnitudes (s13 53.5 s on a ~2 s canonical min — 10× alone
+  // would have caught it at 20 s; t21 109 s on ~9 s — caught at 90).
   private val WatchdogFloorS = 90.0
+  private val WatchdogScalingMinS = 15.0
   private val WatchdogMaxDumps = 6
 
   /** jstack-equivalent from inside the JVM: every thread, full frames
@@ -149,9 +154,12 @@ object Bench {
       deadlineS: Double, hits: scala.collection.mutable.Buffer[WatchdogHit])(
       body: => A): A = {
     val task: Runnable = () =>
-      if (hits.size < WatchdogMaxDumps) {
+      if (hits.synchronized(hits.size) < WatchdogMaxDumps) {
         val (full, top) = threadDump()
-        hits += WatchdogHit(query, rep, deadlineS, top)
+        // appends happen on the watchdog thread while the main thread
+        // may read the buffer (size checks, end-of-suite toSeq) — all
+        // access synchronizes on the buffer for the happens-before edge
+        hits.synchronized { hits += WatchdogHit(query, rep, deadlineS, top) }
         System.err.println(f"[bench] WATCHDOG local[$cpus] $query rep$rep " +
           f"overran $deadlineS%.0f s — top RUNNABLE frames: $top")
         try {
@@ -250,10 +258,12 @@ object Bench {
     val spikeRetries = scala.collection.mutable.ArrayBuffer.empty[SpikeRetry]
     val watchdogHits = scala.collection.mutable.ArrayBuffer.empty[WatchdogHit]
     val runs = SparkEntry.queries.map { case (name, fn) =>
-      // scaling-pass deadline: 10× the query's same-run canonical min
-      // (the r15 spikes sat at 25–50×); canonical pass: the fixed floor
+      // scaling-pass deadline: 10× the query's same-run canonical min,
+      // clamped to [15 s, 90 s] (WatchdogScalingMinS rationale);
+      // canonical pass: the fixed 90 s floor
       val deadline = canonicalMins.flatMap(_.get(name))
-        .map(m => math.max(WatchdogFloorS, m * 10.0))
+        .map(m => math.min(WatchdogFloorS,
+          math.max(WatchdogScalingMinS, m * 10.0)))
         .getOrElse(WatchdogFloorS)
       val errsBefore = errors.size
       def timeOne(rep: Int): Double = {
@@ -278,8 +288,13 @@ object Bench {
         if (errors.size == errsBefore && times.size >= 2 &&
             times.max > SpikeRatio * times.min && times.max > SpikeFloorS) {
           val t = timeOne(times.size + 1)
-          spikeRetries += SpikeRetry(name, times, t)
-          times :+ t
+          // a retry that ERRORS contributes nothing: its (fast-failure)
+          // elapsed time must not reach min-of-reps — the original clean
+          // reps stand, and the error itself fails the bench run
+          if (errors.size == errsBefore) {
+            spikeRetries += SpikeRetry(name, times, t)
+            times :+ t
+          } else times
         } else times
       name -> retried
     }.toSeq
@@ -474,7 +489,7 @@ object Bench {
       if (tiersOff) None
       else Some(TierResults(cacheTier, bandedTier, bpeTier, embedTier,
         serveWarmTier, decimalABTier)),
-      spikeRetries.toSeq, watchdogHits.toSeq)
+      spikeRetries.toSeq, watchdogHits.synchronized(watchdogHits.toSeq))
   }
 
   // ---------------------------------------------------------------- JSON

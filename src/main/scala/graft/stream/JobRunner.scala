@@ -134,7 +134,14 @@ object JobRunner {
       // true (DEFAULT since round 16 — deployment truth: the runner
       // starts the tier SCALING.md measured): the composed verify stage
       // emits d3's VERIFIED relation live through `nearDupTier`;
-      // false = candidates only (leaner state; verify runs downstream)
+      // false = candidates only (leaner state; verify runs downstream).
+      // MIGRATION: the default flipped from false — changing the
+      // effective stage (or tier/provider below) across a restart is a
+      // STATE-FORMAT change for the near-dup query, and Spark refuses
+      // the mismatched checkpoint state loudly.  An existing deployment
+      // restarting on an old checkpointPath must either pin its
+      // previous config (nearDupVerified = false) or start the near-dup
+      // query on a fresh checkpoint (freshStart / new path).
       nearDupVerified: Boolean = true,
       // which verify implementation deploys (NearDupTier doc): Hashed
       // (default; RocksDB store per the SCALING.md policy), ByteExact,

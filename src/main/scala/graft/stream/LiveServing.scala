@@ -146,7 +146,8 @@ object LiveServing {
       index: Array[(Int, Array[Double], Double)],
       postings: DataFrame,
       nprobe: Int = graft.queries.Similarity.IvfProbe,
-      stateTtlMs: Long = 0L)(
+      stateTtlMs: Long = 0L,
+      droppedQueries: Option[org.apache.spark.util.LongAccumulator] = None)(
       implicit spark: SparkSession): Dataset[ServeUpdate] = {
     import spark.implicits._
     graft.sentiment.GraftFunctions.register(spark)
@@ -163,7 +164,15 @@ object LiveServing {
       // assignment would serve WRONG neighbors silently; absence is the
       // honest answer), and a deployment wanting dead-letters routes
       // `!wellFormed(q)` to a side sink with this same predicate.
-      .filter((q: QEv) => q.emb != null && q.emb.length == dim)
+      // `droppedQueries` makes the drops OBSERVABLE: a producer-side
+      // dimension change silently zeroing ALL traffic is otherwise
+      // indistinguishable from no traffic — alarm on the counter
+      // outpacing answered queries.
+      .filter { (q: QEv) =>
+        val ok = q.emb != null && q.emb.length == dim
+        if (!ok) droppedQueries.foreach(_.add(1L))
+        ok
+      }
       .flatMap(q => probeCells(q.emb, index, nprobe)
         .map(l => (q.q_id, l, q.emb, q.exclude_id)))
       .toDF("q_id", "list_id", "qe", "exclude_id")

@@ -148,8 +148,10 @@ class LiveServingParitySpec extends SparkSpec
       .map(r => LiveServing.QEv(r.getLong(0), r.getSeq[Double](1).toArray,
         exclude_id = r.getLong(0)))
       .head
+    val dropped = spark.sparkContext.longAccumulator("graft.t22.dropped_queries")
     val input = MemoryStream[LiveServing.QEv]
-    val q = LiveServing.serve(input.toDS(), index, postings)
+    val q = LiveServing.serve(input.toDS(), index, postings,
+        droppedQueries = Some(dropped))
       .writeStream.format("memory").queryName("live_serving_poison")
       .outputMode(OutputMode.Append).start()
     try {
@@ -165,6 +167,10 @@ class LiveServingParitySpec extends SparkSpec
         .select("q_id").collect().map(_.getLong(0)).toSet
       assert(answered == Set(good.q_id),
         s"expected only the well-formed query answered, got $answered")
+      // the drops are observable, not silent (a producer-side dimension
+      // change zeroing all traffic must be distinguishable from idle)
+      assert(dropped.value == 3L,
+        s"expected 3 dropped malformed queries counted, got ${dropped.value}")
     } finally {
       q.stop()
       postings.unpersist(blocking = false): Unit
