@@ -130,7 +130,7 @@ object Bench {
     * (ThreadInfo.toString truncates at 8).  Returns (full dump, compact
     * top-frame histogram of RUNNABLE threads — the one-line signature
     * that named the r15 transferTo pathology). */
-  private def threadDump(): (String, String) = {
+  private[graft] def threadDump(): (String, String) = {
     val infos = java.lang.management.ManagementFactory.getThreadMXBean
       .dumpAllThreads(false, false)
     val sb = new StringBuilder(1 << 16)

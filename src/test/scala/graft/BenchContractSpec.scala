@@ -31,6 +31,19 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.isSpike(Seq(0.9, 1.1, 30.0)))    // one burst among clean reps
   }
 
+  test("the in-process thread dump carries full frames and a RUNNABLE histogram") {
+    // the dump is the artifact's diagnostic payload — it must actually
+    // contain the calling thread with a full (un-truncated) stack and a
+    // non-empty top-frame signature, or a fired watchdog records noise
+    val (full, top) = Bench.threadDump()
+    assert(full.contains(Thread.currentThread.getName),
+      "dump missing the calling thread")
+    assert(full.linesIterator.count(_.startsWith("    at ")) > 8,
+      "dump looks truncated to ThreadInfo.toString's 8-frame cap")
+    assert(top.nonEmpty && top.contains(" x"),
+      s"top-frame histogram malformed: '$top'")
+  }
+
   test("new artifact fields emit parseable JSON, locale-independently") {
     // a comma-decimal default locale must not leak into the JSON (the
     // ADVICE-r13 class of bug) — all fixed-point goes through Locale.ROOT
