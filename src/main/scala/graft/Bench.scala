@@ -325,8 +325,10 @@ object Bench {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       val ts = tierNames.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
-        catch { case e: Throwable => errors += s"$prefix:$name: ${e.getClass.getSimpleName}" }
+        withWatchdog(s"$prefix:$name", 1, cpus, WatchdogFloorS, watchdogHits) {
+          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+          catch { case e: Throwable => errors += s"$prefix:$name: ${e.getClass.getSimpleName}" }
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
       confs.foreach { case (k, _) => spark.conf.unset(k) }
@@ -378,12 +380,14 @@ object Bench {
         spark.conf.set("spark.graft.bpe.cache", "true")
         def one(): Option[Double] = {
           val t0 = System.nanoTime()
-          try {
-            SparkEntry.queries("t21_bpe_apply")(spark, sfDir).count(): Unit
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            errors += s"bpe:t21_bpe_apply: ${e.getClass.getSimpleName}"
-            None
+          withWatchdog("bpe:t21_bpe_apply", 1, cpus, WatchdogFloorS, watchdogHits) {
+            try {
+              SparkEntry.queries("t21_bpe_apply")(spark, sfDir).count(): Unit
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              errors += s"bpe:t21_bpe_apply: ${e.getClass.getSimpleName}"
+              None
+            }
           }
         }
         val trainPlusApply = one()
@@ -405,8 +409,10 @@ object Bench {
       else {
         spark.conf.set("spark.graft.embed.pairs", "bucketed")
         val t0 = System.nanoTime()
-        try { SparkEntry.queries("d7_embedding_clusters")(spark, sfDir).count(): Unit }
-        catch { case e: Throwable => errors += s"embed:d7: ${e.getClass.getSimpleName}" }
+        withWatchdog("embed:d7", 1, cpus, WatchdogFloorS, watchdogHits) {
+          try { SparkEntry.queries("d7_embedding_clusters")(spark, sfDir).count(): Unit }
+          catch { case e: Throwable => errors += s"embed:d7: ${e.getClass.getSimpleName}" }
+        }
         val t = (System.nanoTime() - t0) / 1e9
         spark.conf.unset("spark.graft.embed.pairs")
         clearCaches()
@@ -440,15 +446,19 @@ object Bench {
       else {
         clearCaches()
         serveAgainNames.foreach { name =>
-          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
-          catch { case e: Throwable =>
-            errors += s"serveprime:$name: ${e.getClass.getSimpleName}" }
+          withWatchdog(s"serveprime:$name", 1, cpus, WatchdogFloorS, watchdogHits) {
+            try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+            catch { case e: Throwable =>
+              errors += s"serveprime:$name: ${e.getClass.getSimpleName}" }
+          }
         }
         def warmOne(name: String): Double = {
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
-          catch { case e: Throwable =>
-            errors += s"servewarm:$name: ${e.getClass.getSimpleName}" }
+          withWatchdog(s"servewarm:$name", 1, cpus, WatchdogFloorS, watchdogHits) {
+            try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+            catch { case e: Throwable =>
+              errors += s"servewarm:$name: ${e.getClass.getSimpleName}" }
+          }
           (System.nanoTime() - t0) / 1e9
         }
         val ts = serveAgainNames.map(name => (name, warmOne(name), warmOne(name)))
@@ -473,9 +483,11 @@ object Bench {
         def timed(regime: String): Double = {
           spark.conf.set("spark.graft.decimal128", regime)
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
-          catch { case e: Throwable =>
-            errors += s"decimal_$regime:$name: ${e.getClass.getSimpleName}" }
+          withWatchdog(s"decimal_$regime:$name", 1, cpus, WatchdogFloorS, watchdogHits) {
+            try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
+            catch { case e: Throwable =>
+              errors += s"decimal_$regime:$name: ${e.getClass.getSimpleName}" }
+          }
           val t = (System.nanoTime() - t0) / 1e9
           spark.conf.unset("spark.graft.decimal128")
           clearCaches()
