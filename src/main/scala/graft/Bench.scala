@@ -65,7 +65,10 @@ object Bench {
       // (name, decimal-on, int64-pinned): the refresh-decision family
       // A/B — prices the decimal(38,0) default against the pinned
       // int64 micro-path in the same session
-      decimalAB: Option[Seq[(String, Double, Double)]])
+      decimalAB: Option[Seq[(String, Double, Double)]],
+      // defended tier rows whose original pair disagreed > SpikeRatio
+      // and re-ran (r16 verdict #2) — both raw pairs stay here
+      retries: Seq[TierRetry])
 
   /** One watchdog firing: the query overran its deadline and the JVM
     * thread-dumped itself mid-run (r15 verdict #2 — the one committed
@@ -76,9 +79,35 @@ object Bench {
 
   /** A spike retry: rep disagreement beyond SpikeRatio re-ran the query
     * once, so one scheduler hiccup on a shared box can't masquerade as
-    * a plan regression (min-of-reps picks the retry up automatically). */
+    * a plan regression.  The retry lives ONLY here — queries_runs keeps
+    * exactly `repeat` entries (ADVICE r16: consumers validate
+    * runs.length == repeat) — and [[minsWithRetries]] folds it into the
+    * reported per-query min. */
   private[graft] final case class SpikeRetry(query: String, reps: Seq[Double],
       retryS: Double)
+
+  /** A defended TIER measurement (r16 verdict #2): the warm and decimal
+    * A/B tiers are single-pass by design, so before this a single
+    * contention burst could put quotable garbage straight into the
+    * summary totals (driver r16: s19 warm 107/119 s vs the committed
+    * 1.96/1.24, with only a false-negative contended bit to arbitrate).
+    * A pair disagreeing beyond the suite's spike rule re-runs once; the
+    * reported row takes the per-measurement min of the two executions
+    * (the tier analogue of min-of-reps — regimes/reps are never mixed,
+    * so a REAL dec-vs-int64 regression re-reproduces in the retry and
+    * survives into the reported row), and both raw pairs stay in the
+    * artifact under tier_retries. */
+  private[graft] final case class TierRetry(label: String,
+      orig: Seq[Double], retry: Seq[Double])
+
+  /** Per-query min across the recorded reps AND any spike retry (the
+    * artifact-shape contract above: runs arrays stay length `repeat`,
+    * retries ride spike_retries, the min still sees both). */
+  private[graft] def minsWithRetries(runs: Seq[(String, Seq[Double])],
+      retries: Seq[SpikeRetry]): Seq[(String, Double)] = {
+    val best = retries.groupBy(_.query).view.mapValues(_.map(_.retryS).min).toMap
+    runs.map { case (n, ts) => n -> best.get(n).fold(ts.min)(math.min(ts.min, _)) }
+  }
 
   private final case class SuiteResult(
       cpus: String,
@@ -90,7 +119,7 @@ object Bench {
       tiers: Option[TierResults],
       spikeRetries: Seq[SpikeRetry],
       watchdog: Seq[WatchdogHit]) {
-    def mins: Seq[(String, Double)] = runs.map { case (n, ts) => n -> ts.min }
+    def mins: Seq[(String, Double)] = minsWithRetries(runs, spikeRetries)
     def total: Double = mins.map(_._2).sum
   }
 
@@ -269,6 +298,7 @@ object Bench {
         }
       })
     val spikeRetries = scala.collection.mutable.ArrayBuffer.empty[SpikeRetry]
+    val tierRetries = scala.collection.mutable.ArrayBuffer.empty[TierRetry]
     val watchdogHits = scala.collection.mutable.ArrayBuffer.empty[WatchdogHit]
     val runs = SparkEntry.queries.map { case (name, fn) =>
       // scaling-pass deadline: 10× the query's same-run canonical min,
@@ -291,21 +321,18 @@ object Bench {
       val times = (1 to repeat).map(timeOne)
       // spike retry (r15 verdict #2): rep disagreement beyond SpikeRatio
       // on a non-trivial query is a contention signature, not a plan
-      // property — re-run once, record the retry, and let min-of-reps
-      // keep the clean number.  An errored query never retries (a fast
-      // failure must not replace a slow truth).
-      val retried =
-        if (errors.size == errsBefore && isSpike(times)) {
-          val t = timeOne(times.size + 1)
-          // a retry that ERRORS contributes nothing: its (fast-failure)
-          // elapsed time must not reach min-of-reps — the original clean
-          // reps stand, and the error itself fails the bench run
-          if (errors.size == errsBefore) {
-            spikeRetries += SpikeRetry(name, times, t)
-            times :+ t
-          } else times
-        } else times
-      name -> retried
+      // property — re-run once, record the retry (ONLY in spike_retries:
+      // queries_runs arrays keep exactly `repeat` entries — ADVICE r16),
+      // and let minsWithRetries keep the clean number.  An errored query
+      // never retries (a fast failure must not replace a slow truth).
+      if (errors.size == errsBefore && isSpike(times)) {
+        val t = timeOne(times.size + 1)
+        // a retry that ERRORS contributes nothing: its (fast-failure)
+        // elapsed time must not reach min-of-reps — the original clean
+        // reps stand, and the error itself fails the bench run
+        if (errors.size == errsBefore) spikeRetries += SpikeRetry(name, times, t)
+      }
+      name -> times
     }.toSeq
     // Cache-on curation tier (opt-out: SPARK_GRAFT_BENCH_DUPGRAPH_TIER=0):
     // c1/d6/d9/d13 — the slowest clean queries — each rebuild the same
@@ -452,16 +479,37 @@ object Bench {
               errors += s"serveprime:$name: ${e.getClass.getSimpleName}" }
           }
         }
-        def warmOne(name: String): Double = {
+        // rep index flows into the watchdog label (r16 verdict #3: both
+        // warm reps used to dump as rep1, indistinguishable in the
+        // artifact): warm1→rep1, warm2→rep2, a defended retry→rep3/rep4
+        def warmOne(name: String, rep: Int): Double = {
           val t0 = System.nanoTime()
-          withWatchdog(s"servewarm:$name", 1, cpus, WatchdogFloorS, watchdogHits) {
+          withWatchdog(s"servewarm:$name", rep, cpus, WatchdogFloorS, watchdogHits) {
             try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
             catch { case e: Throwable =>
               errors += s"servewarm:$name: ${e.getClass.getSimpleName}" }
           }
           (System.nanoTime() - t0) / 1e9
         }
-        val ts = serveAgainNames.map(name => (name, warmOne(name), warmOne(name)))
+        val ts = serveAgainNames.map { name =>
+          val errs0 = errors.size
+          val w1 = warmOne(name, 1); val w2 = warmOne(name, 2)
+          // tier defense (r16 verdict #2): warm1/warm2 disagreement
+          // beyond the suite's spike rule re-runs the pair once — the
+          // reported row is the per-measurement min (the retry runs
+          // extra-warm, which matters only under the contention being
+          // defended against; the steady-state quotable is warm2 either
+          // way), both raw pairs recorded in tier_retries.  A steady
+          // warm1 ≈ warm2 + JIT tail (the committed shapes, ≤ ~2×)
+          // never trips the 4× rule.  Errored rows never retry.
+          if (errors.size == errs0 && isSpike(Seq(w1, w2))) {
+            val r1 = warmOne(name, 3); val r2 = warmOne(name, 4)
+            if (errors.size == errs0) {
+              tierRetries += TierRetry(s"servewarm:$name", Seq(w1, w2), Seq(r1, r2))
+              (name, math.min(w1, r1), math.min(w2, r2))
+            } else (name, w1, w2)
+          } else (name, w1, w2)
+        }
         clearCaches()
         Some(ts)
       }
@@ -480,10 +528,10 @@ object Bench {
     val decimalABTier: Option[Seq[(String, Double, Double)]] =
       if (tiersOff) None
       else Some(decimalNames.zipWithIndex.map { case (name, i) =>
-        def timed(regime: String): Double = {
+        def timed(regime: String, rep: Int): Double = {
           spark.conf.set("spark.graft.decimal128", regime)
           val t0 = System.nanoTime()
-          withWatchdog(s"decimal_$regime:$name", 1, cpus, WatchdogFloorS, watchdogHits) {
+          withWatchdog(s"decimal_$regime:$name", rep, cpus, WatchdogFloorS, watchdogHits) {
             try { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
             catch { case e: Throwable =>
               errors += s"decimal_$regime:$name: ${e.getClass.getSimpleName}" }
@@ -496,8 +544,25 @@ object Bench {
         // which regime runs FIRST alternates by index: whatever
         // first-run advantage remains after clearCaches (JIT, OS page
         // cache) hits both regimes equally in the tier TOTALS
-        if (i % 2 == 0) { val d = timed("true"); (name, d, timed("false")) }
-        else { val n = timed("false"); val d = timed("true"); (name, d, n) }
+        def pair(rep: Int): (Double, Double) =
+          if (i % 2 == 0) { val d = timed("true", rep); (d, timed("false", rep)) }
+          else { val n = timed("false", rep); val d = timed("true", rep); (d, n) }
+        val errs0 = errors.size
+        val (d1, n1) = pair(1)
+        // tier defense (r16 verdict #2): a dec/int64 pair disagreeing
+        // > 4× above the 2 s floor is a contention signature (the
+        // measured regimes sit at ~1× in three independent A/Bs) —
+        // re-run the pair once, report the per-REGIME min so regimes
+        // never mix, and keep both raw pairs in tier_retries.  A real
+        // 4× regression would re-reproduce in the retry and survive
+        // into the reported row.  Errored rows never retry.
+        if (errors.size == errs0 && isSpike(Seq(d1, n1))) {
+          val (d2, n2) = pair(2)
+          if (errors.size == errs0) {
+            tierRetries += TierRetry(s"decimal:$name", Seq(d1, n1), Seq(d2, n2))
+            (name, math.min(d1, d2), math.min(n1, n2))
+          } else (name, d1, n1)
+        } else (name, d1, n1)
       })
     val loadAfter = loadAvg()
     val cpuBusyPct: Option[Double] = for {
@@ -509,7 +574,7 @@ object Bench {
     SuiteResult(cpus, runs, errors.toSeq, loadBefore, loadAfter, cpuBusyPct,
       if (tiersOff) None
       else Some(TierResults(cacheTier, bandedTier, bpeTier, embedTier,
-        serveWarmTier, decimalABTier)),
+        serveWarmTier, decimalABTier, tierRetries.toSeq)),
       spikeRetries.toSeq, watchdogHits.synchronized(watchdogHits.toSeq))
   }
 
@@ -560,8 +625,15 @@ object Bench {
       s""""serve_again_warm_tier":${pairTierJson(tr.serveWarm, "warm1", "warm2")},""" +
       s""""serve_again_warm_s":${tr.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")},""" +
       s""""serve_again_warm2_s":${tr.serveWarm.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")},""" +
-      s""""decimal_ab_tier":${pairTierJson(tr.decimalAB, "dec", "int64")}}"""
+      s""""decimal_ab_tier":${pairTierJson(tr.decimalAB, "dec", "int64")},""" +
+      s""""tier_retries":${tierRetriesJson(tr.retries)}}"""
   }.getOrElse("null")
+
+  private[graft] def tierRetriesJson(rs: Seq[TierRetry]): String =
+    rs.map(r => jStr(r.label) +
+        s""":{"orig":${r.orig.mkString("[", ",", "]")},""" +
+        s""""retry":${r.retry.mkString("[", ",", "]")}}""")
+      .mkString("{", ",", "}")
 
   private[graft] def spikeRetriesJson(rs: Seq[SpikeRetry]): String =
     rs.map(r => jStr(r.query) +
@@ -591,18 +663,34 @@ object Bench {
 
   // A dirty artifact must SELF-IDENTIFY (r13 "What's wrong" #1: the
   // driver's contended rerun silently overwrote the committed clean
-  // BENCH_full.json): a pass whose pre-run 1-min load average exceeds 3
-  // — well above the ~1.3 clean band, below the 5.11 of the known
-  // contended run — is flagged `contended` in both the full artifact and
-  // the summary trailer, so nobody has to cross-check load fields by hand.
-  private val ContendedLoadBefore = 3.0
-  private def contended(r: SuiteResult): Boolean = r.loadBefore > ContendedLoadBefore
+  // BENCH_full.json): a pass whose 1-min load average exceeds 3 — well
+  // above the ~1.3 clean band, below the 5.11 of the known contended
+  // run — is flagged `contended` in both the full artifact and the
+  // summary trailer, so nobody has to cross-check load fields by hand.
+  // BOTH load samples count (r16 verdict #1: keying on load_before
+  // alone false-negatived the driver's r16 scaling pass — load_before
+  // 1.82 read clean while load_after hit 25.62 with 11 spike retries
+  // and 6 watchdog dumps: the box was slammed AFTER the pass started),
+  // and so do the defenses themselves: a pass that fired spike
+  // retries + watchdog dumps + tier retries ≥ 3 times was provably
+  // fighting its box, whatever the endpoint load samples say (bursts
+  // between the two samples are otherwise invisible).
+  private[graft] val ContendedLoad = 3.0
+  private[graft] val ContendedDefenseHits = 3
+  private[graft] def contendedFlag(loadBefore: Double, loadAfter: Double,
+      defenseHits: Int): Boolean =
+    math.max(loadBefore, loadAfter) > ContendedLoad ||
+      defenseHits >= ContendedDefenseHits
+  private def contended(r: SuiteResult): Boolean =
+    contendedFlag(r.loadBefore, r.loadAfter,
+      r.spikeRetries.size + r.watchdog.size +
+        r.tiers.map(_.retries.size).getOrElse(0))
 
   private def summaryLine(tag: String, r: SuiteResult, repeat: Int, sfDir: String): String = {
     val slowest = r.mins.sortBy(-_._2).take(10)
       .map { case (k, v) => jStr(k) + ":" + fmt2(v) }.mkString("{", ",", "}")
     val t = r.tiers
-    s"""{"summary":"$tag","total_s":${fmt2(r.total)},"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"contended":${contended(r)},"load_before":${fmt2(r.loadBefore)},"load_after":${fmt2(r.loadAfter)},"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"serve_again_warm_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"serve_again_warm2_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")).getOrElse("null")},"decimal_dec_s":${t.map(x => x.decimalAB.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"decimal_int64_s":${t.map(x => x.decimalAB.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")).getOrElse("null")},"spike_retries":${r.spikeRetries.size},"watchdog_hits":${r.watchdog.size},"n_errors":${r.errors.size},"slowest":$slowest}"""
+    s"""{"summary":"$tag","total_s":${fmt2(r.total)},"cpus":"${r.cpus}","sf":"$sfDir","n_queries":${r.mins.size},"repeat":$repeat,"contended":${contended(r)},"load_before":${fmt2(r.loadBefore)},"load_after":${fmt2(r.loadAfter)},"cpu_busy_pct":${jNumOpt(r.cpuBusyPct)},"dupgraph_exact_tier_total_s":${t.map(x => tierTotal(x.cache)).getOrElse("null")},"dupgraph_banded_tier_total_s":${t.map(x => tierTotal(x.banded)).getOrElse("null")},"dupgraph_exact_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.cache)).getOrElse("null")},"dupgraph_banded_prod_c1d6d9_s":${t.map(x => prodSubtotal(x.banded)).getOrElse("null")},"bpe_apply_only_s":${t.map(x => jNumOpt(x.bpe.map(_._2))).getOrElse("null")},"d7_bucketed_s":${t.map(x => jNumOpt(x.d7Bucketed)).getOrElse("null")},"serve_again_warm_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"serve_again_warm2_s":${t.map(x => x.serveWarm.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")).getOrElse("null")},"decimal_dec_s":${t.map(x => x.decimalAB.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")).getOrElse("null")},"decimal_int64_s":${t.map(x => x.decimalAB.map(ts => fmt2(ts.map(_._3).sum)).getOrElse("null")).getOrElse("null")},"spike_retries":${r.spikeRetries.size},"tier_retries":${r.tiers.map(_.retries.size).getOrElse(0)},"watchdog_hits":${r.watchdog.size},"n_errors":${r.errors.size},"slowest":$slowest}"""
   }
   private def tierTotal(t: Option[Seq[(String, Double)]]): String =
     t.map(ts => fmt2(ts.map(_._2).sum)).getOrElse("null")
@@ -648,7 +736,7 @@ object Bench {
     // stdout and used to decide which per-query pairs survived a round.
     val fullJson =
       s"""{"sf":"$sfDir","repeat":$repeat,""" +
-        s""""note":"canonical = local[4], the judge methodology (32-way task scheduling dominates sf0.1 partitions — see Bench.scala header); scaling = the env-requested width, queries only; prod_c1d6d9 tier subtotals exclude d13, whose ground truth is pinned to the exact pair source; per-query ISOLATION clears the session memos, so composition queries (c13 refresh decision, c15 pipeline) re-price every upstream audit/stage each run — in a real session those legs ride memoized relations and the marginal cost is ~one audit, so their bench numbers OVERSTATE the operators; spike_retries = reps disagreeing >4x re-ran once (min-of-reps picks the retry up); watchdog_dumps = in-process thread dumps of overrunning queries (full dumps in BENCH_watchdog.txt); serve_again_warm_tier per-query rows are order-dependent (no cache clear inside the tier) — quote the totals; decimal_ab_tier prices the decimal(38,0) default vs pinned int64 on the refresh-decision family","""  +
+        s""""note":"canonical = local[4], the judge methodology (32-way task scheduling dominates sf0.1 partitions — see Bench.scala header); scaling = the env-requested width, queries only; prod_c1d6d9 tier subtotals exclude d13, whose ground truth is pinned to the exact pair source; per-query ISOLATION clears the session memos, so composition queries (c13 refresh decision, c15 pipeline) re-price every upstream audit/stage each run — in a real session those legs ride memoized relations and the marginal cost is ~one audit, so their bench numbers OVERSTATE the operators; spike_retries = reps disagreeing >4x re-ran once (the reported per-query min includes the retry; queries_runs arrays keep exactly `repeat` entries — the retry value lives only in spike_retries); tier_retries = warm/decimal A/B pairs disagreeing >4x re-ran once, reported row = per-measurement min, raw pairs recorded; contended = max(load_before, load_after) > 3 OR >=3 defense firings (spikes + dumps + tier retries); watchdog_dumps = in-process thread dumps of overrunning queries (full dumps in BENCH_watchdog.txt; servewarm rep1/rep2 = warm1/warm2, rep3/rep4 = the defended retry); serve_again_warm_tier per-query rows are order-dependent (no cache clear inside the tier) — quote the totals; decimal_ab_tier prices the decimal(38,0) default vs pinned int64 on the refresh-decision family","""  +
         s""""canonical":${suiteJson(canonical, repeat)},""" +
         s""""scaling":${scaling.map(suiteJson(_, repeat)).getOrElse("null")}}"""
     // Written TWICE: the stable name (driver/judge contract) AND a

@@ -49,11 +49,20 @@ object JobRunner {
       * state is window-sized at any corpus size, so the in-memory
       * HDFSBacked default store stays (SCALING.md: RocksDB halves its
       * throughput for memory it doesn't need).  `monitor` makes the
-      * TTL-vs-archive-refresh-lag sizing contract alarmable. */
+      * TTL-vs-archive-refresh-lag sizing contract alarmable; when left
+      * None, [[JobRunner.run]] auto-constructs one stamped at
+      * `constructedAtMs` (r16 verdict #4: a deployment that forgets
+      * the monitor must still get the alarm).  `constructedAtMs`
+      * defaults to the moment THIS tier value was built — the latest
+      * instant the loaded archive can have been built, so the
+      * auto-monitor's lag check errs no more optimistic than the
+      * config itself; a deployment that knows the archive's real build
+      * timestamp should pass its own monitor. */
     final case class ArchiveBacked(
         archive: org.apache.spark.sql.DataFrame,
         windowTtlMs: Long = 0L,
-        monitor: Option[LiveNearDup.ArchiveLagMonitor] = None) extends NearDupTier
+        monitor: Option[LiveNearDup.ArchiveLagMonitor] = None,
+        constructedAtMs: Long = System.currentTimeMillis()) extends NearDupTier
   }
 
   private val RocksDbProvider =
@@ -139,9 +148,15 @@ object JobRunner {
       // effective stage (or tier/provider below) across a restart is a
       // STATE-FORMAT change for the near-dup query, and Spark refuses
       // the mismatched checkpoint state loudly.  An existing deployment
-      // restarting on an old checkpointPath must either pin its
-      // previous config (nearDupVerified = false) or start the near-dup
-      // query on a fresh checkpoint (freshStart / new path).
+      // restarting on an old checkpointPath must pin its previous
+      // config: deployments that ran the old DEFAULT pin
+      // nearDupVerified = false; deployments that had EXPLICITLY set
+      // nearDupVerified = true were running the pre-r16 string tier
+      // (ShingleBucket state) and must pin nearDupTier =
+      // NearDupTier.ByteExact — the new Hashed default's HashBucket
+      // state schema fails their checkpoint's compatibility check.
+      // Either way, a fresh checkpoint (freshStart / new path) adopts
+      // the new defaults cleanly.
       nearDupVerified: Boolean = true,
       // which verify implementation deploys (NearDupTier doc): Hashed
       // (default; RocksDB store per the SCALING.md policy), ByteExact,
@@ -149,25 +164,77 @@ object JobRunner {
       // deployment shape when a stored relation exists
       nearDupTier: NearDupTier = NearDupTier.Hashed)
 
-  final case class Running(queries: Seq[StreamingQuery]) {
+  final case class Running(queries: Seq[StreamingQuery],
+      // the ArchiveLagMonitor the near-dup query actually counts into
+      // (configured or auto-constructed) — feed it to opsGauges so the
+      // listener reports the alarm counters (r16 verdict #4)
+      nearDupMonitor: Option[LiveNearDup.ArchiveLagMonitor] = None) {
     def awaitAny(): Unit = queries.headOption.foreach(_.awaitTermination())
     def processAllAvailable(): Unit = queries.foreach(_.processAllAvailable())
     def stopAll(): Unit = queries.foreach(_.stop())
   }
 
-  /** Progress listener: push-based replacement of CSJ's polling loop. */
-  def progressListener(log: String => Unit = s => System.err.println(s)): StreamingQueryListener =
+  /** Named operational gauges for [[progressListener]]: the archive-lag
+    * alarm counters of a running near-dup tier, plus (optionally) a
+    * serving node's [[LiveServing.serve]] droppedQueries accumulator —
+    * the counters existed but nothing reported them (r16 verdict #4).
+    * Accumulator values are read lazily per progress event, so one
+    * listener registration tracks them for the life of the run.
+    * CAVEAT (ADVICE r16): accumulators updated inside transformations
+    * are at-least-once under task retries/speculation — treat nonzero
+    * values as upper bounds; zero still proves the clean case. */
+  def opsGauges(running: Running,
+      droppedQueries: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Seq[(String, () => Long)] =
+    running.nearDupMonitor.toSeq.flatMap(m => Seq[(String, () => Long)](
+      ("window_evictions", () => m.windowEvictions.value.longValue()),
+      ("lag_violations", () => m.lagViolations.value.longValue()))) ++
+      droppedQueries.map(a =>
+        ("dropped_queries", () => a.value.longValue()): (String, () => Long))
+
+  /** Progress listener: push-based replacement of CSJ's polling loop.
+    * `ops` gauges (see [[opsGauges]]) are appended to every progress
+    * line, so the alarm counters trend in the same log a dashboard
+    * tails — `lag_violations` or `dropped_queries` climbing is the
+    * page. */
+  def progressListener(log: String => Unit = s => System.err.println(s),
+      ops: Seq[(String, () => Long)] = Nil): StreamingQueryListener =
     new StreamingQueryListener {
+      private def opsStr: String =
+        if (ops.isEmpty) ""
+        else ops.map { case (n, g) => s"$n=${g()}" }.mkString(" ", " ", "")
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
         log(s"[stream] started ${e.name} (${e.id})")
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
         log(s"[stream] ${e.progress.name} batch=${e.progress.batchId} " +
-          s"rows=${e.progress.numInputRows} rps=${e.progress.inputRowsPerSecond}")
+          s"rows=${e.progress.numInputRows} rps=${e.progress.inputRowsPerSecond}" + opsStr)
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         log(s"[stream] terminated ${e.id} exception=${e.exception.getOrElse("none")}")
     }
 
-  def run(spark: SparkSession, source: PostSource, cfg: Config): Running = {
+  /** An ArchiveBacked tier selected WITHOUT a monitor gets one
+    * auto-constructed here, stamped at tier-construction time (the
+    * ArchiveBacked doc's optimism bound) — before this, a deployment
+    * that forgot the monitor got no lag alarm at all (r16 verdict #4).
+    * Applied by [[run]]; idempotent. */
+  def withResolvedMonitor(spark: SparkSession, cfg: Config): Config =
+    cfg.nearDupTier match {
+      case ab @ NearDupTier.ArchiveBacked(_, _, None, stamp) =>
+        cfg.copy(nearDupTier =
+          ab.copy(monitor = Some(LiveNearDup.ArchiveLagMonitor(spark, stamp))))
+      case _ => cfg
+    }
+
+  /** The monitor a (resolved) config's near-dup query counts into. */
+  private def monitorOf(cfg: Config): Option[LiveNearDup.ArchiveLagMonitor] =
+    cfg.nearDupTier match {
+      case NearDupTier.ArchiveBacked(_, _, m, _) if cfg.withNearDups && cfg.nearDupVerified => m
+      case _ => None
+    }
+
+  def run(spark: SparkSession, source: PostSource, cfg0: Config): Running = {
+    // ArchiveBacked without a monitor → auto-construct (r16 verdict #4)
+    val cfg = withResolvedMonitor(spark, cfg0)
     if (cfg.freshStart) {
       // reference behavior (CSJ:42–68): wipe checkpoints AND output dirs =>
       // reprocess from scratch. Output must go too — the file sink's
@@ -267,7 +334,8 @@ object JobRunner {
       }
     } else None
 
-    Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies ++ drift ++ nearDups)
+    Running(Seq(file) ++ console ++ windowed ++ bursts ++ anomalies ++ drift ++ nearDups,
+      nearDupMonitor = monitorOf(cfg))
   }
 
   /** The T14 stream a given config deploys — factored out of [[run]]
@@ -283,7 +351,7 @@ object JobRunner {
         LiveNearDup.verifiedPairsHashed(docEvents, maxBucket = cfg.nearDupMaxBucket).toDF()
       case NearDupTier.ByteExact =>
         LiveNearDup.verifiedPairs(docEvents, maxBucket = cfg.nearDupMaxBucket).toDF()
-      case NearDupTier.ArchiveBacked(archive, ttl, monitor) =>
+      case NearDupTier.ArchiveBacked(archive, ttl, monitor, _) =>
         LiveNearDup.verifiedPairsArchivedHashed(docEvents, archive,
           maxBucket = cfg.nearDupMaxBucket, windowTtlMs = ttl, monitor = monitor).toDF()
     }

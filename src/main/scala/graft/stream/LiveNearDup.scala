@@ -227,7 +227,17 @@ object LiveNearDup {
     * processing-time timeout, so processing time is the right clock);
     * [[archiveVersionMs]] is the build timestamp of the archive
     * relation the deployment loaded — refreshing the archive means
-    * restarting the query with a new relation AND a new monitor. */
+    * restarting the query with a new relation AND a new monitor.
+    *
+    * AT-LEAST-ONCE caveat (ADVICE r16): the adds happen inside a
+    * flatMapGroupsWithState transformation, where Spark replays
+    * accumulator updates on task retry/speculation — NONZERO values
+    * are upper bounds, not exact eviction counts.  The alarm semantics
+    * survive: zero still PROVES the contract held (no retry invents a
+    * count from nothing), and the page condition is `> 0`, which
+    * over-counting can only make more sensitive.  Tests should assert
+    * relationships (`violations > 0`, `violations <= evictions`), not
+    * exact equality. */
   final case class ArchiveLagMonitor(
       archiveVersionMs: Long,
       windowEvictions: org.apache.spark.util.LongAccumulator,

@@ -154,6 +154,13 @@ object LiveServing {
     require(index.nonEmpty, "graft: live serving needs a serving index")
     val dot = graft.queries.Similarity.dot _
     val dim = index.head._2.length
+    // `dim` is read off the FIRST centroid and gates the poison-pill
+    // filter below — a ragged index would silently admit queries of
+    // whichever dimension happened to come first (ADVICE r16), so fail
+    // construction loudly instead (k centroids, a driver-side check)
+    require(index.forall(_._2.length == dim),
+      s"graft: serving index centroids disagree on dimension " +
+        s"(${index.map(_._2.length).distinct.sorted.mkString("/")}) — rebuild the index")
     val probed = queries
       // a MALFORMED query (null/empty/wrong-dimension embedding) is
       // DROPPED at ingest, not crashed on: probeCells' dimension
@@ -167,7 +174,11 @@ object LiveServing {
       // `droppedQueries` makes the drops OBSERVABLE: a producer-side
       // dimension change silently zeroing ALL traffic is otherwise
       // indistinguishable from no traffic — alarm on the counter
-      // outpacing answered queries.
+      // outpacing answered queries.  The increment rides a filter
+      // closure, so task retries/speculation replay it (ADVICE r16):
+      // the count is an at-least-once UPPER bound, and the alarm
+      // condition (`> 0`, or the rate outpacing answers) only gets
+      // more sensitive from over-counting; zero stays exact.
       .filter { (q: QEv) =>
         val ok = q.emb != null && q.emb.length == dim
         if (!ok) droppedQueries.foreach(_.add(1L))

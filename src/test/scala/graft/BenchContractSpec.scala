@@ -31,6 +31,40 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.isSpike(Seq(0.9, 1.1, 30.0)))    // one burst among clean reps
   }
 
+  test("contended flag catches mid-run contention and repeated defense firings") {
+    // the driver-r16 scaling artifact is THE fixture (r16 verdict #1):
+    // load_before 1.82 read clean under the old load_before-only rule
+    // while load_after hit 25.62 with 11 spike retries + 6 watchdog
+    // dumps — that shape MUST flag contended now
+    assert(Bench.contendedFlag(1.82, 25.62, 11 + 6))
+    assert(Bench.contendedFlag(1.82, 25.62, 0), "load_after alone must flag")
+    // the r13 rule is preserved: pre-run load alone still flags
+    assert(Bench.contendedFlag(4.98, 1.82, 0))
+    // the committed-r16 clean shape stays clean
+    assert(!Bench.contendedFlag(0.38, 0.52, 0))
+    // defenses firing repeatedly flag even when both load samples
+    // missed the burst (contention between the two samples)
+    assert(Bench.contendedFlag(1.0, 1.0, 3))
+    assert(!Bench.contendedFlag(1.0, 1.0, 2),
+      "a lone spike + dump on a clean box must not taint the artifact")
+  }
+
+  test("queries_runs keeps exactly `repeat` entries; the min still sees the retry") {
+    // ADVICE r16: a retry appended to the runs array broke consumers
+    // validating runs.length == repeat — the retry now lives only in
+    // spike_retries, and minsWithRetries folds it into the reported min
+    val runs = Seq("q1" -> Seq(4.5, 9.0), "q2" -> Seq(1.0, 1.2))
+    val retries = Seq(Bench.SpikeRetry("q1", Seq(4.5, 9.0), 0.7))
+    val mins = Bench.minsWithRetries(runs, retries).toMap
+    assert(mins("q1") == 0.7, "retry must reach the reported min")
+    assert(mins("q2") == 1.0, "un-retried queries take the plain min")
+    // a retry slower than the reps (shouldn't happen, but a retry can
+    // itself be hit) never worsens the reported min
+    assert(Bench.minsWithRetries(
+      Seq("q" -> Seq(1.0, 5.0)), Seq(Bench.SpikeRetry("q", Seq(1.0, 5.0), 8.0)))
+      .head._2 == 1.0)
+  }
+
   test("the in-process thread dump carries full frames and a RUNNABLE histogram") {
     // the dump is the artifact's diagnostic payload — it must actually
     // contain the calling thread with a full (un-truncated) stack and a
@@ -66,6 +100,11 @@ class BenchContractSpec extends AnyFunSuite {
       assert(wd.get(0).get("query").asText == "q2")
       assert(wd.get(0).get("deadline_s").asDouble == 20.0)
       assert(wd.get(0).get("top_frames").asText.contains("map0 x32"))
+      val tr = mapper.readTree(Bench.tierRetriesJson(Seq(
+        Bench.TierRetry("servewarm:s19", Seq(107.3, 118.8), Seq(1.9, 1.3)))))
+      assert(tr.get("servewarm:s19").get("orig").get(1).asDouble == 118.8)
+      assert(tr.get("servewarm:s19").get("retry").get(0).asDouble == 1.9)
+      assert(Bench.tierRetriesJson(Nil) == "{}")
     } finally java.util.Locale.setDefault(prev)
   }
 }

@@ -124,8 +124,14 @@ class LiveNearDupArchiveSpec extends SparkSpec {
       // scenario in which the missed pair above became possible
       assert(monitor.windowEvictions.value > 0L,
         "TTL eviction did not count into windowEvictions")
-      assert(monitor.lagViolations.value == monitor.windowEvictions.value,
-        s"stale-archive evictions must ALL count as possible losses: " +
+      // relationship, not exact equality (ADVICE r16): accumulator
+      // updates in the fold are at-least-once under task retries, so
+      // the counters are upper bounds that a retry between the two
+      // adds could skew — what the contract guarantees is that the
+      // stale-archive page FIRED and violations never exceed evictions
+      assert(monitor.lagViolations.value > 0L &&
+        monitor.lagViolations.value <= monitor.windowEvictions.value,
+        s"stale-archive evictions must page as possible losses: " +
           s"${monitor.lagViolations.value} of ${monitor.windowEvictions.value}")
     } finally { q.stop(); archiveRel.unpersist(blocking = false): Unit }
   }
