@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ArrayDotProduct(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[graft.functions.VecSumAgg].getName, "graft_vec_sum"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VecSumAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nearest"),
+      new ExpressionInfo(classOf[graft.functions.NearestCentroid].getName, "graft_nearest"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NearestCentroid(exprs.head, exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
       FunctionIdentifier("graft_rolling_fp"),
       new ExpressionInfo(classOf[graft.functions.RollingFingerprint].getName, "graft_rolling_fp"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

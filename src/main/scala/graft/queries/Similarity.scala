@@ -33,6 +33,47 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Embedding dimensionality — a CONTRACT constant, not a measurement:
+    * every oracle CTE walks `range(1, 65)` and [[PqM]]·[[PqD]] = 64. */
+  private val EmbDim = 64
+
+  /** One-row packed image of a `(idCol, cent, cc)` centroid relation for
+    * the map-side [[graft.functions.NearestCentroid]] assignment
+    * (`graft_nearest`): `ids` ascending (unique, so `array_sort` over
+    * `struct(id, …)` is deterministic whatever partitioning produced
+    * `cents`), `flat` = the centroid vectors concatenated in id order,
+    * `ccs` parallel.  ≤ k rows in, ONE row out — the aggregate is the
+    * same tiny job the old broadcast paid; what changes is downstream:
+    * the assignment becomes a pure projection instead of a
+    * crossJoin+groupBy whose exchange re-shuffled the whole corpus
+    * (guide §2.4 — the argmin was already complete map-side). */
+  private def packedCentroids(cents: DataFrame, idCol: String): DataFrame =
+    cents.agg(array_sort(collect_list(struct(
+        col(idCol).cast("int").as("i"), col("cent").as("cent"),
+        col("cc").as("cc")))).as("cs"))
+      .select(
+        transform(col("cs"), c => c.getField("i")).as("ids"),
+        flatten(transform(col("cs"), c => c.getField("cent"))).as("flat"),
+        transform(col("cs"), c => c.getField("cc")).as("ccs"))
+
+  /** [[packedCentroids]] per PQ subspace: one packed row per `m`, joined
+    * broadcast on `m` by the per-subspace assignment sites. */
+  private def packedCodebooks(cents: DataFrame): DataFrame =
+    cents.groupBy(col("m")).agg(array_sort(collect_list(struct(
+        col("code").cast("int").as("i"), col("cent").as("cent"),
+        col("cc").as("cc")))).as("cs"))
+      .select(col("m"),
+        transform(col("cs"), c => c.getField("i")).as("ids"),
+        flatten(transform(col("cs"), c => c.getField("cent"))).as("flat"),
+        transform(col("cs"), c => c.getField("cc")).as("ccs"))
+
+  /** The map-side argmin column: `graft_nearest` over a packed centroid
+    * row — `struct(id, d)` minimal under (d, id), arithmetic- and
+    * tie-break-identical to the old `min_by(…, struct(dist, id))`
+    * aggregate form (the kernel's scaladoc proves the equivalence). */
+  private def nearestBest(vec: Column): Column =
+    call_function("graft_nearest", vec, col("ids"), col("flat"), col("ccs"))
+
   /** Persisted intermediates registered by the embedding pair/audit
     * builders (the bucketed quantized corpus, d15's two pair relations,
     * s13's shared quantized relation).  These live inside LAZY returned
@@ -364,37 +405,28 @@ object Similarity {
         .withColumn("vv", dot(col("qv"), col("qv")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      // Argmin over the broadcast centroid set via ONE aggregate: map-side
-      // combine collapses the k×-exploded rows back to one per vector
-      // before the shuffle, no Window sort.  min_by over struct(dist,
-      // list_id) reproduces ORDER BY dist, list_id rank-1 exactly — and
-      // because every dist is an exact integer, the argmin is
-      // partition-order-free.
+      // Argmin over the packed broadcast centroid set via the map-side
+      // graft_nearest projection (r17): min over (dist, list_id)
+      // reproduces ORDER BY dist, list_id rank-1 exactly — and because
+      // every dist is an exact integer, the argmin is
+      // partition-order-free.  The old ONE-aggregate form still paid a
+      // corpus-row exchange (groupBy vec_id after the k× fan-out); the
+      // projection pays none.
       def nearest(points: DataFrame, cents: DataFrame): DataFrame =
-        points.crossJoin(broadcast(cents))
-          .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-          .groupBy(col("vec_id"))
-          .agg(
-            min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
-            first(col("emb")).as("emb"),
-            first(col("qv")).as("qv"),
-            first(col("vv")).as("vv"))
+        points.crossJoin(broadcast(packedCentroids(cents, "list_id")))
+          .withColumn("best", nearestBest(col("qv")))
+          .filter(col("best").isNotNull)
+          .select(col("vec_id"), col("best.id").as("list_id"),
+            col("emb"), col("qv"), col("vv"))
       // seeds → assign → integer-mean centroids → re-assign (one k-means
       // step, deterministic at any partitioning)
       val seeds = e.filter(col("vec_id") < IvfLists)
         .select(col("vec_id").cast("int").as("list_id"),
           col("qv").as("cent"), col("vv").as("cc"))
       val assigned0 = nearest(e, seeds)
-      val centroids = assigned0
-        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        // exact integer sum / count, floored: centroids stay on the grid
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("list_id"),
-          transform(col("pc"), x => x.getField("c")).as("cent"))
-        .withColumn("cc", dot(col("cent"), col("cent")))
+      // exact integer sum / count, floored: centroids stay on the grid
+      val centroids = integerMeanVectors(
+        assigned0.select(col("list_id"), col("qv")), Seq("list_id"), "qv", EmbDim)
         // the centroid relation is IvfLists tiny rows but DERIVING it is
         // a full O(n·k) assignment pass — and BOTH consumers (the final
         // list assignment and the query-side probe) broadcast it, so
@@ -815,29 +847,23 @@ object Similarity {
         .withColumn("svv", dot(col("sv"), col("sv")))
         .select(col("vec_id"), col("m"), col("sv"), col("svv"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // per-subspace argmin assignment via ONE min_by aggregate (the s4
-      // plan shape: map-side combine collapses the K-fold join fan-out)
+      // per-subspace argmin assignment via the per-m packed map-side
+      // graft_nearest projection (r17: the old min_by aggregate
+      // re-shuffled PqM× corpus rows for an argmin already complete
+      // map-side; values and tie-breaks identical, zero exchanges)
       def nearestCode(points: DataFrame, cents: DataFrame): DataFrame =
-        points.join(broadcast(cents), Seq("m"))
-          .withColumn("dist",
-            col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
-            first(col("sv")).as("sv"), first(col("svv")).as("svv"))
+        points.join(broadcast(packedCodebooks(cents)), Seq("m"))
+          .withColumn("best", nearestBest(col("sv")))
+          .filter(col("best").isNotNull)
+          .select(col("vec_id"), col("m"), col("best.id").as("code"),
+            col("sv"), col("svv"))
       val seeds = sub.filter(col("vec_id") < PqK)
         .select(col("m"), col("vec_id").cast("int").as("code"),
           col("sv").as("cent"), col("svv").as("cc"))
       val a0 = nearestCode(sub, seeds)
       // floored-integer-mean update: codebooks stay on the grid
-      val cents1 = a0
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-        .groupBy(col("m"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("m"), col("code"),
-          transform(col("pc"), x => x.getField("c")).as("cent"))
-        .withColumn("cc", dot(col("cent"), col("cent")))
+      val cents1 = integerMeanVectors(
+        a0.select(col("m"), col("code"), col("sv")), Seq("m", "code"), "sv", PqD)
         // tiny (PqM·PqK rows) but derived by a full per-subspace
         // assignment pass; both consumers (the corpus coding and the
         // query-side ADC table) broadcast it — persist so the codebook
@@ -1070,17 +1096,12 @@ object Similarity {
     // each embeds one more copy of the (tiny) centroid subtree, so the
     // sweep range {1, 2} costs plan size, never a lineage explosion.
     def refine(cents: DataFrame): DataFrame =
-      dists(cents).groupBy(col("vec_id"))
-        .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
-          first(col("qv")).as("qv"))
-        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("list_id"),
-          transform(col("pc"), x => x.getField("c")).as("cent"))
-        .withColumn("cc", dot(col("cent"), col("cent")))
+      integerMeanVectors(
+        e.crossJoin(broadcast(packedCentroids(cents, "list_id")))
+          .withColumn("best", nearestBest(col("qv")))
+          .filter(col("best").isNotNull)
+          .select(col("best.id").as("list_id"), col("qv")),
+        Seq("list_id"), "qv", EmbDim)
     val centroids =
       (1 to kmeansSteps).foldLeft(seeds.select(col("list_id"),
         col("cent"), col("cc")))((c, _) => refine(c))
@@ -1543,32 +1564,23 @@ object Similarity {
         .withColumn("vv", dot(col("qv"), col("qv")))
         .select(col("vec_id"), col("qv"), col("vv"))
 
-      // s4's argmin-by-aggregate, plus the winning distance (the prune
-      // rule needs it): map-side combine collapses the k×-exploded rows
-      // before the shuffle; exact integer dists make the argmin
-      // partition-order-free.
+      // s4's argmin plus the winning distance (the prune rule needs it)
+      // — the map-side packed graft_nearest projection (r17): exact
+      // integer dists make the argmin partition-order-free, and the
+      // projection pays no corpus exchange at all.
       def nearestWithDist(points: DataFrame, cents: DataFrame): DataFrame =
-        points.crossJoin(broadcast(cents))
-          .withColumn("d", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-          .groupBy(col("vec_id"))
-          .agg(
-            min_by(struct(col("list_id"), col("d")), struct(col("d"), col("list_id"))).as("best"),
-            first(col("qv")).as("qv"), first(col("vv")).as("vv"))
-          .select(col("vec_id"), col("best.list_id").as("list_id"),
+        points.crossJoin(broadcast(packedCentroids(cents, "list_id")))
+          .withColumn("best", nearestBest(col("qv")))
+          .filter(col("best").isNotNull)
+          .select(col("vec_id"), col("best.id").as("list_id"),
             col("best.d").as("dist"), col("qv"), col("vv"))
 
       val seeds = e.filter(col("vec_id") < IvfLists)
         .select(col("vec_id").cast("int").as("list_id"),
           col("qv").as("cent"), col("vv").as("cc"))
-      val centroids = nearestWithDist(e, seeds)
-        .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("list_id"),
-          transform(col("pc"), x => x.getField("c")).as("cent"))
-        .withColumn("cc", dot(col("cent"), col("cent")))
+      val centroids = integerMeanVectors(
+        nearestWithDist(e, seeds).select(col("list_id"), col("qv")),
+        Seq("list_id"), "qv", EmbDim)
       // 3 consumers (both pair sides + the final kept-join) would each
       // re-derive the whole k-means assignment — including the centroid
       // training subtree — without a persist (the s4-centroids fix);
@@ -1996,15 +2008,19 @@ object Similarity {
         .select(col("vec_id"), col("qv"), col("vv")))
     }
 
-  /** One-sided nearest-trained-centroid assignment (s13's argmin). */
+  /** One-sided nearest-trained-centroid assignment (s13's argmin) —
+    * map-side via the packed `graft_nearest` projection (r17): the old
+    * crossJoin+groupBy(vec_id) form re-shuffled one corpus row per
+    * vector (qv payload included) to finish an argmin its own map task
+    * had already completed.  Values and tie-breaks identical
+    * ([[nearestBest]]); an empty `cents` still yields zero rows (the
+    * packed row's empty arrays make the kernel return null, filtered
+    * here).  Zero exchanges. */
   private def s13Nearest(points: DataFrame, cents: DataFrame): DataFrame =
-    points.crossJoin(broadcast(cents))
-      .withColumn("d", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("list_id"), col("d")),
-        struct(col("d"), col("list_id"))).as("best"),
-        first(col("qv")).as("qv"))
-      .select(col("vec_id"), col("best.list_id").as("list_id"),
+    points.crossJoin(broadcast(packedCentroids(cents, "list_id")))
+      .withColumn("best", nearestBest(col("qv")))
+      .filter(col("best").isNotNull)
+      .select(col("vec_id"), col("best.id").as("list_id"),
         col("best.d").as("dist"), col("qv"))
 
   /** s13's ARCHIVE-trained centroids over the quantized corpus `e`:
@@ -2034,14 +2050,32 @@ object Similarity {
     * step the original training applied, or the two indexes differ by
     * recipe instead of by data). */
   private def integerMeanCentroids(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("list_id"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy(col("list_id"), col("pos"))
-      .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-      .groupBy(col("list_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("list_id"),
-        transform(col("pc"), x => x.getField("c")).as("cent"))
+    integerMeanVectors(assigned, Seq("list_id"), "qv", EmbDim)
+
+  /** ONE-exchange floored-integer-mean k-means update over a keyed
+    * assignment: the native [[graft.functions.VecSumAgg]] element-wise
+    * vector sum + a count per key, the mean array then one `transform`
+    * over the ≤ k result rows — value-identical to the old posexplode →
+    * groupBy(key, pos) → groupBy(key) collect_list form
+    * (`floor(sum/count)` per dimension over exact grid integers,
+    * order-free), but ONE exchange instead of two and no dim× row
+    * blow-up feeding the first shuffle (guide §2.3: aggregate before
+    * you shuffle — partial aggregation ships one ≤ dim-double buffer
+    * per key per map task instead of dim× corpus rows).  Kept as ONE
+    * plan expression deliberately: the `dim` separate `sum(vec[i])`
+    * spelling of the same aggregate measurably REGRESSED the
+    * composition queries by inflating Catalyst time across the shared
+    * audit subtrees' many plan copies (see VecSumAgg's scaladoc).
+    * `dim` documents the contract dimensionality; the aggregate itself
+    * is length-driven and fails loudly on ragged groups. */
+  private def integerMeanVectors(assigned: DataFrame, keys: Seq[String],
+      vecCol: String, dim: Int): DataFrame =
+    assigned.groupBy(keys.map(col): _*)
+      .agg(call_function("graft_vec_sum", col(vecCol)).as("_sv"),
+        count(lit(1)).as("_n"))
+      .select(keys.map(col) :+
+        transform(col("_sv"),
+          x => floor(x / col("_n")).cast("double")).as("cent"): _*)
       .withColumn("cc", dot(col("cent"), col("cent")))
 
   /** s13's trained index as a DRIVER-SIDE value — how a production
@@ -2322,10 +2356,12 @@ object Similarity {
   private def s14Subvectors(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "s14Subvectors") {
       graft.sentiment.GraftFunctions.register(s)
-      trackedPersist(Tables.embeddings(s, dir)
-        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-        .withColumn("qv", transform(col("emb"),
-          x => floor(x * QuantScale)).cast("array<double>"))
+      // derived from the memoized s13 quantized relation (r17): the two
+      // staleness families used to scan + re-quantize `embeddings`
+      // independently — the qv derivation is character-identical, so
+      // slicing the shared persisted relation keeps every value and
+      // drops one full corpus scan per composed session
+      trackedPersist(s13Quantized(s, dir)
         .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
         .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
         .withColumn("svv", dot(col("sv"), col("sv")))
@@ -2333,17 +2369,17 @@ object Similarity {
     }
 
   /** Per-subspace argmin assignment against a codebook relation,
-    * carrying the quantization error (s14's form of s7's nearestCode). */
+    * carrying the quantization error (s14's form of s7's nearestCode) —
+    * map-side via the per-m packed `graft_nearest` projection (r17: the
+    * old groupBy(vec_id, m) re-shuffled PqM× corpus rows, sv payloads
+    * included, for an argmin already complete map-side; values and
+    * tie-breaks identical, zero exchanges). */
   private def s14Assign(points: DataFrame, cents: DataFrame): DataFrame =
-    points.join(broadcast(cents), Seq("m"))
-      .withColumn("dist",
-        col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(struct(col("code"), col("dist")),
-        struct(col("dist"), col("code"))).as("best"),
-        first(col("sv")).as("sv"))
-      .select(col("vec_id"), col("m"), col("best.code").as("code"),
-        col("best.dist").as("dist"), col("sv"))
+    points.join(broadcast(packedCodebooks(cents)), Seq("m"))
+      .withColumn("best", nearestBest(col("sv")))
+      .filter(col("best").isNotNull)
+      .select(col("vec_id"), col("m"), col("best.id").as("code"),
+        col("best.d").as("dist"), col("sv"))
 
   /** s14's ARCHIVE-trained per-subspace codebooks: seeds = the archive
     * subvectors with vec_id < PqK, one floored-integer-mean k-means
@@ -2354,15 +2390,8 @@ object Similarity {
     val seeds = asub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("code"),
         col("sv").as("cent"), col("svv").as("cc"))
-    s14Assign(asub, seeds)
-      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy(col("m"), col("code"), col("pos"))
-      .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-      .groupBy(col("m"), col("code"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("m"), col("code"),
-        transform(col("pc"), x => x.getField("c")).as("cent"))
-      .withColumn("cc", dot(col("cent"), col("cent")))
+    integerMeanVectors(s14Assign(asub, seeds)
+      .select(col("m"), col("code"), col("sv")), Seq("m", "code"), "sv", PqD)
   }
 
   /** The trained (stale, archive-only) codebooks as a memoized persisted
@@ -2571,15 +2600,8 @@ object Similarity {
       graft.sentiment.GraftFunctions.register(s)
       val cb = s14TrainedCodebooks(s, dir)
       val a = s17StaleAssignment(s, dir)
-      val upd = a
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("code"), col("pos"))
-        .agg(floor(sum(col("v")) / count(lit(1))).cast("double").as("c"))
-        .groupBy(col("m"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("m"), col("code"),
-          transform(col("pc"), x => x.getField("c")).as("cent"))
-        .withColumn("cc", dot(col("cent"), col("cent")))
+      val upd = integerMeanVectors(
+        a.select(col("m"), col("code"), col("sv")), Seq("m", "code"), "sv", PqD)
       cb
         .select(col("m"), col("code"),
           col("cent").as("cent_old"), col("cc").as("cc_old"))
@@ -2741,13 +2763,11 @@ object Similarity {
         col("vec_id") < cells * seedStride)
       .select((col("vec_id") / seedStride).cast("int").as("list_id"),
         col("qn").as("cent"), col("vv").as("cc"))
-    val d0 = e.crossJoin(broadcast(seeds))
-      .withColumn("dist", col("vv") - lit(2) * dot(col("qn"), col("cent")) + col("cc"))
     integerMeanCentroids(
-      d0.groupBy(col("vec_id"))
-        .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
-          first(col("qn")).as("qv"))
-        .select(col("list_id"), col("qv")))
+      e.crossJoin(broadcast(packedCentroids(seeds, "list_id")))
+        .withColumn("best", nearestBest(col("qn")))
+        .filter(col("best").isNotNull)
+        .select(col("best.id").as("list_id"), col("qn").as("qv")))
   }
 
   /** The ASSIGNMENT stage of [[radiusCompleteEmbeddingPairsOf]] — split
@@ -3166,11 +3186,10 @@ object Similarity {
     * ([[graft.stream.LiveServing.postingsOf]]), so live ≡ batch holds by
     * construction, not by copy (review r14). */
   private[graft] def postingListsOf(e: DataFrame, idx: DataFrame): DataFrame =
-    e.crossJoin(broadcast(idx))
-      .withColumn("dist", col("vv") - lit(2) * dot(col("qv"), col("cent")) + col("cc"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(col("list_id"), struct(col("dist"), col("list_id"))).as("list_id"),
-        first(col("emb")).as("emb"))
+    e.crossJoin(broadcast(packedCentroids(idx, "list_id")))
+      .withColumn("best", nearestBest(col("qv")))
+      .filter(col("best").isNotNull)
+      .select(col("vec_id"), col("best.id").as("list_id"), col("emb"))
 
   /** The SERVING index as a DRIVER-SIDE value — the c16 IVF hand-off as
     * a deployment loads it (the s13IndexArray pattern): the c13 IVF
@@ -3352,13 +3371,12 @@ object Similarity {
       val codes = cells
         .withColumn("m", explode(array((0 until PqM).map(lit): _*)))
         .withColumn("sv", slice(col("qv"), col("m") * PqD + 1, lit(PqD)))
-        .withColumn("svv", dot(col("sv"), col("sv")))
-        .join(broadcast(servBooks.select("m", "code", "cent", "cc")), Seq("m"))
-        .withColumn("pd",
-          col("svv") - lit(2) * dot(col("sv"), col("cent")) + col("cc"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min_by(col("code"), struct(col("pd"), col("code"))).as("code"),
-          first(col("list_id")).as("list_id"))
+        .join(broadcast(packedCodebooks(
+          servBooks.select("m", "code", "cent", "cc"))), Seq("m"))
+        .withColumn("best", nearestBest(col("sv")))
+        .filter(col("best").isNotNull)
+        .select(col("vec_id"), col("m"), col("best.id").as("code"),
+          col("list_id"))
       // query side: probe cells off the quantized relation, distance
       // tables off the memoized subvector relation
       val wq = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("list_id"))

@@ -63,6 +63,13 @@ object GraftFunctions {
       "graft_dot",
       exprs => graft.functions.ArrayDotProduct(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_sum",
+      exprs => graft.functions.VecSumAgg(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nearest",
+      exprs => graft.functions.NearestCentroid(exprs.head, exprs(1), exprs(2),
+        exprs(3)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_rolling_fp",
       exprs => graft.functions.RollingFingerprint(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

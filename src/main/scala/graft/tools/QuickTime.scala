@@ -28,6 +28,22 @@ object QuickTime {
     confs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_QT_TRACE=1: Bench's per-stage trace listener, so an A/B
+    // can attribute wall time to stages vs driver-side gaps (guide §1.5).
+    if (sys.env.get("SPARK_GRAFT_QT_TRACE").contains("1"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val i = sc.stageInfo
+            val wall = for {s <- i.submissionTime; c <- i.completionTime} yield c - s
+            System.err.println(s"[trace] stage ${i.stageId} '${i.name.takeWhile(_ != '\n').take(60)}' " +
+              s"tasks=${i.numTasks} wall=${wall.getOrElse(-1L)}ms " +
+              s"taskTime=${i.taskMetrics.executorRunTime}ms " +
+              s"gc=${i.taskMetrics.jvmGCTime}ms " +
+              s"cpuMs=${i.taskMetrics.executorCpuTime / 1000000}")
+          }
+        })
     def clearCaches(): Unit = {
       spark.catalog.clearCache()
       graft.queries.TextOps.clearBpeCache()
