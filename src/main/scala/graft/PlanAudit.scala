@@ -411,12 +411,13 @@ object PlanAudit {
       "the embeddings scan must prune to (vec_id, embedding) and is read " +
         "ONCE into the shared persisted relation both assignment passes " +
         "and both k-means passes reuse", maxCount = 1),
-    Expect("s13_index_staleness", "hashpartitioning(", maxCount = 10,
-      why = "bounded shuffle budget: two per-vector argmin aggregates " +
-        "(vec_id), the two-stage centroid update (list_id,pos → list_id) " +
-        "and the per-cell report (list_id) — 5 logical data shuffles, " +
-        "rendered ≤ 2x by the InMemoryRelation tree+detail duplication; " +
-        "an 11th occurrence means a new shuffle leaked in"),
+    Expect("s13_index_staleness", "hashpartitioning(", maxCount = 6,
+      why = "bounded shuffle budget, tightened r17: the argmin passes " +
+        "are now map-side graft_nearest projections (zero exchanges), " +
+        "leaving only the one-exchange graft_vec_sum centroid update " +
+        "(list_id) and the per-cell report (list_id), rendered ≤ 2x by " +
+        "the InMemoryRelation tree+detail duplication; a 7th occurrence " +
+        "means an argmin re-grew its corpus shuffle"),
     // round-12 additions (d16 cross-source overlap — the r11 VERDICT #2
     // gate set: the counts relation is persisted, so the corpus aggregate
     // executes once no matter how many consumers read it)
@@ -449,11 +450,12 @@ object PlanAudit {
     Expect("s14_pq_staleness", "ReadSchema: struct<vec_id:bigint,embedding:array<float>>",
       "the embeddings scan must prune to (vec_id, embedding) and is read " +
         "ONCE into the shared persisted subvector relation", maxCount = 1),
-    Expect("s14_pq_staleness", "hashpartitioning(", maxCount = 10,
-      why = "bounded shuffle budget: two per-(vec_id,m) argmin " +
-        "aggregates, the two-stage codebook update (m,code,pos → " +
-        "m,code) and the PqM-row report (m) — 5 logical data shuffles, " +
-        "rendered ≤ 2x by the InMemoryRelation tree+detail duplication"),
+    Expect("s14_pq_staleness", "hashpartitioning(", maxCount = 6,
+      why = "bounded shuffle budget, tightened r17: the per-(vec_id,m) " +
+        "argmin passes are now map-side graft_nearest projections (zero " +
+        "exchanges), leaving the one-exchange graft_vec_sum codebook " +
+        "update (m,code) and the PqM-row report (m), rendered ≤ 2x by " +
+        "the InMemoryRelation tree+detail duplication"),
     // s15 warm-start refresh (the s13 gate set plus the joins-back)
     Expect("s15_warmstart_refresh", "BroadcastNestedLoopJoin",
       "every centroid assignment pass (archive training, stale " +

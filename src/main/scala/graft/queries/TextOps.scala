@@ -2022,19 +2022,56 @@ object TextOps {
   /** The t20 trainer loop on the 5% id-sample: returns the per-round
     * 1-row argmax relations (`best(l, r, c)`, rank = position + 1) and
     * the sample's final post-merge adjacency.  Call inside
-    * [[withBpeConstructionConfs]]. */
+    * [[withBpeConstructionConfs]].
+    *
+    * KERNEL-TRAIN form (r17): round k counts pairs on the sample
+    * RE-ENCODED from scratch by the one-pass native
+    * [[graft.functions.BpeApplyMerges]] kernel under rules 1..k−1 —
+    * the state the old per-round window chain maintained incrementally.
+    * The two are value-identical by the round-trip BpeTrainSpec pins
+    * (apply(rules 1..k) lands exactly on the trainer's round-k
+    * occurrence table; the kernel ≡ the declarative passes ≡ the
+    * plain-Scala reference), so the argmax sees the same pair counts.
+    * What changes is the cost shape: the old loop persisted a
+    * SAMPLE-WIDE occurrence relation and ran 3–4 window passes per
+    * round (8 cuts + 8 persists + 8 sorted states); this loop persists
+    * the sample's token ARRAYS once and pays one map-only kernel
+    * encode + one pair-count aggregate per round — the only cut is the
+    * 1-ROW argmax (which bounds plan nesting: round k's plan references
+    * k−1 one-row leaves, never k−1 nested window chains).  Re-encoding
+    * from scratch costs O(K²) kernel passes over the 5% sample instead
+    * of O(K) incremental passes — at K = 8 that trade buys the removal
+    * of every per-round sample-wide materialization, shuffle and sort.
+    * Pair extraction rides the codegen'd `graft_bigrams` (tokens carry
+    * no whitespace — `\s+`-split then concat — so splitting the bigram
+    * at its first space is exact). */
   private[queries] def bpeTrainLoop(s: SparkSession,
       dir: String): (Seq[DataFrame], DataFrame) = {
-    var adj = bpeAdjacency(s, bpeSampleOcc(s, dir).repartition(col("doc_id")))
-    val bests = (1 to BpeRounds).map { _ =>
-      val best = adj.filter(col("ntok").isNotNull)
-        .groupBy(col("tok").as("l"), col("ntok").as("r"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1)
-      adj = bpeMergePass(s, adj, best)
-      best
+    graft.sentiment.GraftFunctions.register(s)
+    val sample = Tables.documents(s, dir)
+      .filter(col("doc_id") % 20 === 0)
+      .filter(col("text").isNotNull && col("text") =!= "")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def encodedUnder(bests: Seq[DataFrame]): DataFrame =
+      if (bests.isEmpty) sample
+      else sample.crossJoin(broadcast(bpeMergesRow(bests)))
+        .select(col("doc_id"),
+          call_function("graft_bpe_apply", col("toks"), col("merges")).as("toks"))
+    var bests = Seq.empty[DataFrame]
+    for (_ <- 1 to BpeRounds) {
+      val lr = encodedUnder(bests)
+        .select(explode(call_function("graft_bigrams", col("toks"))).as("bg"))
+        .select(split(col("bg"), " ", 2).as("lr"))
+      val best = Dedup.lineageCut(s, lr
+        .select(col("lr").getItem(0).as("l"), col("lr").getItem(1).as("r"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1))
+      bests = bests :+ best
     }
-    (bests, adj)
+    val finalOcc = encodedUnder(bests)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("seq", "tok")))
+    (bests, bpeAdjacency(s, finalOcc.repartition(col("doc_id"))))
   }
 
   /** The initial (pre-merge) adjacency of an occurrence relation —
