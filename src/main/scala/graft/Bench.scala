@@ -677,12 +677,27 @@ object Bench {
   // between the two samples are otherwise invisible).
   private[graft] val ContendedLoad = 3.0
   private[graft] val ContendedDefenseHits = 3
+  // load_after is judged WIDTH-RELATIVE (r17 fix to the r16-verdict rule):
+  // a local[N] pass's own executor threads legitimately drive the 1-min
+  // load average toward N while it runs, so the flat `load_after > 3`
+  // rule self-flagged every clean scaling pass (this round's clean
+  // local[32] run read load_after 7.87 with ZERO defense firings — pure
+  // self-load).  External load riding ON TOP of the pass's own width
+  // still flags (load_after > width + 3), load_before stays absolute
+  // (nothing of ours is running yet), and contention the load samples
+  // miss entirely still flags through the defense-firing count — the
+  // r16 driver fixture (load_before 1.82, 11 spikes + 6 dumps at
+  // width 32) flags via the defenses, which is also the only signal
+  // that was ever real in it: 25.62 at width 32 is indistinguishable
+  // from self-load by the load sample alone.
   private[graft] def contendedFlag(loadBefore: Double, loadAfter: Double,
-      defenseHits: Int): Boolean =
-    math.max(loadBefore, loadAfter) > ContendedLoad ||
+      width: Int, defenseHits: Int): Boolean =
+    loadBefore > ContendedLoad ||
+      loadAfter > width + ContendedLoad ||
       defenseHits >= ContendedDefenseHits
   private def contended(r: SuiteResult): Boolean =
     contendedFlag(r.loadBefore, r.loadAfter,
+      r.cpus.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors),
       r.spikeRetries.size + r.watchdog.size +
         r.tiers.map(_.retries.size).getOrElse(0))
 
@@ -736,7 +751,7 @@ object Bench {
     // stdout and used to decide which per-query pairs survived a round.
     val fullJson =
       s"""{"sf":"$sfDir","repeat":$repeat,""" +
-        s""""note":"canonical = local[4], the judge methodology (32-way task scheduling dominates sf0.1 partitions — see Bench.scala header); scaling = the env-requested width, queries only; prod_c1d6d9 tier subtotals exclude d13, whose ground truth is pinned to the exact pair source; per-query ISOLATION clears the session memos, so composition queries (c13 refresh decision, c15 pipeline) re-price every upstream audit/stage each run — in a real session those legs ride memoized relations and the marginal cost is ~one audit, so their bench numbers OVERSTATE the operators; spike_retries = reps disagreeing >4x re-ran once (the reported per-query min includes the retry; queries_runs arrays keep exactly `repeat` entries — the retry value lives only in spike_retries); tier_retries = warm/decimal A/B pairs disagreeing >4x re-ran once, reported row = per-measurement min, raw pairs recorded; contended = max(load_before, load_after) > 3 OR >=3 defense firings (spikes + dumps + tier retries); watchdog_dumps = in-process thread dumps of overrunning queries (full dumps in BENCH_watchdog.txt; servewarm rep1/rep2 = warm1/warm2, rep3/rep4 = the defended retry); serve_again_warm_tier per-query rows are order-dependent (no cache clear inside the tier) — quote the totals; decimal_ab_tier prices the decimal(38,0) default vs pinned int64 on the refresh-decision family","""  +
+        s""""note":"canonical = local[4], the judge methodology (32-way task scheduling dominates sf0.1 partitions — see Bench.scala header); scaling = the env-requested width, queries only; prod_c1d6d9 tier subtotals exclude d13, whose ground truth is pinned to the exact pair source; per-query ISOLATION clears the session memos, so composition queries (c13 refresh decision, c15 pipeline) re-price every upstream audit/stage each run — in a real session those legs ride memoized relations and the marginal cost is ~one audit, so their bench numbers OVERSTATE the operators; spike_retries = reps disagreeing >4x re-ran once (the reported per-query min includes the retry; queries_runs arrays keep exactly `repeat` entries — the retry value lives only in spike_retries); tier_retries = warm/decimal A/B pairs disagreeing >4x re-ran once, reported row = per-measurement min, raw pairs recorded; contended = load_before > 3 OR load_after > pass width + 3 (a local[N] pass's own threads legitimately drive load toward N) OR >=3 defense firings (spikes + dumps + tier retries); watchdog_dumps = in-process thread dumps of overrunning queries (full dumps in BENCH_watchdog.txt; servewarm rep1/rep2 = warm1/warm2, rep3/rep4 = the defended retry); serve_again_warm_tier per-query rows are order-dependent (no cache clear inside the tier) — quote the totals; decimal_ab_tier prices the decimal(38,0) default vs pinned int64 on the refresh-decision family","""  +
         s""""canonical":${suiteJson(canonical, repeat)},""" +
         s""""scaling":${scaling.map(suiteJson(_, repeat)).getOrElse("null")}}"""
     // Written TWICE: the stable name (driver/judge contract) AND a

@@ -36,16 +36,26 @@ class BenchContractSpec extends AnyFunSuite {
     // load_before 1.82 read clean under the old load_before-only rule
     // while load_after hit 25.62 with 11 spike retries + 6 watchdog
     // dumps — that shape MUST flag contended now
-    assert(Bench.contendedFlag(1.82, 25.62, 11 + 6))
-    assert(Bench.contendedFlag(1.82, 25.62, 0), "load_after alone must flag")
+    assert(Bench.contendedFlag(1.82, 25.62, 32, 11 + 6))
+    // load_after is judged WIDTH-RELATIVE (r17): a local[4] pass seeing
+    // 25.62 is externally slammed; a local[32] pass seeing the same
+    // number is indistinguishable from its own self-load by the sample
+    // alone — there the defense-firing count is the real signal (the
+    // r16 driver artifact carried 17 of them)
+    assert(Bench.contendedFlag(1.82, 25.62, 4, 0), "load_after must flag at width 4")
+    assert(Bench.contendedFlag(1.82, 40.0, 32, 0), "width+3 exceeded must flag at width 32")
+    // a clean wide pass must NOT self-flag on its own executor load
+    // (this round's clean local[32] run: load_after 7.87, zero firings)
+    assert(!Bench.contendedFlag(2.12, 7.87, 32, 0),
+      "a clean scaling pass's own load must not taint the artifact")
     // the r13 rule is preserved: pre-run load alone still flags
-    assert(Bench.contendedFlag(4.98, 1.82, 0))
+    assert(Bench.contendedFlag(4.98, 1.82, 4, 0))
     // the committed-r16 clean shape stays clean
-    assert(!Bench.contendedFlag(0.38, 0.52, 0))
+    assert(!Bench.contendedFlag(0.38, 0.52, 4, 0))
     // defenses firing repeatedly flag even when both load samples
     // missed the burst (contention between the two samples)
-    assert(Bench.contendedFlag(1.0, 1.0, 3))
-    assert(!Bench.contendedFlag(1.0, 1.0, 2),
+    assert(Bench.contendedFlag(1.0, 1.0, 4, 3))
+    assert(!Bench.contendedFlag(1.0, 1.0, 4, 2),
       "a lone spike + dump on a clean box must not taint the artifact")
   }
 
